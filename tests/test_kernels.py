@@ -1,0 +1,100 @@
+"""Golden tests: Pallas W4A8 GEMM (interpret mode on CPU) vs the jnp oracle.
+
+The oracle (core.quant.w4a8_matmul_reference) is itself validated in
+test_quant_core.py; here the kernel must match it **bit-exactly** — both paths
+do the same integer math, so any mismatch is a kernel bug.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qqq_tpu.core import (
+    QuantSpec,
+    quantize_activations_per_token,
+    find_params_weight,
+    quantize_weight_int,
+    dequantize_weight_int,
+    int8_channel_scale,
+    double_scale,
+    pack_int4,
+    w4a8_matmul_reference,
+)
+from qqq_tpu.kernels import w4a8_gemm, w4a8_linear
+
+
+def _make_quantized(rng, K, N, group_size):
+    spec = QuantSpec(bits=4, group_size=group_size)
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    scale, zero = find_params_weight(jnp.asarray(w), spec)
+    q4 = quantize_weight_int(jnp.asarray(w), scale, zero, spec)
+    if group_size == -1:
+        s_channel, s_group = scale[0], None
+    else:
+        w_deq = dequantize_weight_int(q4, scale, spec)
+        s_channel = int8_channel_scale(w_deq)
+        s_group = double_scale(scale, s_channel)
+    return q4, s_channel, s_group
+
+
+@pytest.mark.parametrize("group_size", [-1, 128])
+@pytest.mark.parametrize(
+    "M,K,N", [(1, 256, 256), (8, 512, 256), (40, 1024, 512), (130, 256, 384)]
+)
+def test_w4a8_gemm_matches_oracle(rng, M, K, N, group_size):
+    q4, s_channel, s_group = _make_quantized(rng, K, N, group_size)
+    x = rng.normal(size=(M, K)).astype(np.float32) * 2.0
+    a_q, s_tok = quantize_activations_per_token(jnp.asarray(x))
+
+    expected = w4a8_matmul_reference(
+        a_q, s_tok, q4, s_channel, s_group,
+        group_size=group_size, out_dtype=jnp.float32,
+    )
+    got = w4a8_gemm(
+        a_q, s_tok, pack_int4(q4), s_channel, s_group,
+        group_size=group_size, out_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+@pytest.mark.parametrize("group_size", [-1, 128])
+def test_w4a8_gemm_custom_blocks(rng, group_size):
+    M, K, N = 16, 512, 256
+    q4, s_channel, s_group = _make_quantized(rng, K, N, group_size)
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    a_q, s_tok = quantize_activations_per_token(jnp.asarray(x))
+    expected = w4a8_matmul_reference(
+        a_q, s_tok, q4, s_channel, s_group,
+        group_size=group_size, out_dtype=jnp.float32,
+    )
+    for bm, bn, bk in [(8, 128, 128), (16, 256, 256), (32, 128, 512)]:
+        got = w4a8_gemm(
+            a_q, s_tok, pack_int4(q4), s_channel, s_group,
+            group_size=group_size, out_dtype=jnp.float32,
+            block_m=bm, block_n=bn, block_k=bk, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_w4a8_linear_3d_and_bias(rng):
+    B, T, K, N = 2, 5, 256, 256
+    q4, s_channel, s_group = _make_quantized(rng, K, N, 128)
+    x = rng.normal(size=(B, T, K)).astype(np.float32)
+    bias = rng.normal(size=(N,)).astype(np.float32)
+    out = w4a8_linear(
+        jnp.asarray(x), pack_int4(q4), s_channel, s_group,
+        bias=jnp.asarray(bias), group_size=128, out_dtype=jnp.float32,
+        interpret=True,
+    )
+    assert out.shape == (B, T, N)
+    a_q, s_tok = quantize_activations_per_token(jnp.asarray(x).reshape(-1, K))
+    expected = (
+        np.asarray(
+            w4a8_matmul_reference(
+                a_q, s_tok, q4, s_channel, s_group,
+                group_size=128, out_dtype=jnp.float32,
+            )
+        ).reshape(B, T, N)
+        + bias
+    )
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6, atol=1e-5)
