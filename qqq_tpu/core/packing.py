@@ -1,21 +1,31 @@
-"""TPU-native INT4 nibble packing.
+"""TPU-native INT4 packing, designed around Mosaic's byte layout.
 
-The reference packs weights with a Marlin tile permutation designed for CUDA
-``ldmatrix``/``mma`` fragment layouts (QQQ/gptq/qlinear/qlinear_marlin.py:
-147-176, 240-248).  None of that applies to TPU.  Here we choose the layout
-for TPU (sublane × lane) tiling and cheap in-kernel unpacking:
+The reference packs weights with a Marlin tile permutation for CUDA
+``ldmatrix``/``mma`` fragments (QQQ/gptq/qlinear/qlinear_marlin.py:147-176,
+240-248).  On TPU the fast unpack primitive is different: an int32 VMEM tile
+bitcast to int8 yields, for word-row ``r``, byte rows ``4r+i`` = little-endian
+byte ``i`` (verified on v5e).  So we choose the layout to make the *whole*
+in-kernel unpack just::
 
-* Signed int4 codes (``[-8, 7]``, per-channel ``[-7, 7]``) are packed two per
-  int8 byte, shape ``(K // 2, N)`` — lane dimension N untouched, so a packed
-  block is a normal int8 VMEM tile.
-* Packing is *plane-wise within each 128-row k-block* (``PACK_BLOCK = 128``):
-  packed row ``b*64 + r`` holds code ``k = b*128 + r`` in the low nibble and
-  code ``k = b*128 + 64 + r`` in the high nibble.
+    lo = W & 0x0F0F0F0F          # 3 int32 VPU ops per 8 nibbles total
+    hi = (W >> 4) & 0x0F0F0F0F
+    lo8, hi8 = bitcast(lo, int8), bitcast(hi, int8)   # free reinterpretation
+    u8 = concat([lo8_block, hi8_block] per 128-row block)  # natural k order
 
-Why: a kernel k-tile that is a multiple of 128 maps to a *contiguous* range of
-packed rows, unpacking is two shifts + one concatenate per block (no
-interleave/ reshape across sublanes), and a 128-row block is exactly one g=128
-quantization group, so group scales broadcast over whole unpacked blocks.
+— roughly 0.5 VPU ops per weight instead of the ~6 a shift-based nibble
+sign-extension needs.  Sign handling is moved out of the unpack entirely:
+codes are stored *offset-unsigned* (``u = q + 8 ∈ [0, 15]``) and the kernel
+folds the ``-8`` back in via ``dot(a, u) - 8·rowsum(a)``.
+
+Layout definition (``PACK_BLOCK = 128`` k-rows per block, = one g=128 group):
+
+* packed array: int32, shape ``(K // 8, N)``; block ``b`` owns word rows
+  ``[16b, 16b+16)``.
+* word row ``16b + r``, little-endian byte ``i``: low nibble = code
+  ``k = 128b + 4r + i``, high nibble = code ``k = 128b + 64 + 4r + i``.
+
+Hence after mask+bitcast, ``lo8[64b:64b+64] = codes [128b, 128b+64)`` and
+``hi8[64b:64b+64] = codes [128b+64, 128b+128)`` — contiguous, concat-ready.
 """
 
 from __future__ import annotations
@@ -24,45 +34,43 @@ import jax
 import jax.numpy as jnp
 
 PACK_BLOCK = 128  # k-rows per packing block; equals the g=128 group size
-_HALF = PACK_BLOCK // 2
 
 
 def pack_int4(q: jax.Array) -> jax.Array:
-    """Pack signed int4 codes ``(K, N) int8`` → ``(K//2, N) int8``.
+    """Pack signed int4 codes ``(K, N) int8`` → ``(K // 8, N) int32``.
 
-    K must be a multiple of ``PACK_BLOCK`` (model dims are multiples of 256).
+    ``q`` must be in [-8, 7]; K must be a multiple of ``PACK_BLOCK``.
     """
     K, N = q.shape
     if K % PACK_BLOCK != 0:
         raise ValueError(f"K={K} must be a multiple of {PACK_BLOCK}")
-    qb = q.reshape(K // PACK_BLOCK, 2, _HALF, N)  # [block, half, row, n]
-    lo = qb[:, 0].astype(jnp.int32) & 0xF
-    hi = qb[:, 1].astype(jnp.int32) & 0xF
-    packed = (lo | (hi << 4)).astype(jnp.uint8).astype(jnp.int8)
-    return packed.reshape(K // 2, N)
-
-
-def unpack_int4_block(p32: jax.Array) -> jax.Array:
-    """Unpack one packed block ``(rows, N) int32`` → ``(2*rows, N) int32``.
-
-    ``p32`` is the zero-extended byte value (0..255).  Sign-extension of each
-    nibble is done with shifts — this is the exact sequence the Pallas kernel
-    uses in-register (cheap VPU ops; replaces csrc/qqq_gemm.cu:146-210's
-    lop3/prmt nibble tricks).
-    """
-    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
-    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 24), 28)
-    return jnp.concatenate([lo, hi], axis=0)
+    u = (q.astype(jnp.int32) + 8).astype(jnp.uint32)  # offset-unsigned [0,15]
+    ub = u.reshape(K // PACK_BLOCK, 2, 16, 4, N)  # [block, half, r, i, n]
+    byte = ub[:, 0] | (ub[:, 1] << 4)  # [block, r, i, n], values 0..255
+    w32 = (
+        byte[:, :, 0]
+        | (byte[:, :, 1] << 8)
+        | (byte[:, :, 2] << 16)
+        | (byte[:, :, 3] << 24)
+    )
+    w32 = w32.reshape(K // 8, N)
+    return jax.lax.bitcast_convert_type(w32, jnp.int32)
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """Unpack ``(K//2, N) int8`` → signed int4 codes ``(K, N) int8``.
+    """Unpack ``(K//8, N) int32`` → signed int4 codes ``(K, N) int8``.
 
-    Inverse of :func:`pack_int4`; jnp reference for kernel golden tests.
+    Pure-jnp inverse of :func:`pack_int4`; the golden model for the kernel's
+    mask+bitcast unpack.
     """
-    K2, N = packed.shape
-    K = K2 * 2
-    p32 = packed.astype(jnp.int32) & 0xFF
-    pb = p32.reshape(K // PACK_BLOCK, _HALF, N)
-    blocks = [unpack_int4_block(pb[b]) for b in range(K // PACK_BLOCK)]
-    return jnp.concatenate(blocks, axis=0).astype(jnp.int8)
+    K8, N = packed.shape
+    K = K8 * 8
+    w = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    wb = w.reshape(K // PACK_BLOCK, 16, N)  # [block, r, n]
+    bytes_ = jnp.stack(
+        [(wb >> (8 * i)) & 0xFF for i in range(4)], axis=2
+    )  # [block, r, i, n]
+    lo = (bytes_ & 0xF).reshape(K // PACK_BLOCK, 64, N)
+    hi = (bytes_ >> 4).reshape(K // PACK_BLOCK, 64, N)
+    u = jnp.concatenate([lo, hi], axis=1)  # [block, 128, n] in k order
+    return (u.astype(jnp.int32) - 8).reshape(K, N).astype(jnp.int8)

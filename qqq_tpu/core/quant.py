@@ -283,11 +283,20 @@ def requantize_group_weights_int8(
     return jnp.clip(w8, -127, 127).reshape(K, N).astype(jnp.int8)
 
 
+def _int_dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
 def w4a8_matmul_reference(
     a_q: jax.Array,
     s_token: jax.Array,
     q4: jax.Array,
-    s_channel: jax.Array,
+    s_channel: Optional[jax.Array] = None,
     s_group: Optional[jax.Array] = None,
     *,
     group_size: int = -1,
@@ -296,24 +305,35 @@ def w4a8_matmul_reference(
     """Bit-accurate jnp reference of the W4A8 GEMM (golden model for Pallas).
 
     ``a_q``: (M, K) int8 activations; ``s_token``: (M, 1) fp32;
-    ``q4``: (K, N) signed int4 codes; ``s_channel``: (N,) fp32;
-    ``s_group``: (K//g, N) fp32 double scales or None for per-channel.
+    ``q4``: (K, N) signed int4 codes; ``s_channel``: (N,) fp32 (per-channel
+    path); ``s_group``: (K//g, N) fp32 **full** group scales (per-group path).
 
-    Per-channel: D = (A·W4) · s_channel · s_token (csrc/qqq_gemm.cu:680-726).
-    Per-group:   W8 = round(W4 · s_group) per group; D = (A·W8) · s_channel ·
-    s_token.
+    Per-channel: ``D = (A·W4)_s32 · s_channel · s_token``
+    (csrc/qqq_gemm.cu:680-726).
+
+    Per-group (TPU-first redesign): the reference requantizes INT4 → INT8
+    in-kernel through fp16 double scales because CUDA tensor cores need one
+    int8 operand for the whole K reduction (qqq_gemm.cu:166-210).  On TPU we
+    instead take an exact int32 MXU dot *per 128-group* and accumulate the
+    fp32-scaled partial sums: ``D = Σ_g (A_g·W4_g)_s32 · s_group[g] · s_token``
+    — no requantization rounding at all, strictly more accurate than the
+    reference at the same storage format, and cheaper in-kernel.
     """
+    s_token = s_token.astype(jnp.float32)
     if group_size == -1:
-        w8 = q4
-    else:
-        assert s_group is not None
-        w8 = requantize_group_weights_int8(q4, s_group, group_size)
-    acc = jax.lax.dot_general(
-        a_q,
-        w8,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    out = acc.astype(jnp.float32) * s_channel[None, :].astype(jnp.float32)
-    out = out * s_token.astype(jnp.float32)
-    return out.astype(out_dtype)
+        assert s_channel is not None
+        acc = _int_dot(a_q, q4)
+        out = acc.astype(jnp.float32) * s_channel[None, :].astype(jnp.float32)
+        out = out * s_token
+        return out.astype(out_dtype)
+
+    assert s_group is not None
+    M, K = a_q.shape
+    N = q4.shape[1]
+    G = K // group_size
+    facc = jnp.zeros((M, N), jnp.float32)
+    for g in range(G):  # same accumulation order as the Pallas kernel
+        sl = slice(g * group_size, (g + 1) * group_size)
+        d = _int_dot(a_q[:, sl], q4[sl])
+        facc = facc + d.astype(jnp.float32) * s_group[g][None, :].astype(jnp.float32)
+    return (facc * s_token).astype(out_dtype)

@@ -1,24 +1,25 @@
-"""Pallas TPU W4A8 GEMM: D = (A_int8 @ dequant(W_int4)) * s_channel * s_token.
+"""Pallas TPU W4A8 GEMM: D = (A_int8 @ W_int4) · scales.
 
 TPU-native replacement for the reference's Marlin-style CUDA kernel
 (csrc/qqq_gemm.cu:240-820).  Design notes — what maps where:
 
 * Marlin's striped SM partitioning, ``cp.async`` pipeline, XOR-swizzled shared
-  memory and lock-guarded global reduction exist to hand-schedule data flow on
-  a GPU.  On TPU all of that is the Mosaic pipeline: a (m, n, k) grid whose
-  k-dimension is sequential ("arbitrary"), with automatic double-buffered DMA
-  of the A / packed-W blocks and an int32 VMEM accumulator that lives across
-  the k loop.  No locks, no workspace, no reduction buffer.
-* Nibble dequant (csrc/qqq_gemm.cu:146-210's lop3/prmt tricks) becomes two
-  shifts + concatenate per 128-row packing block (see core/packing.py).
-* The per-group path requantizes INT4 → INT8 in-register with the fp32 double
-  scale ``s_group`` (reference keeps fp16 here; we use fp32 — free on the VPU)
-  and feeds the MXU with int8 × int8 → int32.
-* The fp32 epilogue ``acc · s_channel · s_token`` mirrors qqq_gemm.cu:680-726.
-
-Weight layout: ``w_packed`` is ``(K//2, N) int8`` in the nibble-plane layout of
-:mod:`qqq_tpu.core.packing` — chosen so a k-tile is a contiguous packed-row
-range and each 128-row block is exactly one g=128 group.
+  memory and lock-guarded global reduction hand-schedule data flow on a GPU.
+  On TPU all of that is the Mosaic pipeline: an (m, n, k) grid whose
+  k-dimension is sequential ("arbitrary"), automatic double-buffered DMA of
+  the A / packed-W blocks, and a VMEM accumulator living across the k loop.
+  No locks, no workspace, no reduction buffer.
+* Nibble extraction (csrc/qqq_gemm.cu:146-210's lop3/prmt tricks) is two
+  mask ops + a free int32→int8 bitcast in the layout of core/packing.py
+  (~0.5 VPU ops/weight).  Codes are stored offset-unsigned (q+8); the ``-8``
+  is folded into the matmul as ``dot(a, u) - 8·rowsum(a)`` so no per-element
+  sign-extension happens at all.
+* Per-group path: instead of requantizing INT4 → INT8 in-register through
+  fp16 double scales (a CUDA-ism — tensor cores need one int8 operand for the
+  whole K reduction), we take an exact int32 MXU dot per 128-row group and
+  accumulate fp32-scaled partial sums in a VMEM scratch.  More accurate than
+  the reference (zero requant noise) and cheaper.
+* The fp32 epilogue ``· s_channel · s_token`` mirrors qqq_gemm.cu:680-726.
 """
 
 from __future__ import annotations
@@ -34,105 +35,97 @@ from jax.experimental.pallas import tpu as pltpu
 from qqq_tpu.core.packing import PACK_BLOCK
 from qqq_tpu.core.quant import quantize_activations_per_token
 
-_HALF = PACK_BLOCK // 2
+_NIBBLE_MASK = 0x0F0F0F0F  # python int: avoids a captured traced constant
 
 
-def _unpack_block(p32, b):
-    """Sign-extended nibbles of packing block ``b``: two (HALF, bn) int32."""
-    pb = p32[b * _HALF : (b + 1) * _HALF, :]
-    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(pb, 28), 28)
-    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(pb, 24), 28)
-    return lo, hi
+def _unpack_u8(w32, block_k: int):
+    """(block_k//8, bn) int32 words → per-block list of (64, bn) uint-nibble
+    int8 pieces in k order: [lo_b, hi_b] for each 128-row block b."""
+    mask = jnp.full((), _NIBBLE_MASK, jnp.int32)
+    lo = w32 & mask
+    hi = jax.lax.shift_right_logical(w32, 4) & mask
+    lo8 = pltpu.bitcast(lo, jnp.int8)  # (block_k//2, bn); row 4r+i = byte i
+    hi8 = pltpu.bitcast(hi, jnp.int8)
+    blocks = []
+    for b in range(block_k // PACK_BLOCK):
+        blocks.append((lo8[b * 64 : b * 64 + 64], hi8[b * 64 : b * 64 + 64]))
+    return blocks
 
 
-def _w4a8_kernel(
-    a_ref,       # (bm, bk) int8
-    w_ref,       # (bk//2, bn) int8 packed
-    s_tok_ref,   # (bm, 1) f32
-    s_ch_ref,    # (1, bn) f32
-    out_ref,     # (bm, bn) out_dtype
-    acc_ref,     # (bm, bn) int32 scratch
+def _w4a8_channel_kernel(
+    a_ref,      # (bm, bk) int8
+    w_ref,      # (bk//8, bn) int32 packed
+    asum_ref,   # (bm, 1) int32: rowsum of the FULL a row (all K)
+    s_tok_ref,  # (bm, 1) f32
+    s_ch_ref,   # (1, bn) f32
+    out_ref,    # (bm, bn) out_dtype
+    acc_ref,    # (bm, bn) int32 scratch
     *,
     block_k: int,
     out_dtype,
 ):
-    """Per-channel variant: W4 codes are already the int8 MXU operand."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p32 = w_ref[:].astype(jnp.int32) & 0xFF
     pieces = []
-    for b in range(block_k // PACK_BLOCK):
-        lo, hi = _unpack_block(p32, b)
-        pieces += [lo.astype(jnp.int8), hi.astype(jnp.int8)]
-    w8 = jnp.concatenate(pieces, axis=0)
+    for lo_b, hi_b in _unpack_u8(w_ref[:], block_k):
+        pieces += [lo_b, hi_b]
+    u8 = jnp.concatenate(pieces, axis=0)  # (bk, bn) nibbles [0,15]
 
     acc_ref[:] += jax.lax.dot_general(
         a_ref[:],
-        w8,
+        u8,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
-        out = acc_ref[:].astype(jnp.float32) * s_ch_ref[:] * s_tok_ref[:]
+        corr = acc_ref[:] - 8 * asum_ref[:]  # undo the +8 code offset
+        out = corr.astype(jnp.float32) * s_ch_ref[:] * s_tok_ref[:]
         out_ref[:] = out.astype(out_dtype)
 
 
 def _w4a8_group_kernel(
-    a_ref,       # (bm, bk) int8
-    w_ref,       # (bk//2, bn) int8 packed
-    s_g_ref,     # (bk//128, bn) f32 double scales
-    s_tok_ref,   # (bm, 1) f32
-    s_ch_ref,    # (1, bn) f32
-    out_ref,     # (bm, bn) out_dtype
-    acc_ref,     # (bm, bn) int32 scratch
+    a_ref,      # (bm, bk) int8
+    w_ref,      # (bk//8, bn) int32 packed
+    bsum_ref,   # (bm, bk//128) int32: per-128-block rowsums of a
+    s_g_ref,    # (bk//128, bn) f32 full group scales
+    s_tok_ref,  # (bm, 1) f32
+    out_ref,    # (bm, bn) out_dtype
+    facc_ref,   # (bm, bn) f32 scratch
     *,
     block_k: int,
     out_dtype,
 ):
-    """Per-group variant: in-register INT4 → INT8 requantization.
-
-    ``w8 = clip(round(q4 * s_group), -127, 127)`` per 128-row group, then the
-    same int8 MXU matmul + fp32 epilogue as per-channel.
-    """
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        facc_ref[:] = jnp.zeros_like(facc_ref)
 
-    p32 = w_ref[:].astype(jnp.int32) & 0xFF
-    pieces = []
-    for b in range(block_k // PACK_BLOCK):
-        lo, hi = _unpack_block(p32, b)
-        sg = s_g_ref[b, :][None, :]  # (1, bn) — one group's double scale
-        for q in (lo, hi):
-            wq = jnp.clip(jnp.round(q.astype(jnp.float32) * sg), -127, 127)
-            pieces.append(wq.astype(jnp.int8))
-    w8 = jnp.concatenate(pieces, axis=0)
-
-    acc_ref[:] += jax.lax.dot_general(
-        a_ref[:],
-        w8,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    for b, (lo_b, hi_b) in enumerate(_unpack_u8(w_ref[:], block_k)):
+        u8 = jnp.concatenate([lo_b, hi_b], axis=0)  # (128, bn)
+        d = jax.lax.dot_general(
+            a_ref[:, b * PACK_BLOCK : (b + 1) * PACK_BLOCK],
+            u8,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        corr = d - 8 * bsum_ref[:, b : b + 1]
+        facc_ref[:] += corr.astype(jnp.float32) * s_g_ref[b, :][None, :]
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
-        out = acc_ref[:].astype(jnp.float32) * s_ch_ref[:] * s_tok_ref[:]
-        out_ref[:] = out.astype(out_dtype)
+        out_ref[:] = (facc_ref[:] * s_tok_ref[:]).astype(out_dtype)
 
 
 def _pick_blocks(M: int, K: int, N: int):
     """Block-shape heuristic (replaces csrc/qqq_gemm.cu:847-916's thread
-    config tables): small-M (decode) favors wide N tiles; large-M (prefill)
-    favors square tiles that amortize the in-kernel unpack."""
+    config tables)."""
     if M <= 32:
         bm = 32
     elif M <= 128:
@@ -157,7 +150,7 @@ def w4a8_gemm(
     a_q: jax.Array,
     s_token: jax.Array,
     w_packed: jax.Array,
-    s_channel: jax.Array,
+    s_channel: Optional[jax.Array] = None,
     s_group: Optional[jax.Array] = None,
     *,
     group_size: int = -1,
@@ -167,22 +160,24 @@ def w4a8_gemm(
     block_k: int = 0,
     interpret: Optional[bool] = None,
 ):
-    """W4A8 GEMM host entry (replaces qqq_gemm host launcher, cu:828-1046).
+    """W4A8 GEMM host entry (replaces the qqq_gemm launcher, cu:828-1046).
 
     Args:
       a_q: (M, K) int8 per-token-quantized activations.
       s_token: (M, 1) fp32 per-token scales.
-      w_packed: (K//2, N) int8 nibble-packed INT4 weights.
-      s_channel: (N,) fp32 per-channel scales (``s_extra`` for per-group).
-      s_group: (K//group_size, N) fp32 double scales; None when per-channel.
+      w_packed: (K//8, N) int32 nibble-packed INT4 weights (core/packing.py).
+      s_channel: (N,) fp32 per-channel scales — per-channel path only.
+      s_group: (K//128, N) fp32 full group scales — per-group path only.
       group_size: -1 (per-channel) or 128.
     Returns:
       (M, N) array of ``out_dtype``.
     """
     M, K = a_q.shape
     N = w_packed.shape[1]
-    assert w_packed.shape[0] == K // 2, (w_packed.shape, K)
-    if group_size != -1:
+    assert w_packed.shape[0] == K // 8, (w_packed.shape, K)
+    if group_size == -1:
+        assert s_channel is not None
+    else:
         assert group_size == PACK_BLOCK, "only g=128 supported (like reference)"
         assert s_group is not None and s_group.shape == (K // group_size, N)
 
@@ -199,45 +194,16 @@ def w4a8_gemm(
     if Mp != M:
         a_q = jnp.pad(a_q, ((0, Mp - M), (0, 0)))
         s_token = jnp.pad(s_token, ((0, Mp - M), (0, 0)), constant_values=1.0)
-
-    s_ch2 = s_channel.reshape(1, N).astype(jnp.float32)
     s_token = s_token.astype(jnp.float32)
 
     grid = (Mp // bm, N // bn, K // bk)
+    a32 = a_q.astype(jnp.int32)
 
-    in_specs = [
-        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-    ]
-    operands = [a_q, w_packed]
-    if group_size != -1:
-        in_specs.append(
-            pl.BlockSpec(
-                (bk // PACK_BLOCK, bn), lambda i, j, k: (k, j),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        operands.append(s_group.astype(jnp.float32))
-        kernel = functools.partial(
-            _w4a8_group_kernel, block_k=bk, out_dtype=out_dtype
-        )
-    else:
-        kernel = functools.partial(_w4a8_kernel, block_k=bk, out_dtype=out_dtype)
-    in_specs += [
-        pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-    ]
-    operands += [s_token, s_ch2]
-
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
+    common = dict(
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -247,7 +213,66 @@ def w4a8_gemm(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*operands)
+    )
+
+    if group_size == -1:
+        asum = jnp.sum(a32, axis=-1, keepdims=True)  # (Mp, 1) int32
+        out = pl.pallas_call(
+            functools.partial(
+                _w4a8_channel_kernel, block_k=bk, out_dtype=out_dtype
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk // 8, bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            **common,
+        )(
+            a_q,
+            w_packed,
+            asum,
+            s_token,
+            s_channel.reshape(1, N).astype(jnp.float32),
+        )
+    else:
+        bsum = jnp.sum(  # (Mp, K//128) int32 per-block rowsums
+            a32.reshape(Mp, K // PACK_BLOCK, PACK_BLOCK), axis=-1
+        )
+        out = pl.pallas_call(
+            functools.partial(
+                _w4a8_group_kernel, block_k=bk, out_dtype=out_dtype
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk // 8, bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, bk // PACK_BLOCK), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk // PACK_BLOCK, bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            **common,
+        )(
+            a_q,
+            w_packed,
+            bsum,
+            s_group.astype(jnp.float32),
+            s_token,
+        )
 
     return out[:M] if Mp != M else out
 
@@ -255,7 +280,7 @@ def w4a8_gemm(
 def w4a8_linear(
     x: jax.Array,
     w_packed: jax.Array,
-    s_channel: jax.Array,
+    s_channel: Optional[jax.Array] = None,
     s_group: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     *,

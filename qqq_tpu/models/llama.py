@@ -1,0 +1,326 @@
+"""Functional Llama-1/2/3 / Qwen2 forward pass (pytree params, no modules).
+
+One implementation serves the reference's three model roles:
+* the FP model used for calibration forwards (QQQ/smooth/models/llama.py),
+* the GPTQ layer-sequential driver's layer replay (QQQ/gptq/models/llama.py),
+* the quantized inference model (QQQ/gptq/models/llama.py:165-341) — here a
+  ``linear_apply`` that dispatches on param structure: a dense ``{"w": ...}``
+  runs in bf16, a packed ``{"w_packed": ...}`` runs through the Pallas W4A8
+  kernel.  Embeddings and lm_head stay FP exactly like the reference
+  (gptq/models/llama.py:306 "no quant on embedding").
+
+Params layout (weights are (in, out) — see core/quant.py):
+
+    {"embed": (V, H),
+     "layers": [
+        {"input_layernorm": (H,),
+         "q_proj"/"k_proj"/"v_proj"/"o_proj": Linear,
+         "post_attention_layernorm": (H,),
+         "gate_proj"/"up_proj"/"down_proj": Linear},
+        ...],
+     "norm": (H,),
+     "lm_head": Linear | None (tied embeddings)}
+
+    Linear := {"w": (K, N) [, "b": (N,)]}                        (dense)
+             | {"w_packed": (K//8, N) int32, "s_channel": (N,)
+                [, "s_group": (K//128, N)] [, "b": (N,)]}        (W4A8)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qqq_tpu.models.config import ModelConfig
+from qqq_tpu.kernels.w4a8_gemm import w4a8_linear
+
+
+# ---------------------------------------------------------------------------
+# primitives
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def linear_apply(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
+    """Dense or W4A8 linear, dispatched on the param structure."""
+    if "w_packed" in p:
+        group_size = -1 if "s_group" not in p else 128
+        return w4a8_linear(
+            x,
+            p["w_packed"],
+            p.get("s_channel"),
+            p.get("s_group"),
+            bias=p.get("b"),
+            group_size=group_size,
+            out_dtype=x.dtype,
+        )
+    out = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
+def rope_inv_freq(config: ModelConfig) -> jax.Array:
+    """RoPE inverse frequencies, with HF llama3-style scaling support."""
+    hd = config.head_dim
+    inv_freq = 1.0 / (
+        config.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    rs = config.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        factor = rs["factor"]
+        low = rs["low_freq_factor"]
+        high = rs["high_freq_factor"]
+        old_len = rs["original_max_position_embeddings"]
+        wavelen = 2 * jnp.pi / inv_freq
+        low_wl = old_len / low
+        high_wl = old_len / high
+        scaled = inv_freq / factor
+        smooth = (old_len / wavelen - low) / (high - low)
+        smoothed = (1 - smooth) * scaled + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen > low_wl,
+            jnp.where(wavelen < high_wl, smoothed, scaled),
+            inv_freq,
+        )
+    elif rs and rs.get("rope_type", rs.get("type")) == "linear":
+        inv_freq = inv_freq / rs["factor"]
+    return inv_freq
+
+
+def apply_rope(
+    q: jax.Array, k: jax.Array, positions: jax.Array, inv_freq: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """HF-convention rotary embedding (rotate_half).
+
+    q: (B, T, nh, hd), k: (B, T, nkv, hd), positions: (B, T) int32.
+    """
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (B, T, hd/2)
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    cos = jnp.concatenate([cos, cos], axis=-1)[:, :, None, :]
+    sin = jnp.concatenate([sin, sin], axis=-1)[:, :, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        half = x.shape[-1] // 2
+        rotated = jnp.concatenate([-xf[..., half:], xf[..., :half]], axis=-1)
+        return (xf * cos + rotated * sin).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+def repeat_kv(x: jax.Array, groups: int) -> jax.Array:
+    """(B, S, nkv, hd) → (B, S, nh, hd) by repeating each kv head."""
+    if groups == 1:
+        return x
+    return jnp.repeat(x, groups, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# attention / mlp / layers
+
+
+def _attention_scores(
+    q: jax.Array,  # (B, T, nh, hd)
+    k: jax.Array,  # (B, S, nh, hd)
+    v: jax.Array,  # (B, S, nh, hd)
+    mask: jax.Array,  # (B, T, S) bool, True = attend
+) -> jax.Array:
+    hd = q.shape[-1]
+    scores = jnp.einsum(
+        "btnh,bsnh->bnts", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(hd))
+    scores = jnp.where(mask[:, None, :, :], scores, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bnts,bsnh->btnh", probs.astype(v.dtype), v)
+    return out
+
+
+def attention(
+    layer: Dict[str, Any],
+    x: jax.Array,  # (B, T, H)
+    positions: jax.Array,  # (B, T)
+    inv_freq: jax.Array,
+    config: ModelConfig,
+    cache: Optional[Dict[str, Any]] = None,
+    cache_len: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
+    from qqq_tpu.serve import kv_cache as kvc
+
+    B, T, H = x.shape
+    nh, nkv, hd = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.head_dim,
+    )
+    q = linear_apply(layer["q_proj"], x).reshape(B, T, nh, hd)
+    k = linear_apply(layer["k_proj"], x).reshape(B, T, nkv, hd)
+    v = linear_apply(layer["v_proj"], x).reshape(B, T, nkv, hd)
+    q, k = apply_rope(q, k, positions, inv_freq)
+
+    if cache is None:
+        kf, vf = k, v
+        key_pos = positions  # (B, T)
+        mask = key_pos[:, None, :] <= positions[:, :, None]
+    else:
+        cache = kvc.write(cache, k, v, cache_len)
+        kf, vf = kvc.read(cache, x.dtype)
+        S = kf.shape[1]
+        # cache slot s holds the token at position s, so slot index doubles
+        # as key position: valid slots are s < cache_len + T, causal is
+        # s <= query position.
+        key_idx = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
+        valid = key_idx < (cache_len + T)[:, None]  # cache_len: (B,)
+        mask = valid[:, None, :] & (key_idx[:, None, :] <= positions[:, :, None])
+
+    kf = repeat_kv(kf, config.num_kv_groups)
+    vf = repeat_kv(vf, config.num_kv_groups)
+    out = _attention_scores(q, kf, vf, mask).reshape(B, T, nh * hd)
+    out = linear_apply(layer["o_proj"], out)
+    return out, cache
+
+
+def mlp(layer: Dict[str, Any], x: jax.Array) -> jax.Array:
+    gate = linear_apply(layer["gate_proj"], x)
+    up = linear_apply(layer["up_proj"], x)
+    return linear_apply(layer["down_proj"], jax.nn.silu(gate) * up)
+
+
+def decoder_layer(
+    layer: Dict[str, Any],
+    x: jax.Array,
+    positions: jax.Array,
+    inv_freq: jax.Array,
+    config: ModelConfig,
+    cache: Optional[Dict[str, Any]] = None,
+    cache_len: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
+    h = rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
+    attn_out, cache = attention(
+        layer, h, positions, inv_freq, config, cache, cache_len
+    )
+    x = x + attn_out
+    h = rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)
+    x = x + mlp(layer, h)
+    return x, cache
+
+
+# ---------------------------------------------------------------------------
+# full model
+
+
+def forward(
+    params: Dict[str, Any],
+    config: ModelConfig,
+    tokens: jax.Array,  # (B, T) int32
+    *,
+    positions: Optional[jax.Array] = None,
+    caches: Optional[List[Dict[str, Any]]] = None,
+    cache_len: Optional[jax.Array] = None,
+    return_hidden: bool = False,
+) -> Tuple[jax.Array, Optional[List[Dict[str, Any]]]]:
+    """Returns (logits (B, T, V) f32, updated caches).
+
+    With ``caches=None`` this is the full-sequence scoring path (PPL eval,
+    calibration); with caches it is prefill (T>1) or decode (T=1).
+    """
+    B, T = tokens.shape
+    if cache_len is not None:
+        cache_len = jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (B,))
+    if positions is None:
+        if cache_len is not None:
+            positions = cache_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        else:
+            positions = jnp.broadcast_to(
+                jnp.arange(T, dtype=jnp.int32)[None, :], (B, T)
+            )
+
+    inv_freq = rope_inv_freq(config)
+    x = params["embed"][tokens]
+    new_caches = [] if caches is not None else None
+    for i, layer in enumerate(params["layers"]):
+        cache_i = caches[i] if caches is not None else None
+        x, cache_i = decoder_layer(
+            layer, x, positions, inv_freq, config, cache_i, cache_len
+        )
+        if new_caches is not None:
+            new_caches.append(cache_i)
+
+    x = rms_norm(x, params["norm"], config.rms_norm_eps)
+    if return_hidden:
+        return x, new_caches
+    if params.get("lm_head") is not None:
+        logits = linear_apply(params["lm_head"], x)
+    else:  # tied embeddings
+        logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
+    return logits.astype(jnp.float32), new_caches
+
+
+def decode_step(
+    params: Dict[str, Any],
+    config: ModelConfig,
+    tokens: jax.Array,  # (B, 1)
+    caches: List[Dict[str, Any]],
+    cache_len: jax.Array,  # (B,) or scalar int32
+) -> Tuple[jax.Array, List[Dict[str, Any]]]:
+    """One decoding step; returns (logits (B, V), caches)."""
+    logits, caches = forward(
+        params, config, tokens, caches=caches, cache_len=cache_len
+    )
+    return logits[:, -1, :], caches
+
+
+# ---------------------------------------------------------------------------
+# init (random, for tests/benchmarks)
+
+
+def init_params(
+    config: ModelConfig, key: jax.Array, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    H, I = config.hidden_size, config.intermediate_size
+    qd, kvd = config.q_dim, config.kv_dim
+    k_iter = iter(jax.random.split(key, 2 + 7 * config.num_hidden_layers + 1))
+
+    def dense(k, shape, bias=False):
+        p = {"w": (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((shape[1],), dtype)
+        return p
+
+    layers = []
+    for _ in range(config.num_hidden_layers):
+        layers.append(
+            {
+                "input_layernorm": jnp.ones((H,), dtype),
+                "q_proj": dense(next(k_iter), (H, qd), config.attention_bias),
+                "k_proj": dense(next(k_iter), (H, kvd), config.attention_bias),
+                "v_proj": dense(next(k_iter), (H, kvd), config.attention_bias),
+                "o_proj": dense(next(k_iter), (qd, H)),
+                "post_attention_layernorm": jnp.ones((H,), dtype),
+                "gate_proj": dense(next(k_iter), (H, I)),
+                "up_proj": dense(next(k_iter), (H, I)),
+                "down_proj": dense(next(k_iter), (I, H)),
+            }
+        )
+    embed = (
+        jax.random.normal(next(k_iter), (config.vocab_size, H), jnp.float32)
+        * 0.02
+    ).astype(dtype)
+    return {
+        "embed": embed,
+        "layers": layers,
+        "norm": jnp.ones((H,), dtype),
+        "lm_head": None
+        if config.tie_word_embeddings
+        else dense(next(k_iter), (H, config.vocab_size)),
+    }

@@ -18,6 +18,8 @@ if os.environ.get("QQQ_TPU_TEST_PLATFORM", "cpu") == "cpu":
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/qqq_tpu_jax_cache")
+# CPU matmuls default to bf16-fastmath (oneDNN); parity tests need true fp32
+jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 

@@ -31,9 +31,7 @@ def _make_quantized(rng, K, N, group_size):
     if group_size == -1:
         s_channel, s_group = scale[0], None
     else:
-        w_deq = dequantize_weight_int(q4, scale, spec)
-        s_channel = int8_channel_scale(w_deq)
-        s_group = double_scale(scale, s_channel)
+        s_channel, s_group = None, scale  # full group scales drive the kernel
     return q4, s_channel, s_group
 
 

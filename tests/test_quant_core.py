@@ -114,7 +114,7 @@ def test_double_scale_bounds(rng):
 def test_pack_unpack_roundtrip(rng):
     q = rng.integers(-8, 8, size=(384, 128)).astype(np.int8)
     packed = pack_int4(jnp.asarray(q))
-    assert packed.shape == (192, 128) and packed.dtype == jnp.int8
+    assert packed.shape == (48, 128) and packed.dtype == jnp.int32
     np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), q)
 
 
@@ -140,12 +140,10 @@ def test_w4a8_reference_matmul_per_group(rng):
     scale, zero = find_params_weight(jnp.asarray(w), PER_GROUP)
     q4 = quantize_weight_int(jnp.asarray(w), scale, zero, PER_GROUP)
     w_deq = dequantize_weight_int(q4, scale, PER_GROUP)
-    s_extra = int8_channel_scale(w_deq)
-    s_group = double_scale(scale, s_extra)
     aq, s_tok = quantize_activations_per_token(jnp.asarray(x))
     out = w4a8_matmul_reference(
-        aq, s_tok, q4, s_extra, s_group, group_size=128, out_dtype=jnp.float32
+        aq, s_tok, q4, None, scale, group_size=128, out_dtype=jnp.float32
     )
     expected = x @ np.asarray(w_deq)
     rel = np.abs(np.asarray(out) - expected) / (np.abs(expected).max() + 1e-6)
-    assert rel.max() < 0.03  # act quant + int8 requant noise
+    assert rel.max() < 0.02  # activation quant noise only (no requant step)
