@@ -1,0 +1,211 @@
+"""Layer-sequential GPTQ quantization pipeline.
+
+The TPU counterpart of the reference driver (QQQ/gptq/models/llama.py:27-162
++ apply_gptq.py:19-125).  Because the model is a functional pytree — not
+module objects — there are no forward hooks: a capture forward returns every
+linear's input directly.  Per decoder layer:
+
+1. replay the calibration samples through the (still unquantized) layer,
+   accumulating one Hessian per linear-input group — q/k/v share the
+   post-input-layernorm input, gate/up share the post-attn-layernorm input
+   (reference collects these per-module; the shared-input structure makes
+   them identical);
+2. GPTQ-quantize all 7 linears (q,k,v,o,gate,up,down — find_layers picks up
+   exactly these, model_utils.py:79-89);
+3. replace weights and replay again to produce the next layer's inputs from
+   the *quantized* layer (reference: second replay loop, models/llama.py:
+   141-148).
+
+Embeddings and lm_head stay FP (models/llama.py:306).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+import logging
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qqq_tpu.core.quant import QuantSpec
+from qqq_tpu.core.packing import pack_int4
+from qqq_tpu.calib.gptq import (
+    GPTQResult,
+    gptq_quantize_matrix,
+    hessian_init,
+    hessian_update,
+)
+from qqq_tpu.models.config import ModelConfig
+from qqq_tpu.models import llama as M
+
+logger = logging.getLogger("qqq_tpu")
+
+_QKV = ("q_proj", "k_proj", "v_proj")
+_GUP = ("gate_proj", "up_proj")
+
+
+def layer_capture_forward(
+    layer: Dict[str, Any],
+    x: jax.Array,  # (B, T, H)
+    positions: jax.Array,
+    inv_freq: jax.Array,
+    config: ModelConfig,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Decoder-layer forward that also returns each linear's input —
+    functional replacement for the reference's forward hooks."""
+    B, T, H = x.shape
+    nh, nkv, hd = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.head_dim,
+    )
+    h = M.rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
+    qkv_in = h
+    q = M.linear_apply(layer["q_proj"], h).reshape(B, T, nh, hd)
+    k = M.linear_apply(layer["k_proj"], h).reshape(B, T, nkv, hd)
+    v = M.linear_apply(layer["v_proj"], h).reshape(B, T, nkv, hd)
+    q, k = M.apply_rope(q, k, positions, inv_freq)
+    mask = positions[:, None, :] <= positions[:, :, None]
+    kf = M.repeat_kv(k, config.num_kv_groups)
+    vf = M.repeat_kv(v, config.num_kv_groups)
+    attn = M._attention_scores(q, kf, vf, mask).reshape(B, T, nh * hd)
+    o_in = attn
+    x = x + M.linear_apply(layer["o_proj"], attn)
+
+    h2 = M.rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)
+    gup_in = h2
+    gate = M.linear_apply(layer["gate_proj"], h2)
+    up = M.linear_apply(layer["up_proj"], h2)
+    swiglu = jax.nn.silu(gate) * up
+    down_in = swiglu
+    x = x + M.linear_apply(layer["down_proj"], swiglu)
+    return x, {"qkv": qkv_in, "o": o_in, "gup": gup_in, "down": down_in}
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _hessian_step(layer, x, positions, inv_freq, config, Hs, ns):
+    """One calibration sample: returns updated Hessian dict (keys qkv/o/gup/
+    down) and counts."""
+    _, captures = layer_capture_forward(layer, x, positions, inv_freq, config)
+    new_Hs, new_ns = {}, {}
+    for key in Hs:
+        new_Hs[key], new_ns[key] = hessian_update(
+            Hs[key], ns[key], captures[key]
+        )
+    return new_Hs, new_ns
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _layer_forward(layer, x, positions, inv_freq, config):
+    out, _ = M.decoder_layer(layer, x, positions, inv_freq, config)
+    return out
+
+
+def quantize_result_to_linear(
+    res: GPTQResult, spec: QuantSpec, bias: Optional[jax.Array]
+) -> Dict[str, Any]:
+    """GPTQ output → packed inference linear params (the analogue of
+    QuantLinear.pack, qlinear_marlin.py:181-262, in the TPU layout)."""
+    p: Dict[str, Any] = {"w_packed": pack_int4(res.q4)}
+    if spec.per_channel:
+        p["s_channel"] = res.scale[0].astype(jnp.float32)
+    else:
+        p["s_group"] = res.scale.astype(jnp.float32)
+    if bias is not None:
+        p["b"] = bias
+    return p
+
+
+def apply_gptq(
+    params: Dict[str, Any],
+    config: ModelConfig,
+    calib_tokens: jax.Array,  # (nsamples, seqlen) int32
+    spec: QuantSpec,
+    *,
+    percdamp: float = 0.01,
+    actorder: bool = True,
+    blocksize: int = 128,
+    sample_batch: int = 4,
+    pack: bool = True,
+    dtype=jnp.bfloat16,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Quantize all decoder-layer linears of ``params`` in place (functionally).
+
+    Returns (new_params, stats).  With ``pack=True`` linears become packed
+    W4A8 params; otherwise they keep dense fake-quantized weights (useful for
+    debugging/eval of the quantization alone).
+    """
+    n, T = calib_tokens.shape
+    inv_freq = M.rope_inv_freq(config)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (sample_batch, T))
+
+    hidden = []
+    embed = params["embed"]
+    for s0 in range(0, n, sample_batch):
+        hidden.append(embed[calib_tokens[s0 : s0 + sample_batch]].astype(dtype))
+
+    stats: Dict[str, Any] = {"layer_losses": []}
+    new_layers = []
+    for li, layer in enumerate(params["layers"]):
+        t0 = time.time()
+        Hs = {}
+        ns = {}
+        for key, dim in (
+            ("qkv", config.hidden_size),
+            ("o", config.q_dim),
+            ("gup", config.hidden_size),
+            ("down", config.intermediate_size),
+        ):
+            Hs[key], ns[key] = hessian_init(dim)
+        for xb in hidden:
+            Hs, ns = _hessian_step(
+                layer, xb, positions[: xb.shape[0]], inv_freq, config, Hs, ns
+            )
+
+        group_of = {**{k: "qkv" for k in _QKV}, "o_proj": "o",
+                    **{k: "gup" for k in _GUP}, "down_proj": "down"}
+        new_layer = dict(layer)     # packed (or dense fake-quant) output
+        replay_layer = dict(layer)  # always dense fake-quant, for replay
+        losses = {}
+        for name, hkey in group_of.items():
+            lin = layer[name]
+            res = gptq_quantize_matrix(
+                lin["w"].astype(jnp.float32),
+                Hs[hkey],
+                spec,
+                blocksize=blocksize,
+                percdamp=percdamp,
+                actorder=actorder,
+            )
+            losses[name] = float(res.loss)
+            dense = {"w": res.w_deq.astype(dtype)}
+            if "b" in lin:
+                dense["b"] = lin["b"]
+            replay_layer[name] = dense
+            new_layer[name] = (
+                quantize_result_to_linear(res, spec, lin.get("b"))
+                if pack
+                else dense
+            )
+
+        # next layer's inputs come from the *quantized* layer (reference
+        # models/llama.py:141-148), with fp activations — so replay with the
+        # dense fake-quant weights, not the packed kernel (which would add
+        # dynamic activation quantization the reference replay doesn't have).
+        hidden = [
+            _layer_forward(
+                replay_layer, xb, positions[: xb.shape[0]], inv_freq, config
+            )
+            for xb in hidden
+        ]
+        stats["layer_losses"].append(losses)
+        logger.info(
+            "layer %d quantized in %.1fs, loss=%s", li, time.time() - t0, losses
+        )
+        new_layers.append(new_layer)
+
+    out = dict(params)
+    out["layers"] = new_layers
+    return out, stats

@@ -1,0 +1,362 @@
+"""Adaptive smoothing: activation-outlier migration into weights.
+
+Re-implements the reference smooth subsystem (QQQ/smooth/) functionally:
+instead of mirrored HF model classes with ``cac_migrate`` branches inside
+``forward`` (smooth/models/llama.py:182-219, 283-303, 62-113), we walk the
+model layer-by-layer, run each sub-block's migration search, apply the scale,
+and continue with smoothed values — the exact dataflow of the reference's
+single calibration batch (smooth.py:75-78 runs ONE batch with migration on).
+
+Three searchers (migration_llama.py:240-398), all vectorized over the
+candidate grid with ``lax.map`` instead of Python loops:
+
+* ``os+``  — Outlier Suppression+ 1-D range search: sweep symmetric clip
+  thresholds, convert to per-channel scale ``max(cmx/t, cmn/-t, 1)``, pick
+  min L2 error of the *quantized* sub-block output vs the FP output.
+* ``awq``  — AWQ ratio grid: ``s = mean|x|^r`` normalized, r ∈ {0..0.95}.
+* ``sq``   — SmoothQuant closed form ``act^α / w^(1-α)``, no search.
+
+Sub-block outputs replayed under quantization (migration_llama.py:173-232):
+``qkv`` = full attention (RoPE+softmax+PV), ``o_proj``/``down_proj`` =
+plain matmul, ``up_and_gate`` = SwiGLU.
+
+Folding (export.py:8-103): ``ln /= s``; ``qkv *= s``; for MHA (not GQA)
+``o *= s / v ∕= s``; ``gate,up *= s``; ``down *= s / up ∕= s``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qqq_tpu.core.quant import (
+    QuantSpec,
+    fake_quantize_weight,
+    quantize_activations_per_token,
+)
+from qqq_tpu.models.config import ModelConfig
+from qqq_tpu.models import llama as M
+
+
+def _fake_quant_act(x: jax.Array) -> jax.Array:
+    """Dynamic per-token symmetric INT8 fake quant (the default activation
+    quantizer, TokenFixedFakeQuantize, fake_quant.py:168-195)."""
+    q, s = quantize_activations_per_token(x.reshape(-1, x.shape[-1]))
+    return (q.astype(jnp.float32) * s).reshape(x.shape).astype(x.dtype)
+
+
+def _sub_block_output(
+    module_type: str,
+    x: jax.Array,  # (B, T, C) input to the linear(s)
+    w: jax.Array,  # (C, N) concatenated weights (our in×out layout)
+    extra: Dict[str, Any],
+) -> jax.Array:
+    """FP sub-block replay (migration_llama.py:173-232)."""
+    if module_type in ("o_proj", "down_proj"):
+        return jnp.einsum("btc,cn->btn", x, w)
+    if module_type == "up_and_gate":
+        out = jnp.einsum("btc,cn->btn", x, w)
+        gate, up = jnp.split(out, 2, axis=-1)
+        return jax.nn.silu(gate) * up
+    if module_type == "qkv":
+        cfg: ModelConfig = extra["config"]
+        B, T, C = x.shape
+        nh, nkv, hd = (
+            cfg.num_attention_heads,
+            cfg.num_key_value_heads,
+            cfg.head_dim,
+        )
+        qkv = jnp.einsum("btc,cn->btn", x, w)
+        q = qkv[..., : nh * hd].reshape(B, T, nh, hd)
+        k = qkv[..., nh * hd : nh * hd + nkv * hd].reshape(B, T, nkv, hd)
+        v = qkv[..., nh * hd + nkv * hd :].reshape(B, T, nkv, hd)
+        if extra.get("qkv_bias") is not None:
+            bq, bk, bv = extra["qkv_bias"]
+            q = q + bq.reshape(1, 1, nh, hd)
+            k = k + bk.reshape(1, 1, nkv, hd)
+            v = v + bv.reshape(1, 1, nkv, hd)
+        q, k = M.apply_rope(q, k, extra["positions"], extra["inv_freq"])
+        kf = M.repeat_kv(k, cfg.num_kv_groups)
+        vf = M.repeat_kv(v, cfg.num_kv_groups)
+        mask = (
+            extra["positions"][:, None, :] <= extra["positions"][:, :, None]
+        )
+        return M._attention_scores(q, kf, vf, mask).reshape(B, T, nh * hd)
+    raise ValueError(module_type)
+
+
+def _quantized_output(
+    module_type: str,
+    x: jax.Array,
+    w: jax.Array,
+    w_spec: QuantSpec,
+    extra: Dict[str, Any],
+) -> jax.Array:
+    xq = _fake_quant_act(x)
+    wq = fake_quantize_weight(w, w_spec).astype(w.dtype)
+    return _sub_block_output(module_type, xq, wq, extra)
+
+
+def _loss(pred: jax.Array, tgt: jax.Array, p: float = 2.0) -> jax.Array:
+    """migration_llama.py:163-164."""
+    return jnp.mean(
+        jnp.sum(jnp.abs(pred.astype(jnp.float32) - tgt) ** p, axis=-1)
+    )
+
+
+def _cac_scale(cmx, cmn, threshold) -> jax.Array:
+    """migration_llama.py:131-143: per-channel scale from a symmetric clip
+    threshold."""
+    mx = jnp.where(cmx > threshold, cmx / threshold, 1.0)
+    mn = jnp.where(cmn < -threshold, cmn / -threshold, 1.0)
+    return jnp.maximum(mx, mn)
+
+
+def migrate(
+    module_type: str,
+    x: jax.Array,
+    w: jax.Array,
+    extra: Dict[str, Any],
+    *,
+    method: str = "os+",
+    w_spec: QuantSpec = QuantSpec(bits=4, group_size=-1),
+    n_grid: Optional[int] = None,
+    smooth_alpha: float = 0.5,
+) -> jax.Array:
+    """Search the per-channel migration scale for one sub-block.
+
+    Returns s (C,) fp32 with x/s, w·s the smoothed pair.
+    """
+    x = x.astype(jnp.float32)
+    w = w.astype(jnp.float32)
+    cmx = jnp.max(x, axis=(0, 1))
+    cmn = jnp.min(x, axis=(0, 1))
+    fp_out = _sub_block_output(module_type, x, w, extra).astype(jnp.float32)
+
+    if method == "sq":  # migration_llama.py:357-398
+        act_scales = jnp.maximum(jnp.abs(cmx), jnp.abs(cmn))
+        w_scales = jnp.clip(jnp.max(jnp.abs(w), axis=1), 1e-5, None)
+        s = jnp.clip(
+            act_scales**smooth_alpha / w_scales ** (1 - smooth_alpha),
+            1e-5,
+            None,
+        )
+        return s
+
+    if method == "awq":  # migration_llama.py:285-354
+        n = n_grid or 20
+        x_max = jnp.clip(
+            jnp.mean(jnp.abs(x.reshape(-1, x.shape[-1])), axis=0), 1e-4, None
+        )
+
+        def eval_ratio(r):
+            s = x_max**r
+            s = s / jnp.sqrt(s.max() * s.min())
+            out = _quantized_output(
+                module_type, x / s, w * s[:, None], w_spec, extra
+            )
+            return _loss(out, fp_out)
+
+        ratios = jnp.arange(n, dtype=jnp.float32) / n
+        losses = jax.lax.map(eval_ratio, ratios)
+        best = ratios[jnp.argmin(losses)]
+        s = x_max**best
+        return s / jnp.sqrt(s.max() * s.min())
+
+    if method == "os+":  # Migrator1DRangeSearch, migration_llama.py:240-282
+        amx = jnp.maximum(jnp.max(x), 0.0)
+        amn = jnp.minimum(jnp.min(x), 0.0)
+        bound = jnp.maximum(-amn, amx)
+        # reference: num = max(100, amx/0.5) candidates from bound down to 0.1
+        n = n_grid or 100
+
+        def eval_threshold(t):
+            s = _cac_scale(cmx, cmn, t)
+            out = _quantized_output(
+                module_type, x / s, w * s[:, None], w_spec, extra
+            )
+            return _loss(out, fp_out)
+
+        lo = jnp.float32(0.1)
+        step = (bound - lo) / n
+        thresholds = bound - step * jnp.arange(n, dtype=jnp.float32)
+        thresholds = jnp.maximum(thresholds, lo)
+        losses = jax.lax.map(eval_threshold, thresholds)
+        best_t = thresholds[jnp.argmin(losses)]
+        return _cac_scale(cmx, cmn, best_t)
+
+    raise ValueError(f"unknown smooth method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# whole-model smoothing pass
+
+
+def smooth_model(
+    params: Dict[str, Any],
+    config: ModelConfig,
+    calib_tokens: jax.Array,  # (B, T) one calibration batch (smooth.py:75-78)
+    *,
+    method: str = "os+",
+    w_spec: QuantSpec = QuantSpec(bits=4, group_size=-1),
+    n_grid: Optional[int] = None,
+) -> List[jax.Array]:
+    """Run the migration searches through the model, returning scale_list
+    in the reference's order: [qkv, o, gate_up, down] × layers
+    (migration_llama.py:13, export.py:8-48)."""
+    B, T = calib_tokens.shape
+    inv_freq = M.rope_inv_freq(config)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    x = params["embed"][calib_tokens].astype(jnp.float32)
+
+    mha = config.num_attention_heads == config.num_key_value_heads
+    scale_list: List[jax.Array] = []
+
+    for layer in params["layers"]:
+        extra = {
+            "config": config,
+            "positions": positions,
+            "inv_freq": inv_freq,
+        }
+        # ---- attention: qkv migration on the post-ln input
+        h = M.rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
+        w_qkv = jnp.concatenate(
+            [
+                layer["q_proj"]["w"].astype(jnp.float32),
+                layer["k_proj"]["w"].astype(jnp.float32),
+                layer["v_proj"]["w"].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        if "b" in layer["q_proj"]:
+            extra["qkv_bias"] = (
+                layer["q_proj"]["b"],
+                layer["k_proj"]["b"],
+                layer["v_proj"]["b"],
+            )
+        s_qkv = migrate(
+            "qkv", h, w_qkv, extra, method=method, w_spec=w_spec, n_grid=n_grid
+        )
+        scale_list.append(s_qkv)
+        h = h / s_qkv
+
+        # recompute attention with smoothed input/weights to get o_proj input
+        nh, nkv, hd = (
+            config.num_attention_heads,
+            config.num_key_value_heads,
+            config.head_dim,
+        )
+        # propagate through the fake-quant path like the reference (the
+        # wrapped model runs with calibration quantization enabled,
+        # state.py:8-19), so downstream searches see quantized upstream
+        attn = _quantized_output(
+            "qkv", h, w_qkv * s_qkv[:, None], w_spec, extra
+        )
+
+        # ---- o_proj migration (only folded for MHA, export.py:27-31)
+        w_o = layer["o_proj"]["w"].astype(jnp.float32)
+        if mha:
+            s_o = migrate(
+                "o_proj", attn, w_o, extra, method=method, w_spec=w_spec,
+                n_grid=n_grid,
+            )
+        else:
+            s_o = jnp.ones((w_o.shape[0],), jnp.float32)
+        scale_list.append(s_o)
+        x = x + _quantized_output(
+            "o_proj", attn / s_o, w_o * s_o[:, None], w_spec, extra
+        )
+
+        # ---- MLP: gate/up migration
+        h2 = M.rms_norm(
+            x, layer["post_attention_layernorm"], config.rms_norm_eps
+        )
+        w_gu = jnp.concatenate(
+            [
+                layer["gate_proj"]["w"].astype(jnp.float32),
+                layer["up_proj"]["w"].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        s_gu = migrate(
+            "up_and_gate", h2, w_gu, extra, method=method, w_spec=w_spec,
+            n_grid=n_grid,
+        )
+        scale_list.append(s_gu)
+        h2 = h2 / s_gu
+        swiglu = _quantized_output(
+            "up_and_gate", h2, w_gu * s_gu[:, None], w_spec, extra
+        )
+
+        # ---- down_proj migration
+        w_d = layer["down_proj"]["w"].astype(jnp.float32)
+        s_d = migrate(
+            "down_proj", swiglu, w_d, extra, method=method, w_spec=w_spec,
+            n_grid=n_grid,
+        )
+        scale_list.append(s_d)
+        x = x + _quantized_output(
+            "down_proj", swiglu / s_d, w_d * s_d[:, None], w_spec, extra
+        )
+
+    return scale_list
+
+
+def export_smoothed_model(
+    params: Dict[str, Any], config: ModelConfig, scale_list: List[jax.Array]
+) -> Dict[str, Any]:
+    """Fold scale_list permanently into LN/linear weights (export.py:8-103)."""
+    mha = config.num_attention_heads == config.num_key_value_heads
+    params = dict(params)
+    new_layers = []
+    it = iter(scale_list)
+
+    def scale_in(lin, s):  # weight input-dim multiply
+        nl = dict(lin)
+        nl["w"] = (lin["w"].astype(jnp.float32) * s[:, None]).astype(
+            lin["w"].dtype
+        )
+        return nl
+
+    def scale_out(lin, s, divide=True):  # weight output-dim divide
+        nl = dict(lin)
+        w = lin["w"].astype(jnp.float32)
+        nl["w"] = (w / s[None, :] if divide else w * s[None, :]).astype(
+            lin["w"].dtype
+        )
+        if "b" in lin:
+            b = lin["b"].astype(jnp.float32)
+            nl["b"] = (b / s if divide else b * s).astype(lin["b"].dtype)
+        return nl
+
+    for layer in params["layers"]:
+        layer = dict(layer)
+        s_qkv = next(it)
+        layer["input_layernorm"] = (
+            layer["input_layernorm"].astype(jnp.float32) / s_qkv
+        ).astype(layer["input_layernorm"].dtype)
+        for name in ("q_proj", "k_proj", "v_proj"):
+            layer[name] = scale_in(layer[name], s_qkv)
+
+        s_o = next(it)
+        if mha:
+            layer["o_proj"] = scale_in(layer["o_proj"], s_o)
+            layer["v_proj"] = scale_out(layer["v_proj"], s_o)  # v /= s + bias
+
+        s_gu = next(it)
+        layer["post_attention_layernorm"] = (
+            layer["post_attention_layernorm"].astype(jnp.float32) / s_gu
+        ).astype(layer["post_attention_layernorm"].dtype)
+        layer["gate_proj"] = scale_in(layer["gate_proj"], s_gu)
+        layer["up_proj"] = scale_in(layer["up_proj"], s_gu)
+
+        s_d = next(it)
+        layer["down_proj"] = scale_in(layer["down_proj"], s_d)
+        layer["up_proj"] = scale_out(layer["up_proj"], s_d)
+        new_layers.append(layer)
+
+    params["layers"] = new_layers
+    return params

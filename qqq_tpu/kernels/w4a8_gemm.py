@@ -181,7 +181,18 @@ def w4a8_gemm(
         assert group_size == PACK_BLOCK, "only g=128 supported (like reference)"
         assert s_group is not None and s_group.shape == (K // group_size, N)
 
-    bm0, bn0, bk0 = _pick_blocks(M, K, N)
+    # pad narrow N up to the 128-lane width (tiny test models only)
+    Np = _round_up(N, 128)
+    if Np != N:
+        w_packed = jnp.pad(w_packed, ((0, 0), (0, Np - N)))
+        if s_channel is not None:
+            s_channel = jnp.pad(s_channel, (0, Np - N), constant_values=1.0)
+        if s_group is not None:
+            s_group = jnp.pad(
+                s_group, ((0, 0), (0, Np - N)), constant_values=1.0
+            )
+
+    bm0, bn0, bk0 = _pick_blocks(M, K, Np)
     bm = block_m or bm0
     bn = block_n or bn0
     bk = block_k or bk0
@@ -196,14 +207,14 @@ def w4a8_gemm(
         s_token = jnp.pad(s_token, ((0, Mp - M), (0, 0)), constant_values=1.0)
     s_token = s_token.astype(jnp.float32)
 
-    grid = (Mp // bm, N // bn, K // bk)
+    grid = (Mp // bm, Np // bn, K // bk)
     a32 = a_q.astype(jnp.int32)
 
     common = dict(
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -241,7 +252,7 @@ def w4a8_gemm(
             w_packed,
             asum,
             s_token,
-            s_channel.reshape(1, N).astype(jnp.float32),
+            s_channel.reshape(1, Np).astype(jnp.float32),
         )
     else:
         bsum = jnp.sum(  # (Mp, K//128) int32 per-block rowsums
@@ -274,7 +285,9 @@ def w4a8_gemm(
             s_token,
         )
 
-    return out[:M] if Mp != M else out
+    if Mp != M or Np != N:
+        out = out[:M, :N]
+    return out
 
 
 def w4a8_linear(

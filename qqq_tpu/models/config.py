@@ -23,13 +23,29 @@ class ModelConfig:
     max_position_embeddings: int = 4096
     attention_bias: bool = False  # qwen2: True for qkv (not o_proj)
     tie_word_embeddings: bool = False
-    rope_scaling: Optional[dict] = None  # HF llama3-style dict, or None
+    # HF llama3-style rope_scaling; stored as a sorted item-tuple so the
+    # config stays hashable (it is a static jit argument throughout)
+    rope_scaling: Optional[Any] = None
 
     def __post_init__(self):
         if self.head_dim is None:
             object.__setattr__(
                 self, "head_dim", self.hidden_size // self.num_attention_heads
             )
+        if isinstance(self.rope_scaling, dict):
+            object.__setattr__(
+                self, "rope_scaling", tuple(sorted(self.rope_scaling.items()))
+            )
+        elif isinstance(self.rope_scaling, list):  # round-tripped through json
+            object.__setattr__(
+                self,
+                "rope_scaling",
+                tuple((k, v) for k, v in self.rope_scaling),
+            )
+
+    @property
+    def rope_scaling_dict(self) -> Optional[dict]:
+        return dict(self.rope_scaling) if self.rope_scaling else None
 
     @property
     def num_kv_groups(self) -> int:

@@ -75,7 +75,7 @@ def rope_inv_freq(config: ModelConfig) -> jax.Array:
     inv_freq = 1.0 / (
         config.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
     )
-    rs = config.rope_scaling
+    rs = config.rope_scaling_dict
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
         factor = rs["factor"]
         low = rs["low_freq_factor"]
@@ -154,15 +154,18 @@ def attention(
     config: ModelConfig,
     cache: Optional[Dict[str, Any]] = None,
     cache_len: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
+    """Under tensor parallelism (``tp_axis`` set, inside shard_map) the
+    q/k/v/o weights arrive head-sharded; the o_proj output is partial-summed
+    and needs a psum (Megatron-style row-parallel second matmul)."""
     from qqq_tpu.serve import kv_cache as kvc
 
     B, T, H = x.shape
-    nh, nkv, hd = (
-        config.num_attention_heads,
-        config.num_key_value_heads,
-        config.head_dim,
-    )
+    tp = 1 if tp_axis is None else jax.lax.axis_size(tp_axis)
+    nh = config.num_attention_heads // tp
+    nkv = config.num_key_value_heads // tp
+    hd = config.head_dim
     q = linear_apply(layer["q_proj"], x).reshape(B, T, nh, hd)
     k = linear_apply(layer["k_proj"], x).reshape(B, T, nkv, hd)
     v = linear_apply(layer["v_proj"], x).reshape(B, T, nkv, hd)
@@ -187,13 +190,20 @@ def attention(
     vf = repeat_kv(vf, config.num_kv_groups)
     out = _attention_scores(q, kf, vf, mask).reshape(B, T, nh * hd)
     out = linear_apply(layer["o_proj"], out)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
     return out, cache
 
 
-def mlp(layer: Dict[str, Any], x: jax.Array) -> jax.Array:
+def mlp(
+    layer: Dict[str, Any], x: jax.Array, tp_axis: Optional[str] = None
+) -> jax.Array:
     gate = linear_apply(layer["gate_proj"], x)
     up = linear_apply(layer["up_proj"], x)
-    return linear_apply(layer["down_proj"], jax.nn.silu(gate) * up)
+    out = linear_apply(layer["down_proj"], jax.nn.silu(gate) * up)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    return out
 
 
 def decoder_layer(
@@ -204,14 +214,15 @@ def decoder_layer(
     config: ModelConfig,
     cache: Optional[Dict[str, Any]] = None,
     cache_len: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     h = rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
     attn_out, cache = attention(
-        layer, h, positions, inv_freq, config, cache, cache_len
+        layer, h, positions, inv_freq, config, cache, cache_len, tp_axis
     )
     x = x + attn_out
     h = rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)
-    x = x + mlp(layer, h)
+    x = x + mlp(layer, h, tp_axis)
     return x, cache
 
 
@@ -228,6 +239,7 @@ def forward(
     caches: Optional[List[Dict[str, Any]]] = None,
     cache_len: Optional[jax.Array] = None,
     return_hidden: bool = False,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, Optional[List[Dict[str, Any]]]]:
     """Returns (logits (B, T, V) f32, updated caches).
 
@@ -251,7 +263,7 @@ def forward(
     for i, layer in enumerate(params["layers"]):
         cache_i = caches[i] if caches is not None else None
         x, cache_i = decoder_layer(
-            layer, x, positions, inv_freq, config, cache_i, cache_len
+            layer, x, positions, inv_freq, config, cache_i, cache_len, tp_axis
         )
         if new_caches is not None:
             new_caches.append(cache_i)
@@ -263,6 +275,8 @@ def forward(
         logits = linear_apply(params["lm_head"], x)
     else:  # tied embeddings
         logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
+    if tp_axis is not None:  # lm_head is vocab-sharded: gather the shards
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     return logits.astype(jnp.float32), new_caches
 
 

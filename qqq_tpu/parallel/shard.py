@@ -1,0 +1,154 @@
+"""GSPMD sharding layout for the quantized model (Megatron-style TP × DP).
+
+The reference has no distributed layer of its own (SURVEY.md §2.6: multi-GPU
+is accelerate layer *placement*, model_utils.py:55-76); tensor parallelism for
+QQQ checkpoints is delegated to vLLM.  Here TP is first-class and packs the
+W4A8 layout:
+
+* q/k/v, gate/up (column-parallel): out-dim sharded on the ``model`` axis —
+  ``w_packed (K//8, N)`` → P(None, "model"), scales follow the N dim.
+* o_proj, down (row-parallel): in-dim sharded — ``w_packed`` → P("model",
+  None), per-group scales P("model", None); the partial products are
+  ``psum``-ed inside the model (llama.attention / llama.mlp).
+* embed replicated; lm_head vocab-sharded, logits all-gathered.
+* KV caches: head-dim sharded on "model", batch on "data".
+
+Because the W4A8 GEMMs are Pallas kernels (not GSPMD-partitionable ops), the
+model runs under ``shard_map``: every device executes the same program on its
+local shard with explicit collectives — the idiomatic pattern for
+kernel-containing SPMD programs.
+
+TP divisibility: heads and kv-heads must divide the ``model`` axis; packed
+K-shards stay multiples of 128 for every supported model size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental import mesh_utils
+from jax import shard_map
+
+from qqq_tpu.models.config import ModelConfig
+
+
+def make_mesh(
+    data: int = 1, model: int = 1, devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = data * model
+    assert len(devices) >= n, (len(devices), n)
+    arr = mesh_utils.create_device_mesh((data, model), devices=devices[:n])
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def _linear_pspec(lin: Dict[str, Any], col_parallel: bool) -> Dict[str, P]:
+    """Column-parallel shards N; row-parallel shards K."""
+    spec: Dict[str, P] = {}
+    for key in lin:
+        if key in ("w", "w_packed"):
+            spec[key] = P(None, "model") if col_parallel else P("model", None)
+        elif key == "s_channel":
+            spec[key] = P("model") if col_parallel else P(None)
+        elif key == "s_group":
+            spec[key] = P(None, "model") if col_parallel else P("model", None)
+        elif key == "b":
+            spec[key] = P("model") if col_parallel else P(None)
+    return spec
+
+
+_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_ROW = ("o_proj", "down_proj")
+
+
+def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree matching the params pytree."""
+    layers = []
+    for layer in params["layers"]:
+        lp: Dict[str, Any] = {
+            "input_layernorm": P(None),
+            "post_attention_layernorm": P(None),
+        }
+        for name in _COL:
+            lp[name] = _linear_pspec(layer[name], col_parallel=True)
+        for name in _ROW:
+            lp[name] = _linear_pspec(layer[name], col_parallel=False)
+        layers.append(lp)
+    spec: Dict[str, Any] = {
+        "embed": P(None, None),
+        "layers": layers,
+        "norm": P(None),
+    }
+    if params.get("lm_head") is not None:
+        spec["lm_head"] = _linear_pspec(params["lm_head"], col_parallel=True)
+    else:
+        spec["lm_head"] = None
+    return spec
+
+
+def cache_pspec(caches) -> Any:
+    """KV caches: (B, S, n_kv, hd) → batch on data, heads on model."""
+    def one(c):
+        return {k: P("data", None, "model", None) for k in c}
+    return [one(c) for c in caches]
+
+
+def shard_params(
+    params: Dict[str, Any], mesh: Mesh, specs: Optional[Dict[str, Any]] = None
+) -> Dict[str, Any]:
+    specs = specs or param_pspecs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def tp_forward_fn(
+    config: ModelConfig,
+    mesh: Mesh,
+    params_spec: Dict[str, Any],
+    *,
+    with_cache: bool = False,
+    caches_spec: Any = None,
+):
+    """Build a jitted shard_map-wrapped forward.
+
+    Returns ``f(params, tokens[, caches, cache_len]) → (logits, caches)``
+    with tokens/logits batch-sharded on "data" and params laid out per
+    :func:`param_pspecs`.
+    """
+    from qqq_tpu.models import llama as M
+
+    if with_cache:
+        def local_fwd(params, tokens, caches, cache_len):
+            return M.forward(
+                params, config, tokens, caches=caches, cache_len=cache_len,
+                tp_axis="model",
+            )
+
+        fwd = shard_map(
+            local_fwd,
+            mesh=mesh,
+            in_specs=(params_spec, P("data", None), caches_spec, P("data")),
+            out_specs=(P("data", None, None), caches_spec),
+            check_vma=False,
+        )
+    else:
+        def local_fwd(params, tokens):
+            logits, _ = M.forward(params, config, tokens, tp_axis="model")
+            return logits
+
+        fwd = shard_map(
+            local_fwd,
+            mesh=mesh,
+            in_specs=(params_spec, P("data", None)),
+            out_specs=P("data", None, None),
+            check_vma=False,
+        )
+    return jax.jit(fwd)

@@ -8,7 +8,7 @@ pyramid, SURVEY.md §4); sharding tests use the 8 virtual devices.  Set
 import os
 
 if os.environ.get("QQQ_TPU_TEST_PLATFORM", "cpu") == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override the ambient TPU platform
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,11 @@ if os.environ.get("QQQ_TPU_TEST_PLATFORM", "cpu") == "cpu":
         ).strip()
 
 import jax  # noqa: E402
+
+if os.environ.get("QQQ_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    # the axon client wrapper overrides JAX_PLATFORMS at import time; only a
+    # post-import config update reliably pins the test suite to CPU
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/qqq_tpu_jax_cache")
 # CPU matmuls default to bf16-fastmath (oneDNN); parity tests need true fp32

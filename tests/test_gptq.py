@@ -36,10 +36,8 @@ def numpy_gptq(W, H, spec, blocksize=32, percdamp=0.01, actorder=True):
 
     damp = percdamp * np.mean(np.diag(H))
     H = H + np.eye(K) * damp
-    L = np.linalg.cholesky(H)
     Hinv_full = np.linalg.inv(H)
-    Hinv = np.linalg.cholesky(Hinv_full[::-1, ::-1].T)[::-1, ::-1].T
-    # ^ upper cholesky: Hinv = Uᵀ U
+    Hinv = np.linalg.cholesky(Hinv_full).T  # upper U with Hinv = Uᵀ U
 
     Q = np.zeros_like(W)
     for i1 in range(0, K, blocksize):

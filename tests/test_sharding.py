@@ -1,0 +1,117 @@
+"""Tensor/data-parallel sharding on the 8-device virtual CPU mesh:
+TP forward must match the single-device forward exactly in function."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qqq_tpu.core import QuantSpec
+from qqq_tpu.models import ModelConfig, forward, init_params
+from qqq_tpu.calib.pipeline import apply_gptq
+from qqq_tpu.parallel import (
+    make_mesh,
+    param_pspecs,
+    cache_pspec,
+    shard_params,
+    tp_forward_fn,
+)
+from qqq_tpu.serve import kv_cache
+
+CFG = ModelConfig(
+    vocab_size=256,
+    hidden_size=128,
+    intermediate_size=256,
+    num_hidden_layers=2,
+    num_attention_heads=8,
+    num_key_value_heads=4,
+    max_position_embeddings=64,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(data=2, model=4)
+
+
+def test_tp_dense_forward_matches(rng, mesh):
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(4, 12)).astype(np.int32))
+    want, _ = forward(params, CFG, tokens)
+
+    specs = param_pspecs(params)
+    sparams = shard_params(params, mesh, specs)
+    f = tp_forward_fn(CFG, mesh, specs)
+    got = f(sparams, tokens)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_tp_quantized_forward_matches(rng):
+    """Packed W4A8 params shard and run under shard_map (Pallas in interpret
+    mode on CPU) identically to single-device.  Row-parallel shards must keep
+    whole 128-row pack blocks, so K/tp must be a multiple of 128 — TP=2 with
+    256-wide dims is the smallest valid configuration."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = ModelConfig(
+        vocab_size=256,
+        hidden_size=256,
+        intermediate_size=256,
+        num_hidden_layers=1,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    mesh2 = make_mesh(data=2, model=2)
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    calib = jnp.asarray(rng.integers(0, 256, size=(4, 16)).astype(np.int32))
+    qparams, _ = apply_gptq(
+        params, cfg, calib, QuantSpec(bits=4, group_size=-1),
+        sample_batch=2, pack=True, dtype=jnp.float32,
+    )
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 8)).astype(np.int32))
+    want, _ = forward(qparams, cfg, tokens)
+
+    specs = param_pspecs(qparams)
+    sq = shard_params(qparams, mesh2, specs)
+    f = tp_forward_fn(cfg, mesh2, specs)
+    got = f(sq, tokens)
+    # row-parallel linears quantize activations with per-shard dynamic
+    # scales (finer than the single-device global per-token scale), so TP
+    # output differs from single-device by ~activation-quant noise only
+    scale = np.abs(np.asarray(want)).max()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.05 * scale
+    )
+
+
+def test_tp_decode_with_cache(rng, mesh):
+    params = init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 8)).astype(np.int32))
+    want, _ = forward(params, CFG, tokens)
+
+    specs = param_pspecs(params)
+    sparams = shard_params(params, mesh, specs)
+    caches = kv_cache.init(CFG, batch=2, max_len=16, quantized=False,
+                           dtype=jnp.float32)
+    cspec = cache_pspec(caches)
+    f = tp_forward_fn(CFG, mesh, specs, with_cache=True, caches_spec=cspec)
+
+    logits, caches = f(
+        sparams, tokens[:, :5], caches, jnp.zeros((2,), jnp.int32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits[:, -1]), np.asarray(want[:, 4]),
+        rtol=2e-5, atol=2e-5,
+    )
+    step, caches = f(
+        sparams, tokens[:, 5:6], caches, jnp.full((2,), 5, jnp.int32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(step[:, -1]), np.asarray(want[:, 5]),
+        rtol=2e-5, atol=2e-5,
+    )
