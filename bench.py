@@ -1,0 +1,124 @@
+"""Benchmark driver: Llama-2-7B-shaped W4A8 decode speedup vs BF16 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 2.0 — the BASELINE.json north star is ≥2× BF16
+decode tokens/s/chip for Llama-2-7B W4A8 on v5e.
+
+Methodology: a full 7B in BF16 (13.5 GB) and in W4A8 (3.6 GB) don't fit HBM
+together, so we measure one decoder layer end-to-end (decode step, T=1,
+INT8 KV cache at context 1024) in each precision plus the shared lm_head, and
+compose: t_model = n_layers · t_layer + t_head.  Timing uses scan-chained
+on-device loops with a device→host fetch fence (see utils/benchmark.py — the
+tunneled runtime acks dispatches early, wall-clock around block_until_ready is
+meaningless).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_layer(key, config, dtype=jnp.bfloat16):
+    from qqq_tpu.models.llama import init_params
+
+    params = init_params(config, key, dtype=dtype)
+    return params["layers"][0]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--group-size", type=int, default=-1,
+                        help="-1 per-channel (default) or 128")
+    parser.add_argument("--context", type=int, default=1024)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    from qqq_tpu.models import ModelConfig
+    from qqq_tpu.models.llama import decoder_layer, rope_inv_freq, rms_norm
+    from qqq_tpu.serve import kv_cache
+    from qqq_tpu.utils.benchmark import measure_op
+    from __graft_entry__ import _quantize_params
+
+    # Llama-2-7B geometry (config.json of meta-llama/Llama-2-7b-hf)
+    config = ModelConfig(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=32,
+        max_position_embeddings=4096,
+    )
+    B, S = args.batch, args.context
+    key = jax.random.PRNGKey(0)
+    inv_freq = rope_inv_freq(config)
+    positions = jnp.full((B, 1), S - 1, jnp.int32)
+    cache_len = jnp.full((B,), S - 1, jnp.int32)
+    cache = kv_cache.init(config, B, S, quantized=True)[0]
+    x = jax.random.normal(key, (B, 1, config.hidden_size), jnp.bfloat16)
+
+    layer_bf16 = build_layer(key, config)
+
+    def step_bf16(x, layer):
+        out, _ = decoder_layer(
+            layer, x, positions, inv_freq, config, cache, cache_len
+        )
+        return out
+
+    t_bf16 = measure_op(step_bf16, (x, layer_bf16))
+
+    one_layer_params = {
+        "layers": [layer_bf16], "embed": None, "norm": None, "lm_head": None,
+    }
+    layer_w4 = _quantize_params(one_layer_params, config,
+                                group_size=args.group_size)["layers"][0]
+    del layer_bf16
+
+    def step_w4(x, layer):
+        out, _ = decoder_layer(
+            layer, x, positions, inv_freq, config, cache, cache_len
+        )
+        return out
+
+    t_w4 = measure_op(step_w4, (x, layer_w4))
+
+    # shared head: final norm + lm_head in bf16 (reference keeps it FP)
+    w_head = jax.random.normal(key, (config.hidden_size, config.vocab_size),
+                               jnp.bfloat16)
+    norm_w = jnp.ones((config.hidden_size,), jnp.bfloat16)
+
+    def head(x, w):
+        h = rms_norm(x, norm_w, config.rms_norm_eps)
+        return jnp.dot(h[:, -1], w, preferred_element_type=jnp.float32)
+
+    t_head = measure_op(head, (x, w_head))
+
+    L = config.num_hidden_layers
+    t_model_bf16 = L * t_bf16 + t_head
+    t_model_w4 = L * t_w4 + t_head
+    speedup = t_model_bf16 / t_model_w4
+    tok_s_w4 = args.batch / t_model_w4
+    tok_s_bf16 = args.batch / t_model_bf16
+
+    if args.verbose:
+        print(f"# layer bf16 {t_bf16*1e6:.1f}us  w4a8 {t_w4*1e6:.1f}us  "
+              f"head {t_head*1e6:.1f}us")
+        print(f"# decode tokens/s/chip: bf16 {tok_s_bf16:.1f}  "
+              f"w4a8 {tok_s_w4:.1f}")
+
+    print(json.dumps({
+        "metric": "llama2_7b_w4a8_decode_speedup_vs_bf16",
+        "value": round(speedup, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup / 2.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,7 +104,9 @@ def test_prefill_decode_matches_full(rng, quantized):
 
     full_logits, _ = forward(params, config, tokens)
 
-    caches = kv_cache.init(config, batch=2, max_len=32, quantized=quantized)
+    caches = kv_cache.init(
+        config, batch=2, max_len=32, quantized=quantized, dtype=jnp.float32
+    )
     pre_logits, caches = forward(
         params, config, tokens[:, :7], caches=caches,
         cache_len=jnp.zeros((2,), jnp.int32),
