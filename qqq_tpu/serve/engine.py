@@ -1,0 +1,223 @@
+"""Inference engine: slot-based continuous batching with prefill/decode split.
+
+The reference's serving story is delegated to vLLM (README.md:15, 77-79); this
+engine is the framework's own TPU-native serving scope (BASELINE.json
+configs[3]).  Design, shaped by XLA's static-shape compilation model:
+
+* fixed ``max_batch`` decode slots — the decode step is ONE jitted program of
+  constant shape (B, 1), re-run every tick over all slots with an active mask;
+* prefill runs per request at bucketed lengths (powers of two — each bucket
+  compiles once), producing the request's quantized KV, which is inserted
+  into the global slot cache with ``dynamic_update_slice`` on the batch dim;
+* continuous batching is a host-side loop (`Engine.run`): admit pending
+  requests into free slots as soon as they open, decode the rest — requests
+  join and leave the batch independently, no generation-wide barriers;
+* the KV cache is INT8 by default (serve/kv_cache.py).
+
+All device work stays inside two jitted functions (`_prefill_fn` per bucket,
+`_decode_fn`), so the host loop does bookkeeping only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qqq_tpu.models.config import ModelConfig
+from qqq_tpu.models import llama as M
+from qqq_tpu.serve import kv_cache
+from qqq_tpu.serve.sampling import SamplingParams, sample
+
+
+@dataclasses.dataclass
+class Request:
+    prompt_tokens: List[int]
+    sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
+    # filled by the engine:
+    output_tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds max bucket {buckets[-1]}")
+
+
+class Engine:
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        config: ModelConfig,
+        *,
+        max_batch: int = 8,
+        max_len: int = 2048,
+        kv_quantized: bool = True,
+        prefill_buckets=(128, 512, 2048),
+        dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.config = config
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.dtype = dtype
+        self.prefill_buckets = tuple(
+            b for b in prefill_buckets if b <= max_len
+        ) or (max_len,)
+        self.caches = kv_cache.init(
+            config, max_batch, max_len, quantized=kv_quantized, dtype=dtype
+        )
+        self.kv_quantized = kv_quantized
+        # slot state (host)
+        self.slot_req: List[Optional[Request]] = [None] * max_batch
+        self.slot_len = np.zeros(max_batch, np.int32)
+        self.slot_last_tok = np.zeros(max_batch, np.int32)
+        self.key = jax.random.PRNGKey(0)
+
+        self._decode_fn = jax.jit(self._decode_step)
+        self._prefill_fns = {}
+
+    # -- jitted programs ----------------------------------------------------
+
+    def _decode_step(self, params, tokens, caches, cache_len, key, active):
+        logits, caches = M.forward(
+            params, self.config, tokens, caches=caches, cache_len=cache_len
+        )
+        last = logits[:, -1, :]
+        greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        sampled = sample(last, key, self._sampling_proto)
+        next_tok = jnp.where(active,
+                             sampled if self._sampling_proto.temperature > 0
+                             else greedy, 0)
+        return next_tok, caches
+
+    def _prefill(self, params, tokens, true_len, caches1, key):
+        """B=1 forward over a padded bucket; returns next token + caches."""
+        B, T = tokens.shape
+        pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+        logits, caches1 = M.forward(
+            params, self.config, tokens, caches=caches1,
+            cache_len=jnp.zeros((B,), jnp.int32), positions=pos,
+        )
+        last = jnp.take_along_axis(
+            logits, (true_len - 1)[:, None, None], axis=1
+        )[:, 0, :]
+        if self._sampling_proto.temperature > 0:
+            tok = sample(last, key, self._sampling_proto)
+        else:
+            tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        return tok, caches1
+
+    # -- host-side scheduling ----------------------------------------------
+
+    def _get_prefill_fn(self, bucket: int):
+        if bucket not in self._prefill_fns:
+            self._prefill_fns[bucket] = jax.jit(self._prefill)
+        return self._prefill_fns[bucket]
+
+    def _insert_cache(self, caches1, slot: int):
+        """Copy a B=1 prefill cache into slot ``slot`` of the global cache."""
+        def ins(big, small):
+            return jax.lax.dynamic_update_slice(
+                big, small[:, : big.shape[1]], (slot, 0, 0, 0)
+            )
+
+        self.caches = jax.tree.map(ins, self.caches, caches1)
+
+    def add_request(self, req: Request) -> None:
+        self._pending.append(req)
+
+    def run(self, requests: List[Request]) -> List[Request]:
+        """Run until every request completes (continuous batching loop)."""
+        self._pending = list(requests)
+        self._sampling_proto = (
+            requests[0].sampling if requests else SamplingParams()
+        )
+        active_any = True
+        while self._pending or any(r is not None for r in self.slot_req):
+            # admit pending requests into free slots
+            while self._pending and None in self.slot_req:
+                slot = self.slot_req.index(None)
+                req = self._pending.pop(0)
+                n = len(req.prompt_tokens)
+                bucket = _bucket(n, self.prefill_buckets)
+                toks = np.zeros((1, bucket), np.int32)
+                toks[0, :n] = req.prompt_tokens
+                caches1 = kv_cache.init(
+                    self.config, 1, self.max_len,
+                    quantized=self.kv_quantized, dtype=self.dtype,
+                )
+                self.key, k = jax.random.split(self.key)
+                tok, caches1 = self._get_prefill_fn(bucket)(
+                    self.params, jnp.asarray(toks),
+                    jnp.asarray([n], jnp.int32), caches1, k,
+                )
+                self._insert_cache(caches1, slot)
+                first = int(tok[0])
+                req.output_tokens.append(first)
+                self.slot_req[slot] = req
+                self.slot_len[slot] = n
+                self.slot_last_tok[slot] = first
+                self._maybe_finish(slot)
+
+            active = np.array(
+                [r is not None for r in self.slot_req], bool
+            )
+            if not active.any():
+                continue
+            # one decode tick across all slots
+            tokens = jnp.asarray(self.slot_last_tok[:, None])
+            cache_len = jnp.asarray(self.slot_len)
+            self.key, k = jax.random.split(self.key)
+            next_tok, self.caches = self._decode_fn(
+                self.params, tokens, self.caches, cache_len, k,
+                jnp.asarray(active),
+            )
+            next_np = np.asarray(next_tok)
+            for slot, req in enumerate(self.slot_req):
+                if req is None:
+                    continue
+                req.output_tokens.append(int(next_np[slot]))
+                self.slot_len[slot] += 1
+                self.slot_last_tok[slot] = int(next_np[slot])
+                self._maybe_finish(slot)
+        return requests
+
+    def _maybe_finish(self, slot: int) -> None:
+        req = self.slot_req[slot]
+        sp = req.sampling
+        hit_eos = (
+            sp.eos_token_id is not None
+            and req.output_tokens
+            and req.output_tokens[-1] == sp.eos_token_id
+        )
+        out_of_room = (
+            self.slot_len[slot] + 1 >= self.max_len
+        )
+        if hit_eos or out_of_room or len(req.output_tokens) >= sp.max_new_tokens:
+            if hit_eos:
+                req.output_tokens.pop()  # don't emit the EOS itself
+            req.done = True
+            self.slot_req[slot] = None
+            self.slot_len[slot] = 0
+
+
+def generate(
+    params: Dict[str, Any],
+    config: ModelConfig,
+    prompts: List[List[int]],
+    sampling: Optional[SamplingParams] = None,
+    **engine_kw,
+) -> List[List[int]]:
+    """One-shot batch generation (the examples/test_model.py analogue)."""
+    sampling = sampling or SamplingParams()
+    eng = Engine(params, config, **engine_kw)
+    reqs = [Request(prompt_tokens=p, sampling=sampling) for p in prompts]
+    eng.run(reqs)
+    return [r.output_tokens for r in reqs]

@@ -1,0 +1,89 @@
+"""Serving engine: continuous batching must reproduce naive greedy decoding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qqq_tpu.models import ModelConfig, forward, init_params
+from qqq_tpu.serve.engine import Engine, Request, generate
+from qqq_tpu.serve.sampling import SamplingParams, sample
+
+CFG = ModelConfig(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=96,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=128,
+)
+
+
+def _naive_greedy(params, prompt, n_new):
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits, _ = forward(
+            params, CFG, jnp.asarray([toks], jnp.int32)
+        )
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+def test_generate_matches_naive_greedy(rng, params):
+    prompts = [
+        list(rng.integers(0, 128, size=7)),
+        list(rng.integers(0, 128, size=12)),
+        list(rng.integers(0, 128, size=3)),
+    ]
+    prompts = [[int(t) for t in p] for p in prompts]
+    sampling = SamplingParams(max_new_tokens=5)
+    outs = generate(
+        params, CFG, prompts, sampling,
+        max_batch=2,  # 3 requests, 2 slots → exercises continuous admission
+        max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )
+    for p, o in zip(prompts, outs):
+        assert o == _naive_greedy(params, p, 5), (p, o)
+
+
+def test_eos_stops_generation(rng, params):
+    prompt = [int(t) for t in rng.integers(0, 128, size=5)]
+    ref = _naive_greedy(params, prompt, 8)
+    eos = ref[2]  # force EOS at the 3rd generated token
+    outs = generate(
+        params, CFG, [prompt],
+        SamplingParams(max_new_tokens=8, eos_token_id=eos),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )
+    assert outs[0] == ref[:2]
+
+
+def test_sampling_topk_topp_shapes(rng):
+    logits = jnp.asarray(rng.normal(size=(3, 50)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    for sp in (
+        SamplingParams(temperature=0.0),
+        SamplingParams(temperature=0.8, top_k=10),
+        SamplingParams(temperature=1.0, top_p=0.9),
+        SamplingParams(temperature=0.7, top_k=5, top_p=0.8),
+    ):
+        toks = sample(logits, key, sp)
+        assert toks.shape == (3,)
+        assert toks.dtype == jnp.int32
+        assert int(toks.min()) >= 0 and int(toks.max()) < 50
+
+
+def test_greedy_sampling_is_argmax(rng):
+    logits = jnp.asarray(rng.normal(size=(4, 20)).astype(np.float32))
+    toks = sample(logits, jax.random.PRNGKey(1), SamplingParams())
+    np.testing.assert_array_equal(
+        np.asarray(toks), np.asarray(jnp.argmax(logits, axis=-1))
+    )
