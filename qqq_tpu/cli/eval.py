@@ -1,0 +1,95 @@
+"""Evaluation CLI — the examples/eval_model.py analogue.
+
+WikiText2 PPL (same slicing/normalization, eval_model.py:49-98) and the
+five-task zero-shot suite (piqa, arc_easy, arc_challenge, hellaswag,
+winogrande) via our own log-likelihood harness (the reference uses
+lm_eval==0.4.2 externally).
+
+Usage:
+  python -m qqq_tpu.cli.eval --model_path <quantized_or_hf_dir> \
+      --eval_ppl --tasks piqa,arc_easy
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+import jax.numpy as jnp
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("qqq_tpu")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--eval_ppl", action="store_true")
+    p.add_argument("--ppl_dataset", default="wikitext2")
+    p.add_argument("--tasks", default="")
+    p.add_argument("--max_length", type=int, default=2048)
+    p.add_argument("--max_windows", type=int, default=0)
+    p.add_argument("--num_fewshot", type=int, default=0)
+    p.add_argument("--limit", type=int, default=0,
+                   help="cap examples per zero-shot task (0 = all)")
+    p.add_argument("--dtype", default="bfloat16")
+    return p.parse_args()
+
+
+def load_any(model_path: str, dtype):
+    """Quantized checkpoints (ours) or plain HF checkpoints."""
+    from qqq_tpu.models import load_hf_model, load_quantized
+
+    if os.path.exists(os.path.join(model_path, "model.safetensors")):
+        with open(os.path.join(model_path, "config.json")) as f:
+            if "quantization_config" in json.load(f):
+                params, config, qc = load_quantized(model_path, dtype=dtype)
+                logger.info("loaded quantized checkpoint: %s", qc)
+                return params, config
+    params, config = load_hf_model(model_path, dtype=dtype)
+    return params, config
+
+
+def main():
+    args = parse_args()
+    args.tokenizer_path = args.tokenizer_path or args.model_path
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    from qqq_tpu.utils.data import get_loaders
+    from qqq_tpu.utils.eval import perplexity
+
+    params, config = load_any(args.model_path, dtype)
+    results = {}
+
+    if args.eval_ppl:
+        _, testenc = get_loaders(
+            args.ppl_dataset,
+            tokenizer_path=args.tokenizer_path,
+            seed=0,
+            seqlen=args.max_length,
+            vocab_size=config.vocab_size,
+        )
+        ppl = perplexity(
+            params, config, testenc,
+            seqlen=args.max_length, max_windows=args.max_windows,
+        )
+        results[f"{args.ppl_dataset}_ppl"] = round(ppl, 4)
+        logger.info("%s ppl = %.4f", args.ppl_dataset, ppl)
+
+    if args.tasks:
+        from qqq_tpu.cli.zeroshot import run_tasks
+
+        task_results = run_tasks(
+            params, config, args.tokenizer_path,
+            args.tasks.split(","), limit=args.limit,
+        )
+        results.update(task_results)
+
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

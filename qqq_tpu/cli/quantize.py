@@ -1,0 +1,142 @@
+"""Quantization pipeline CLI — the examples/quant_model.py analogue.
+
+Orchestrates: [rotation] → [smooth] → GPTQ → pack → save, with the
+reference's flag semantics (quant_model.py:21-266):
+  --w_group_size -1 → per-channel; 128 → per-group (g128)
+  --gptq_mse pairs with rotation; smoothing uses minmax (scripts/quant_model.sh)
+  --smooth_method ∈ {os+, awq, sq, none}; --rotate ∈ {hadamard, random, none}
+
+Usage:
+  python -m qqq_tpu.cli.quantize --model_path <hf_dir> --save_path <out> \
+      --rotate hadamard --w_group_size 128 --gptq_mse true
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("qqq_tpu")
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--save_path", required=True)
+    p.add_argument("--dtype", default="bfloat16")
+    # weight quant (quant_model.py:66-117)
+    p.add_argument("--wbits", type=int, default=4)
+    p.add_argument("--w_group_size", type=int, default=-1)
+    # calib data (quant_model.py:226-266)
+    p.add_argument("--calib_dataset", default="wikitext2")
+    p.add_argument("--nsamples", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_length", type=int, default=2048)
+    p.add_argument("--sample_batch", type=int, default=4)
+    # rotation (quant_model.py:214-224)
+    p.add_argument("--rotate", default="none",
+                   choices=["hadamard", "random", "none"])
+    # smooth (quant_model.py:119-152)
+    p.add_argument("--smooth_method", default="none",
+                   choices=["os+", "awq", "sq", "none"])
+    # gptq (quant_model.py:155-207)
+    p.add_argument("--gptq_mse", type=str2bool, default=False)
+    p.add_argument("--gptq_groupsize", type=int, default=None)
+    p.add_argument("--gptq_act_order", type=str2bool, default=True)
+    p.add_argument("--gptq_percdamp", type=float, default=0.01)
+    p.add_argument("--gptq_blocksize", type=int, default=128)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    args.tokenizer_path = args.tokenizer_path or args.model_path
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    from qqq_tpu.core import QuantSpec
+    from qqq_tpu.models import load_hf_model, save_quantized
+    from qqq_tpu.calib.pipeline import apply_gptq
+    from qqq_tpu.calib.rotation import fuse_layer_norms, rotate_model
+    from qqq_tpu.calib.smooth import smooth_model, export_smoothed_model
+    from qqq_tpu.utils.data import get_loaders
+
+    t0 = time.time()
+    params, config = load_hf_model(args.model_path, dtype=dtype)
+    logger.info("loaded %s in %.1fs", args.model_path, time.time() - t0)
+
+    calib, _ = get_loaders(
+        args.calib_dataset,
+        tokenizer_path=args.tokenizer_path,
+        nsamples=args.nsamples,
+        seed=args.seed,
+        seqlen=args.max_length,
+        vocab_size=config.vocab_size,
+    )
+
+    spec = QuantSpec(
+        bits=args.wbits, group_size=args.w_group_size, mse=args.gptq_mse
+    )
+
+    Q = None
+    if args.rotate != "none":
+        # quant_model.py:291-293
+        params = fuse_layer_norms(params, config)
+        params, Q = rotate_model(
+            params, config, mode=args.rotate, seed=args.seed
+        )
+        logger.info("rotated model (mode=%s)", args.rotate)
+
+    if args.smooth_method != "none":
+        # quant_model.py:297-316: search on ONE batch, then fold
+        scale_list = smooth_model(
+            params, config, jnp.asarray(calib[:1]),
+            method=args.smooth_method, w_spec=spec,
+        )
+        np.savez(
+            f"{args.save_path}_scale_list.npz",
+            *[np.asarray(s) for s in scale_list],
+        )  # the scale_list.pth analogue (smooth.py:84-87)
+        params = export_smoothed_model(params, config, scale_list)
+        logger.info("smoothed model (method=%s)", args.smooth_method)
+
+    params, stats = apply_gptq(
+        params,
+        config,
+        jnp.asarray(calib),
+        spec,
+        percdamp=args.gptq_percdamp,
+        actorder=args.gptq_act_order,
+        blocksize=args.gptq_blocksize,
+        sample_batch=args.sample_batch,
+        pack=True,
+        dtype=dtype,
+    )
+
+    save_quantized(
+        args.save_path, params, config,
+        {
+            "quant_method": "qqq",       # quant_model.py:323-327
+            "wbits": args.wbits,
+            "group_size": args.w_group_size,
+            "rotation": args.rotate,
+            "smooth_method": args.smooth_method,
+        },
+    )
+    logger.info(
+        "saved quantized checkpoint to %s (total %.1fs)",
+        args.save_path, time.time() - t0,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Zero-shot multiple-choice harness for the reference's five tasks.
+
+The reference runs these through lm_eval==0.4.2 (eval_model.py:100-116);
+this is a self-contained re-implementation of the same scoring protocol:
+for each candidate continuation, sum log p(continuation | context) under the
+model, normalize per lm_eval's "acc" convention (raw loglikelihood argmax)
+plus "acc_norm" (byte-length normalized), and report accuracy.
+
+Task formats follow the lm_eval task definitions:
+  piqa:          "Question: {goal}\\nAnswer:" + " {sol}"
+  arc_easy/challenge: "Question: {q}\\nAnswer:" + " {choice}"
+  hellaswag:     ctx + " {ending}" (with lm_eval's text preprocessing)
+  winogrande:    sentence split at "_": partial-context scoring
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Dict, List
+
+import numpy as np
+
+logger = logging.getLogger("qqq_tpu")
+
+
+def _hellaswag_preprocess(text: str) -> str:
+    text = text.strip()
+    text = text.replace(" [title]", ". ")
+    text = re.sub("\\[.*?\\]", "", text)
+    text = text.replace("  ", " ")
+    return text
+
+
+def _load_task(name: str, limit: int):
+    """Yields (context, [choices], gold_idx)."""
+    from datasets import load_dataset
+
+    if name == "piqa":
+        ds = load_dataset("piqa", split="validation")
+        for i, ex in enumerate(ds):
+            if limit and i >= limit:
+                break
+            yield (
+                f"Question: {ex['goal']}\nAnswer:",
+                [" " + ex["sol1"], " " + ex["sol2"]],
+                ex["label"],
+            )
+    elif name in ("arc_easy", "arc_challenge"):
+        sub = "ARC-Easy" if name == "arc_easy" else "ARC-Challenge"
+        ds = load_dataset("allenai/ai2_arc", sub, split="validation")
+        for i, ex in enumerate(ds):
+            if limit and i >= limit:
+                break
+            labels = ex["choices"]["label"]
+            if ex["answerKey"] not in labels:
+                continue
+            yield (
+                f"Question: {ex['question']}\nAnswer:",
+                [" " + t for t in ex["choices"]["text"]],
+                labels.index(ex["answerKey"]),
+            )
+    elif name == "hellaswag":
+        ds = load_dataset("hellaswag", split="validation")
+        for i, ex in enumerate(ds):
+            if limit and i >= limit:
+                break
+            ctx = ex["ctx_a"] + " " + ex["ctx_b"].capitalize()
+            query = _hellaswag_preprocess(ex["activity_label"] + ": " + ctx)
+            yield (
+                query,
+                [" " + _hellaswag_preprocess(e) for e in ex["endings"]],
+                int(ex["label"]),
+            )
+    elif name == "winogrande":
+        ds = load_dataset("winogrande", "winogrande_xl", split="validation")
+        for i, ex in enumerate(ds):
+            if limit and i >= limit:
+                break
+            idx = ex["sentence"].index("_")
+            # lm_eval scores the shared suffix under each option-context
+            yield (
+                ("winogrande", ex["sentence"], idx),
+                [ex["option1"], ex["option2"]],
+                int(ex["answer"]) - 1,
+            )
+    else:
+        raise ValueError(f"unknown task {name!r}")
+
+
+def run_tasks(
+    params, config, tokenizer_path: str, tasks: List[str], limit: int = 0
+) -> Dict[str, float]:
+    from transformers import AutoTokenizer
+
+    from qqq_tpu.utils.eval import loglikelihood
+
+    tok = AutoTokenizer.from_pretrained(tokenizer_path, use_fast=False)
+    results: Dict[str, float] = {}
+    for task in tasks:
+        task = task.strip()
+        n, acc, acc_norm = 0, 0, 0
+        try:
+            examples = list(_load_task(task, limit))
+        except Exception as e:
+            logger.warning("task %s unavailable (%s); skipping", task, e)
+            continue
+        for ctx, choices, gold in examples:
+            lls, lls_norm = [], []
+            for choice in choices:
+                if isinstance(ctx, tuple) and ctx[0] == "winogrande":
+                    _, sentence, idx = ctx
+                    context = sentence[:idx].strip() + " " + choice
+                    cont_text = sentence[idx + 1 :]
+                    c_toks = tok(context).input_ids
+                else:
+                    cont_text = choice
+                    c_toks = tok(ctx).input_ids
+                t_toks = tok(cont_text, add_special_tokens=False).input_ids
+                ll, _ = loglikelihood(params, config, c_toks, t_toks)
+                lls.append(ll)
+                lls_norm.append(ll / max(len(cont_text), 1))
+            acc += int(int(np.argmax(lls)) == gold)
+            acc_norm += int(int(np.argmax(lls_norm)) == gold)
+            n += 1
+        if n:
+            results[f"{task}_acc"] = round(acc / n, 4)
+            results[f"{task}_acc_norm"] = round(acc_norm / n, 4)
+            logger.info("%s: acc=%.4f acc_norm=%.4f (n=%d)",
+                        task, acc / n, acc_norm / n, n)
+    return results
