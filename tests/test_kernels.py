@@ -59,13 +59,16 @@ def test_w4a8_gemm_matches_oracle(rng, M, K, N, group_size):
 
 def _assert_matches(got, expected, group_size):
     """Per-channel is integer math until one fp multiply chain → bitwise.
-    Per-group accumulates fp32 per group; FMA contraction differs between
-    backends, so allow ~1 ulp."""
+    Per-group accumulates fp32 per group with the +8-offset correction folded
+    out-of-kernel (kernel docstring), so fp32 cancellation of a few ulp is
+    expected relative to the mathematically-ordered oracle."""
+    got, expected = np.asarray(got), np.asarray(expected)
     if group_size == -1:
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+        np.testing.assert_array_equal(got, expected)
     else:
+        scale = np.abs(expected).max() + 1e-6
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(expected), rtol=2e-6, atol=1e-4
+            got, expected, rtol=5e-6, atol=5e-5 * scale
         )
 
 
@@ -109,4 +112,7 @@ def test_w4a8_linear_3d_and_bias(rng):
         ).reshape(B, T, N)
         + bias
     )
-    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6, atol=1e-5)
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(
+        np.asarray(out), expected, rtol=5e-6, atol=5e-5 * scale
+    )
