@@ -60,8 +60,12 @@ class Engine:
         max_len: int = 2048,
         kv_quantized: bool = True,
         prefill_buckets=(128, 512, 2048),
+        steps_per_tick: int = 1,
         dtype=jnp.bfloat16,
     ):
+        """``steps_per_tick > 1`` decodes that many tokens per device call
+        (fused scan) — higher throughput, at the cost of EOS/admission checks
+        only happening at chunk boundaries."""
         self.params = params
         self.config = config
         self.max_batch = max_batch
@@ -78,6 +82,7 @@ class Engine:
         self.slot_req: List[Optional[Request]] = [None] * max_batch
         self.slot_len = np.zeros(max_batch, np.int32)
         self.slot_last_tok = np.zeros(max_batch, np.int32)
+        self.steps_per_tick = steps_per_tick
         self.key = jax.random.PRNGKey(0)
 
         self._decode_fn = jax.jit(self._decode_step)
@@ -90,12 +95,29 @@ class Engine:
             params, self.config, tokens, caches=caches, cache_len=cache_len
         )
         last = logits[:, -1, :]
-        greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
-        sampled = sample(last, key, self._sampling_proto)
-        next_tok = jnp.where(active,
-                             sampled if self._sampling_proto.temperature > 0
-                             else greedy, 0)
+        next_tok = jnp.where(
+            active, sample(last, key, self._sampling_proto), 0
+        )
         return next_tok, caches
+
+    @functools.partial(jax.jit, static_argnames=("self", "n_steps"))
+    def _decode_multi(self, params, tokens, caches, cache_len, key, active,
+                      n_steps: int):
+        """n decode steps fused in one on-device ``lax.scan`` — amortizes
+        dispatch overhead (one launch per chunk instead of per token)."""
+
+        def body(carry, _):
+            tok, caches, clen, key = carry
+            key, sub = jax.random.split(key)
+            nxt, caches = self._decode_step(
+                params, tok[:, None], caches, clen, sub, active
+            )
+            return (nxt, caches, clen + 1, key), nxt
+
+        (_, caches, _, _), toks = jax.lax.scan(
+            body, (tokens[:, 0], caches, cache_len, key), None, length=n_steps
+        )
+        return toks.T, caches  # (B, n_steps)
 
     def _prefill(self, params, tokens, true_len, caches1, key):
         """B=1 forward over a padded bucket; returns next token + caches."""
@@ -171,22 +193,40 @@ class Engine:
             )
             if not active.any():
                 continue
-            # one decode tick across all slots
-            tokens = jnp.asarray(self.slot_last_tok[:, None])
-            cache_len = jnp.asarray(self.slot_len)
-            self.key, k = jax.random.split(self.key)
-            next_tok, self.caches = self._decode_fn(
-                self.params, tokens, self.caches, cache_len, k,
-                jnp.asarray(active),
-            )
-            next_np = np.asarray(next_tok)
+            # one decode tick across all slots (chunk of ≥1 fused steps)
+            chunk = self.steps_per_tick
             for slot, req in enumerate(self.slot_req):
                 if req is None:
                     continue
-                req.output_tokens.append(int(next_np[slot]))
-                self.slot_len[slot] += 1
-                self.slot_last_tok[slot] = int(next_np[slot])
-                self._maybe_finish(slot)
+                room = self.max_len - int(self.slot_len[slot]) - 1
+                budget = req.sampling.max_new_tokens - len(req.output_tokens)
+                chunk = max(1, min(chunk, room, budget))
+            tokens = jnp.asarray(self.slot_last_tok[:, None])
+            cache_len = jnp.asarray(self.slot_len)
+            self.key, k = jax.random.split(self.key)
+            if chunk == 1:
+                next_tok, self.caches = self._decode_fn(
+                    self.params, tokens, self.caches, cache_len, k,
+                    jnp.asarray(active),
+                )
+                chunk_np = np.asarray(next_tok)[:, None]
+            else:
+                toks, self.caches = self._decode_multi(
+                    self.params, tokens, self.caches, cache_len, k,
+                    jnp.asarray(active), chunk,
+                )
+                chunk_np = np.asarray(toks)
+            for slot, req in enumerate(self.slot_req):
+                if req is None:
+                    continue
+                for t in range(chunk):
+                    if self.slot_req[slot] is None:
+                        break  # finished mid-chunk (EOS) — drop overshoot
+                    tok = int(chunk_np[slot, t])
+                    req.output_tokens.append(tok)
+                    self.slot_len[slot] += 1
+                    self.slot_last_tok[slot] = tok
+                    self._maybe_finish(slot)
         return requests
 
     def _maybe_finish(self, slot: int) -> None:

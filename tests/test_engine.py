@@ -53,6 +53,22 @@ def test_generate_matches_naive_greedy(rng, params):
         assert o == _naive_greedy(params, p, 5), (p, o)
 
 
+def test_generate_chunked_matches_naive(rng, params):
+    """steps_per_tick>1 (fused on-device scan) must produce the same greedy
+    tokens as single-step decoding."""
+    prompts = [
+        [int(t) for t in rng.integers(0, 128, size=6)],
+        [int(t) for t in rng.integers(0, 128, size=9)],
+    ]
+    outs = generate(
+        params, CFG, prompts, SamplingParams(max_new_tokens=7),
+        max_batch=2, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,), steps_per_tick=4,
+    )
+    for p, o in zip(prompts, outs):
+        assert o == _naive_greedy(params, p, 7), (p, o)
+
+
 def test_eos_stops_generation(rng, params):
     prompt = [int(t) for t in rng.integers(0, 128, size=5)]
     ref = _naive_greedy(params, prompt, 8)
