@@ -40,15 +40,33 @@ def parse_args():
 
 
 def load_any(model_path: str, dtype):
-    """Quantized checkpoints (ours) or plain HF checkpoints."""
+    """Our quantized checkpoints, reference QQQ (Marlin-packed) HF
+    checkpoints, or plain HF checkpoints — auto-detected."""
     from qqq_tpu.models import load_hf_model, load_quantized
 
-    if os.path.exists(os.path.join(model_path, "model.safetensors")):
-        with open(os.path.join(model_path, "config.json")) as f:
-            if "quantization_config" in json.load(f):
-                params, config, qc = load_quantized(model_path, dtype=dtype)
-                logger.info("loaded quantized checkpoint: %s", qc)
-                return params, config
+    with open(os.path.join(model_path, "config.json")) as f:
+        cfg_raw = json.load(f)
+    if "quantization_config" in cfg_raw:
+        # discriminate our layout (…w_packed keys) from the reference's
+        # Marlin layout (….B / .s_channel buffers) by the tensor names
+        from safetensors import safe_open
+
+        st_files = sorted(
+            f for f in os.listdir(model_path) if f.endswith(".safetensors")
+        )
+        with safe_open(
+            os.path.join(model_path, st_files[0]), framework="np"
+        ) as f:
+            keys = list(f.keys())
+        if any(k.endswith("w_packed") for k in keys):
+            params, config, qc = load_quantized(model_path, dtype=dtype)
+            logger.info("loaded our quantized checkpoint: %s", qc)
+            return params, config
+        from qqq_tpu.models.marlin_compat import load_qqq_hf_checkpoint
+
+        params, config = load_qqq_hf_checkpoint(model_path, dtype=dtype)
+        logger.info("loaded reference (Marlin-format) QQQ checkpoint")
+        return params, config
     params, config = load_hf_model(model_path, dtype=dtype)
     return params, config
 
