@@ -177,6 +177,21 @@ def attention(
         mask = key_pos[:, None, :] <= positions[:, :, None]
     else:
         cache = kvc.write(cache, k, v, cache_len)
+        if T == 1 and "k_scale" in cache:
+            # decode fast path: fused flash-decode over the raw INT8 cache
+            # (kernels/attention.py) — no full-cache dequant materialization
+            from qqq_tpu.kernels.attention import decode_attention_int8
+
+            out = decode_attention_int8(
+                q[:, 0],
+                cache["k"], cache["k_scale"],
+                cache["v"], cache["v_scale"],
+                cache_len + 1,
+            )
+            out = linear_apply(layer["o_proj"], out.reshape(B, 1, nh * hd))
+            if tp_axis is not None:
+                out = jax.lax.psum(out, tp_axis)
+            return out, cache
         kf, vf = kvc.read(cache, x.dtype)
         S = kf.shape[1]
         # cache slot s holds the token at position s, so slot index doubles

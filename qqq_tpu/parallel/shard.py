@@ -91,9 +91,17 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def cache_pspec(caches) -> Any:
-    """KV caches: (B, S, n_kv, hd) → batch on data, heads on model."""
+    """KV caches (head-major, serve/kv_cache.py): batch on data, heads on
+    model; scale tensors are rank-3."""
     def one(c):
-        return {k: P("data", None, "model", None) for k in c}
+        return {
+            k: (
+                P("data", "model", None, None)
+                if caches[0][k].ndim == 4
+                else P("data", "model", None)
+            )
+            for k in c
+        }
     return [one(c) for c in caches]
 
 
