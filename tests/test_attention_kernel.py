@@ -27,12 +27,12 @@ def _oracle(q, k8, ks, v8, vs, clen):
     return out
 
 
-@pytest.mark.parametrize("B,nh,nkv,S,block_s", [
+@pytest.mark.parametrize("B,nh,nkv,S,_bs", [
     (2, 8, 4, 256, 128),   # GQA
     (1, 4, 4, 512, 512),   # MHA, single block
     (3, 8, 2, 384, 128),   # non-pow2 block count
 ])
-def test_decode_attention_matches_oracle(rng, B, nh, nkv, S, block_s):
+def test_decode_attention_matches_oracle(rng, B, nh, nkv, S, _bs):
     hd = 128
     q = rng.normal(size=(B, nh, hd)).astype(np.float32)
     k8 = rng.integers(-127, 128, size=(B, nkv, S, hd)).astype(np.int8)
@@ -44,7 +44,7 @@ def test_decode_attention_matches_oracle(rng, B, nh, nkv, S, block_s):
     got = decode_attention_int8(
         jnp.asarray(q), jnp.asarray(k8), jnp.asarray(ks),
         jnp.asarray(v8), jnp.asarray(vs), jnp.asarray(clen),
-        block_s=block_s, interpret=True,
+        interpret=True,
     )
     want = _oracle(q, k8, ks, v8, vs, clen)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
