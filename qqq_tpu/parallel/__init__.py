@@ -1,5 +1,7 @@
 from qqq_tpu.parallel.shard import (
     make_mesh,
+    make_hybrid_mesh,
+    initialize_distributed,
     param_pspecs,
     cache_pspec,
     shard_params,

@@ -46,6 +46,31 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def initialize_distributed(**kw) -> None:
+    """Multi-host bring-up: call once per host before building a hybrid mesh
+    (the GSPMD replacement for the reference's accelerate layer placement,
+    SURVEY.md §2.6)."""
+    jax.distributed.initialize(**kw)
+
+
+def make_hybrid_mesh(
+    dcn_data: int = 1, ici_data: int = 1, ici_model: int = 1
+) -> Mesh:
+    """Multi-host mesh: data-parallel replicas across hosts over DCN,
+    TP (and optional extra DP) within each slice over ICI — so the per-token
+    all-reduces of the row-parallel linears ride ICI only.
+
+    Example (Llama-2-70B on 2 hosts × 8 chips):
+        initialize_distributed(); mesh = make_hybrid_mesh(2, 1, 8)
+    """
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(ici_data, ici_model),
+        dcn_mesh_shape=(dcn_data, 1),
+    )
+    arr = arr.reshape(dcn_data * ici_data, ici_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
 def _linear_pspec(lin: Dict[str, Any], col_parallel: bool) -> Dict[str, P]:
     """Column-parallel shards N; row-parallel shards K."""
     spec: Dict[str, P] = {}

@@ -89,6 +89,18 @@ def get_loaders(
     """Returns (calib_tokens (nsamples, seqlen) int32, test_tokens (N,) or
     None).  ``name`` ∈ {wikitext2, ptb, c4, synthetic, or a local file path}.
     Falls back to synthetic when the dataset can't be fetched (offline)."""
+    if name in ("ptb-new", "c4-new"):  # reference aliases (data_utils.py)
+        name = name.split("-")[0]
+    if name == "mix":
+        # reference's mixed sampler: thirds from wikitext2 / ptb / c4
+        parts = []
+        for i, sub in enumerate(("wikitext2", "ptb", "c4")):
+            n_i = nsamples // 3 + (1 if i < nsamples % 3 else 0)
+            calib, _ = get_loaders(
+                sub, tokenizer_path, n_i, seed + i, seqlen, vocab_size
+            )
+            parts.append(calib)
+        return np.concatenate(parts, axis=0), None
     if name == "synthetic":
         rng = np.random.default_rng(seed)
         calib = rng.integers(0, vocab_size, size=(nsamples, seqlen), dtype=np.int64)
