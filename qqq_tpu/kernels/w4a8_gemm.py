@@ -127,12 +127,15 @@ def _w4a8_group_kernel(
         ).astype(out_dtype)
 
 
-def _pick_blocks(M: int, K: int, N: int):
+def _pick_blocks(M: int, K: int, N: int, per_group: bool):
     """Block-shape heuristic (replaces csrc/qqq_gemm.cu:847-916's thread
     config tables).  Swept on v5e: large k-tiles amortize per-grid-step
     overhead — bk=4096/bn=512 reaches ~85% of the HBM roofline at decode;
     cap the unpacked tile (bk·bn int8) at ~3 MB to leave VMEM headroom for
-    double buffering."""
+    double buffering.  The per-group path additionally needs the s_group
+    tile's sublane count (bk/128) to be 8-divisible, or bk == K (Mosaic
+    block-shape rule) — K like 11008 falls back to a full-K tile with a
+    narrower bn."""
     if M <= 32:
         bm = 32
     elif M <= 128:
@@ -142,12 +145,19 @@ def _pick_blocks(M: int, K: int, N: int):
     bn = next(b for b in (512, 256, 128) if N % b == 0)
     budget = 3 * 1024 * 1024 // bn  # max bk in int8 elements
     d_max = K // PACK_BLOCK
-    bk = max(
-        PACK_BLOCK * d
-        for d in range(1, d_max + 1)
-        if d_max % d == 0 and PACK_BLOCK * d <= budget
-    )
-    return bm, bn, bk
+
+    def ok(d):
+        if per_group and d % 8 != 0 and d != d_max:
+            return False
+        return d_max % d == 0 and PACK_BLOCK * d <= budget
+
+    cands = [PACK_BLOCK * d for d in range(1, d_max + 1) if ok(d)]
+    if cands:
+        return bm, bn, max(cands)
+    # per-group fallback: full-K tile, shrink bn to fit the VMEM budget
+    while bn > 128 and K * bn > 3 * 1024 * 1024:
+        bn //= 2
+    return bm, bn, K
 
 
 def _round_up(x: int, m: int) -> int:
@@ -205,7 +215,7 @@ def w4a8_gemm(
                 s_group, ((0, 0), (0, Np - N)), constant_values=1.0
             )
 
-    bm0, bn0, bk0 = _pick_blocks(M, K, Np)
+    bm0, bn0, bk0 = _pick_blocks(M, K, Np, group_size != -1)
     bm = block_m or bm0
     bn = block_n or bn0
     bk = block_k or bk0
