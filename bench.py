@@ -30,6 +30,43 @@ def build_layer(key, config, dtype=jnp.bfloat16):
     return params["layers"][0]
 
 
+def _measure_e2e(config, args, layer_w4, w_head):
+    """Full 32-layer quantized model, one decode step end-to-end."""
+    import jax.numpy as jnp
+
+    from qqq_tpu.models.llama import forward
+    from qqq_tpu.serve import kv_cache
+    from qqq_tpu.utils.benchmark import measure_op
+
+    B, S = args.batch, args.context
+    # replicate the measured layer 32×; embed/head bf16 like the reference
+    params = {
+        "embed": jax.random.normal(
+            jax.random.PRNGKey(1), (config.vocab_size, config.hidden_size),
+            jnp.bfloat16,
+        ),
+        "layers": [layer_w4] * config.num_hidden_layers,
+        "norm": jnp.ones((config.hidden_size,), jnp.bfloat16),
+        "lm_head": {"w": w_head},
+    }
+    caches = kv_cache.init(config, B, S, quantized=True)
+    cache_len = jnp.full((B,), S - 1, jnp.int32)
+    tokens = jnp.ones((B, 1), jnp.int32)
+
+    # params/caches must be jit ARGUMENTS — closure capture would embed GBs
+    # of constants into the (remote) compile payload
+    def step(params, caches, tokens, cache_len):
+        logits, _ = forward(
+            params, config, tokens, caches=caches, cache_len=cache_len
+        )
+        return logits[:, -1]
+
+    def pert(a, c):
+        return (a[0], a[1], jnp.where(c > 1e30, 1, a[2]), a[3])
+
+    return measure_op(step, (params, caches, tokens, cache_len), perturb=pert)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--group-size", type=int, default=-1,
@@ -37,6 +74,9 @@ def main():
     parser.add_argument("--context", type=int, default=1024)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--e2e", action="store_true",
+                        help="also measure the FULL 32-layer model decode "
+                             "(validates the per-layer composition)")
     args = parser.parse_args()
 
     from qqq_tpu.models import ModelConfig
@@ -111,6 +151,12 @@ def main():
               f"head {t_head*1e6:.1f}us")
         print(f"# decode tokens/s/chip: bf16 {tok_s_bf16:.1f}  "
               f"w4a8 {tok_s_w4:.1f}")
+
+    if args.e2e:
+        t_e2e = _measure_e2e(config, args, layer_w4, w_head)
+        print(f"# e2e full-model decode: {t_e2e*1e6:.0f}us/step = "
+              f"{args.batch/t_e2e:.1f} tokens/s/chip "
+              f"(composed estimate {tok_s_w4:.1f})")
 
     print(json.dumps({
         "metric": "llama2_7b_w4a8_decode_speedup_vs_bf16",

@@ -130,26 +130,40 @@ def apply_gptq(
     sample_batch: int = 4,
     pack: bool = True,
     dtype=jnp.bfloat16,
+    stream_from_host: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Quantize all decoder-layer linears of ``params`` in place (functionally).
 
     Returns (new_params, stats).  With ``pack=True`` linears become packed
     W4A8 params; otherwise they keep dense fake-quantized weights (useful for
     debugging/eval of the quantization alone).
+
+    ``stream_from_host=True`` supports models whose dense weights exceed HBM
+    (a 7B bf16 model alone fills a 16 GB chip): ``params`` leaves live on
+    host (numpy / CPU arrays), each decoder layer is device_put for its
+    Hessian+GPTQ turn and dropped after; only the packed result (~¼ the
+    dense bytes) and the hidden states stay resident.  (The reference's
+    analogue is accelerate CPU offload, model_utils.py:55-76.)
     """
     n, T = calib_tokens.shape
     inv_freq = M.rope_inv_freq(config)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (sample_batch, T))
 
     hidden = []
-    embed = params["embed"]
+    embed = jnp.asarray(params["embed"]) if stream_from_host else params["embed"]
     for s0 in range(0, n, sample_batch):
         hidden.append(embed[calib_tokens[s0 : s0 + sample_batch]].astype(dtype))
+    if stream_from_host:
+        del embed
 
     stats: Dict[str, Any] = {"layer_losses": []}
     new_layers = []
     for li, layer in enumerate(params["layers"]):
         t0 = time.time()
+        if stream_from_host:
+            layer = jax.device_put(
+                jax.tree.map(jnp.asarray, layer)
+            )
         Hs = {}
         ns = {}
         for key, dim in (

@@ -55,6 +55,9 @@ def parse_args():
     p.add_argument("--gptq_act_order", type=str2bool, default=True)
     p.add_argument("--gptq_percdamp", type=float, default=0.01)
     p.add_argument("--gptq_blocksize", type=int, default=128)
+    p.add_argument("--offload", type=str2bool, default=False,
+                   help="stream dense weights host→device layer by layer "
+                        "(models larger than one chip's HBM)")
     return p.parse_args()
 
 
@@ -71,8 +74,15 @@ def main():
     from qqq_tpu.utils.data import get_loaders
 
     t0 = time.time()
-    params, config = load_hf_model(args.model_path, dtype=dtype)
+    params, config = load_hf_model(
+        args.model_path, dtype=dtype, host=args.offload
+    )
     logger.info("loaded %s in %.1fs", args.model_path, time.time() - t0)
+    if args.offload and (args.rotate != "none" or args.smooth_method != "none"):
+        raise SystemExit(
+            "--offload currently supports the GPTQ-only recipe; rotate/smooth "
+            "the model on a multi-chip mesh or a larger host first"
+        )
 
     calib, _ = get_loaders(
         args.calib_dataset,
@@ -120,6 +130,7 @@ def main():
         sample_batch=args.sample_batch,
         pack=True,
         dtype=dtype,
+        stream_from_host=args.offload,
     )
 
     save_quantized(

@@ -76,11 +76,21 @@ def load_hf_config(model_path: str) -> ModelConfig:
 
 
 def load_hf_model(
-    model_path: str, dtype=jnp.bfloat16
+    model_path: str, dtype=jnp.bfloat16, host: bool = False
 ) -> tuple[Dict[str, Any], ModelConfig]:
-    """Import an HF Llama/Qwen2 checkpoint into our params pytree."""
+    """Import an HF Llama/Qwen2 checkpoint into our params pytree.
+
+    ``host=True`` keeps leaves as NumPy arrays (no device transfer) for the
+    calibration pipeline's ``stream_from_host`` mode — models larger than one
+    chip's HBM."""
     config = load_hf_config(model_path)
     sd = _read_state_dict(model_path)
+    import ml_dtypes
+
+    np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.float32
+    place = (lambda x: np.asarray(x, np_dtype)) if host else (
+        lambda x: jnp.asarray(x, dtype=dtype)
+    )
 
     def arr(key: str) -> np.ndarray:
         t = sd[key]
@@ -90,20 +100,18 @@ def load_hf_model(
         return np.asarray(t, dtype=np.float32)
 
     def linear(prefix: str) -> Dict[str, Any]:
-        p = {"w": jnp.asarray(arr(f"{prefix}.weight").T, dtype=dtype)}
+        p = {"w": place(arr(f"{prefix}.weight").T)}
         if f"{prefix}.bias" in sd:
-            p["b"] = jnp.asarray(arr(f"{prefix}.bias"), dtype=dtype)
+            p["b"] = place(arr(f"{prefix}.bias"))
         return p
 
     layers = []
     for i in range(config.num_hidden_layers):
         pre = f"model.layers.{i}"
         layer = {
-            "input_layernorm": jnp.asarray(
-                arr(f"{pre}.input_layernorm.weight"), dtype=dtype
-            ),
-            "post_attention_layernorm": jnp.asarray(
-                arr(f"{pre}.post_attention_layernorm.weight"), dtype=dtype
+            "input_layernorm": place(arr(f"{pre}.input_layernorm.weight")),
+            "post_attention_layernorm": place(
+                arr(f"{pre}.post_attention_layernorm.weight")
             ),
         }
         for ours, theirs in _LAYER_LINEARS:
@@ -111,9 +119,9 @@ def load_hf_model(
         layers.append(layer)
 
     params: Dict[str, Any] = {
-        "embed": jnp.asarray(arr("model.embed_tokens.weight"), dtype=dtype),
+        "embed": place(arr("model.embed_tokens.weight")),
         "layers": layers,
-        "norm": jnp.asarray(arr("model.norm.weight"), dtype=dtype),
+        "norm": place(arr("model.norm.weight")),
     }
     if config.tie_word_embeddings or "lm_head.weight" not in sd:
         params["lm_head"] = None

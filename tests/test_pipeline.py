@@ -81,3 +81,24 @@ def test_gptq_end_to_end(rng, group_size, tmp_path):
     np.testing.assert_allclose(
         np.asarray(l_logits), np.asarray(q_logits), rtol=1e-5, atol=1e-5
     )
+
+
+def test_gptq_stream_from_host_matches(rng):
+    """Host-streamed calibration (7B-on-one-chip path) must produce the same
+    packed params as the all-resident path."""
+    params, calib, test_tokens = _setup(rng)
+    spec = QuantSpec(bits=4, group_size=-1)
+    q_resident, _ = apply_gptq(
+        params, CFG, calib, spec, sample_batch=4, pack=True, dtype=jnp.float32
+    )
+    host_params = jax.tree.map(np.asarray, params)
+    q_streamed, _ = apply_gptq(
+        host_params, CFG, calib, spec, sample_batch=4, pack=True,
+        dtype=jnp.float32, stream_from_host=True,
+    )
+    a = np.asarray(q_resident["layers"][0]["q_proj"]["w_packed"])
+    b = np.asarray(q_streamed["layers"][0]["q_proj"]["w_packed"])
+    np.testing.assert_array_equal(a, b)
+    la, _ = forward(q_resident, CFG, test_tokens)
+    lb, _ = forward(q_streamed, CFG, test_tokens)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
