@@ -30,8 +30,9 @@ def build_layer(key, config, dtype=jnp.bfloat16):
     return params["layers"][0]
 
 
-def _measure_e2e(config, args, layer_w4, w_head):
-    """Full 32-layer quantized model, one decode step end-to-end."""
+def _measure_e2e(config, args, layer, w_head):
+    """Full 32-layer model (the given layer replicated — HBM traffic is
+    address-independent), one decode step end-to-end."""
     import jax.numpy as jnp
 
     from qqq_tpu.models.llama import forward
@@ -39,13 +40,12 @@ def _measure_e2e(config, args, layer_w4, w_head):
     from qqq_tpu.utils.benchmark import measure_op
 
     B, S = args.batch, args.context
-    # replicate the measured layer 32×; embed/head bf16 like the reference
     params = {
         "embed": jax.random.normal(
             jax.random.PRNGKey(1), (config.vocab_size, config.hidden_size),
             jnp.bfloat16,
         ),
-        "layers": [layer_w4] * config.num_hidden_layers,
+        "layers": [layer] * config.num_hidden_layers,
         "norm": jnp.ones((config.hidden_size,), jnp.bfloat16),
         "lm_head": {"w": w_head},
     }
@@ -118,7 +118,6 @@ def main():
     }
     layer_w4 = _quantize_params(one_layer_params, config,
                                 group_size=args.group_size)["layers"][0]
-    del layer_bf16
 
     def step_w4(x, layer):
         out, _ = decoder_layer(
@@ -153,10 +152,13 @@ def main():
               f"w4a8 {tok_s_w4:.1f}")
 
     if args.e2e:
-        t_e2e = _measure_e2e(config, args, layer_w4, w_head)
-        print(f"# e2e full-model decode: {t_e2e*1e6:.0f}us/step = "
-              f"{args.batch/t_e2e:.1f} tokens/s/chip "
-              f"(composed estimate {tok_s_w4:.1f})")
+        t_e2e_w4 = _measure_e2e(config, args, layer_w4, w_head)
+        t_e2e_bf = _measure_e2e(config, args, layer_bf16, w_head)
+        print(f"# e2e full-model decode: w4a8 {t_e2e_w4*1e6:.0f}us/step = "
+              f"{args.batch/t_e2e_w4:.1f} tok/s (composed {tok_s_w4:.1f}); "
+              f"bf16 {t_e2e_bf*1e6:.0f}us = {args.batch/t_e2e_bf:.1f} tok/s; "
+              f"e2e speedup {t_e2e_bf/t_e2e_w4:.2f}x")
+        speedup = t_e2e_bf / t_e2e_w4
 
     print(json.dumps({
         "metric": "llama2_7b_w4a8_decode_speedup_vs_bf16",

@@ -130,19 +130,39 @@ def repeat_kv(x: jax.Array, groups: int) -> jax.Array:
 # attention / mlp / layers
 
 
+_QUERY_CHUNK = 512
+
+
 def _attention_scores(
     q: jax.Array,  # (B, T, nh, hd)
     k: jax.Array,  # (B, S, nh, hd)
     v: jax.Array,  # (B, S, nh, hd)
     mask: jax.Array,  # (B, T, S) bool, True = attend
 ) -> jax.Array:
+    """Softmax attention; long prefills are chunked over the query dim so the
+    score tensor stays ≤ (B, nh, chunk, S) instead of (B, nh, T, T) — at
+    T=2048 the unchunked fp32 scores for a 32-head model are 512 MB."""
     hd = q.shape[-1]
-    scores = jnp.einsum(
-        "btnh,bsnh->bnts", q, k, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.float32(hd))
-    scores = jnp.where(mask[:, None, :, :], scores, jnp.float32(-1e30))
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bnts,bsnh->btnh", probs.astype(v.dtype), v)
+
+    def block(q_blk, mask_blk):
+        scores = jnp.einsum(
+            "btnh,bsnh->bnts", q_blk, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(hd))
+        scores = jnp.where(mask_blk[:, None, :, :], scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        return jnp.einsum("bnts,bsnh->btnh", probs.astype(v.dtype), v)
+
+    T = q.shape[1]
+    if T <= _QUERY_CHUNK or T % _QUERY_CHUNK != 0:
+        return block(q, mask)
+    n_chunks = T // _QUERY_CHUNK
+    qs = q.reshape(q.shape[0], n_chunks, _QUERY_CHUNK, *q.shape[2:])
+    ms = mask.reshape(mask.shape[0], n_chunks, _QUERY_CHUNK, mask.shape[-1])
+    out = jax.lax.map(
+        lambda qm: block(qm[0], qm[1]),
+        (jnp.swapaxes(qs, 0, 1), jnp.swapaxes(ms, 0, 1)),
+    )  # (n_chunks, B, chunk, nh, hd)
+    out = jnp.swapaxes(out, 0, 1).reshape(q.shape)
     return out
 
 
