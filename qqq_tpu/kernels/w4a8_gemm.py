@@ -127,6 +127,66 @@ def _w4a8_group_kernel(
         ).astype(out_dtype)
 
 
+def _w4a8_fused_channel_kernel(
+    x_ref,      # (bm, K) bf16 — raw activations; quantized in-kernel
+    w_ref,      # (K//8, bn) int32 packed
+    s_ch_ref,   # (1, bn) f32
+    out_ref,    # (bm, bn) out_dtype
+    *,
+    block_k: int,
+    out_dtype,
+):
+    """Single-k-tile variant with the dynamic per-token activation
+    quantization fused into the kernel prologue: reads bf16 activations
+    directly, so the XLA-level absmax/scale/cast fusions (and their per-op
+    launch latency, ~5 µs each at decode sizes) disappear."""
+    xf = x_ref[:].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    s_tok = jnp.maximum(absmax, 1e-30) / 127.0
+    a = jnp.clip(jnp.round(xf / s_tok), -128, 127).astype(jnp.int8)
+    asum = jnp.sum(a.astype(jnp.int32), axis=1, keepdims=True)
+
+    pieces = []
+    for lo_b, hi_b in _unpack_u8(w_ref[:], block_k):
+        pieces += [lo_b, hi_b]
+    u8 = jnp.concatenate(pieces, axis=0)
+    acc = jax.lax.dot_general(
+        a, u8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = (acc - 8 * asum).astype(jnp.float32) * s_ch_ref[:] * s_tok
+    out_ref[:] = out.astype(out_dtype)
+
+
+def _w4a8_fused_group_kernel(
+    x_ref,      # (bm, K) bf16
+    w_ref,      # (K//8, bn) int32 packed
+    s_g_ref,    # (K//128, bn) f32 full group scales
+    out_ref,    # (bm, bn) out_dtype
+    *,
+    block_k: int,
+    out_dtype,
+):
+    xf = x_ref[:].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    s_tok = jnp.maximum(absmax, 1e-30) / 127.0
+    a = jnp.clip(jnp.round(xf / s_tok), -128, 127).astype(jnp.int8)
+
+    facc = jnp.zeros((a.shape[0], out_ref.shape[1]), jnp.float32)
+    for b, (lo_b, hi_b) in enumerate(_unpack_u8(w_ref[:], block_k)):
+        u8 = jnp.concatenate([lo_b, hi_b], axis=0)  # (128, bn)
+        a_b = a[:, b * PACK_BLOCK : (b + 1) * PACK_BLOCK]
+        d = jax.lax.dot_general(
+            a_b, u8,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        bsum = jnp.sum(a_b.astype(jnp.int32), axis=1, keepdims=True)
+        facc = facc + (d - 8 * bsum).astype(jnp.float32) * s_g_ref[b, :][None, :]
+    out_ref[:] = (facc * s_tok).astype(out_dtype)
+
+
 def _pick_blocks(M: int, K: int, N: int, per_group: bool):
     """Block-shape heuristic (replaces csrc/qqq_gemm.cu:847-916's thread
     config tables).  Swept on v5e: large k-tiles amortize per-grid-step
@@ -317,6 +377,99 @@ def w4a8_gemm(
     return out
 
 
+def _fused_bn(K: int, N: int) -> int:
+    """bn for the single-k-tile fused path, or 0 if K doesn't fit VMEM."""
+    if K % PACK_BLOCK != 0:
+        return 0
+    for bn in (512, 256, 128):
+        if N % bn == 0 and K * bn <= 3 * 1024 * 1024:
+            return bn
+    return 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "out_dtype", "interpret")
+)
+def w4a8_gemm_fused(
+    x: jax.Array,  # (M, K) bf16/f32 raw activations
+    w_packed: jax.Array,
+    s_channel: Optional[jax.Array] = None,
+    s_group: Optional[jax.Array] = None,
+    *,
+    group_size: int = -1,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+):
+    """Single-launch W4A8 linear: activation quantization fused into the
+    kernel prologue.  Requires the whole K dim in one tile (see _fused_bn)."""
+    M, K = x.shape
+    N = w_packed.shape[1]
+    Np = _round_up(N, 128)
+    if Np != N:
+        w_packed = jnp.pad(w_packed, ((0, 0), (0, Np - N)))
+        if s_channel is not None:
+            s_channel = jnp.pad(s_channel, (0, Np - N), constant_values=1.0)
+        if s_group is not None:
+            s_group = jnp.pad(s_group, ((0, 0), (0, Np - N)),
+                              constant_values=1.0)
+    bn = _fused_bn(K, Np)
+    assert bn, (K, N)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bm = 32 if M <= 32 else (128 if M <= 128 else 256)
+    Mp = _round_up(M, bm)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+
+    grid = (Mp // bm, Np // bn)
+    common = dict(
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )
+    x_spec = pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((K // 8, bn), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    if group_size == -1:
+        assert s_channel is not None
+        out = pl.pallas_call(
+            functools.partial(
+                _w4a8_fused_channel_kernel, block_k=K, out_dtype=out_dtype
+            ),
+            grid=grid,
+            in_specs=[
+                x_spec,
+                w_spec,
+                pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            **common,
+        )(x, w_packed, s_channel.reshape(1, Np).astype(jnp.float32))
+    else:
+        assert group_size == PACK_BLOCK and s_group is not None
+        out = pl.pallas_call(
+            functools.partial(
+                _w4a8_fused_group_kernel, block_k=K, out_dtype=out_dtype
+            ),
+            grid=grid,
+            in_specs=[
+                x_spec,
+                w_spec,
+                pl.BlockSpec((K // PACK_BLOCK, bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            **common,
+        )(x, w_packed, s_group.astype(jnp.float32))
+    if Mp != M or Np != N:
+        out = out[:M, :N]
+    return out
+
+
 def w4a8_linear(
     x: jax.Array,
     w_packed: jax.Array,
@@ -330,18 +483,27 @@ def w4a8_linear(
 ) -> jax.Array:
     """Quantized linear layer: dynamic per-token act quant + W4A8 GEMM + bias.
 
-    The TPU analogue of QuantLinear.forward (qlinear_marlin.py:270-288); the
-    activation quantization is jnp (XLA fuses it with the producer op).
-    Accepts ``x`` of any leading shape ``(..., K)``.
+    The TPU analogue of QuantLinear.forward (qlinear_marlin.py:270-288).
+    Small-M (decode) calls take the fully-fused single-launch path when K
+    fits one tile; otherwise activation quant runs in XLA before the k-tiled
+    kernel.  Accepts ``x`` of any leading shape ``(..., K)``.
     """
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    a_q, s_tok = quantize_activations_per_token(x2)
-    out = w4a8_gemm(
-        a_q, s_tok, w_packed, s_channel, s_group,
-        group_size=group_size, out_dtype=out_dtype, interpret=interpret,
-    )
+    M = x2.shape[0]
+    N = w_packed.shape[1]
+    if M <= 64 and _fused_bn(K, _round_up(N, 128)):
+        out = w4a8_gemm_fused(
+            x2, w_packed, s_channel, s_group,
+            group_size=group_size, out_dtype=out_dtype, interpret=interpret,
+        )
+    else:
+        a_q, s_tok = quantize_activations_per_token(x2)
+        out = w4a8_gemm(
+            a_q, s_tok, w_packed, s_channel, s_group,
+            group_size=group_size, out_dtype=out_dtype, interpret=interpret,
+        )
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.reshape(*lead, -1)

@@ -62,10 +62,15 @@ class Engine:
         prefill_buckets=(128, 512, 2048),
         steps_per_tick: int = 1,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         """``steps_per_tick > 1`` decodes that many tokens per device call
         (fused scan) — higher throughput, at the cost of EOS/admission checks
-        only happening at chunk boundaries."""
+        only happening at chunk boundaries.
+
+        ``mesh``: a tensor-parallel Mesh (axes data×model with data=1) shards
+        the packed weights and KV caches Megatron-style (parallel/shard.py);
+        scale out data-parallel by running one engine per replica."""
         self.params = params
         self.config = config
         self.max_batch = max_batch
@@ -85,14 +90,54 @@ class Engine:
         self.steps_per_tick = steps_per_tick
         self.key = jax.random.PRNGKey(0)
 
+        self.mesh = mesh
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from qqq_tpu.parallel import (
+                cache_pspec, param_pspecs, shard_params,
+            )
+
+            assert dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+                "data", 1
+            ) == 1, "Engine TP mesh needs data=1 (replicate engines for DP)"
+            pspec = param_pspecs(params)
+            self.params = shard_params(params, mesh, pspec)
+            self._cspec = cache_pspec(self.caches)
+            self.caches = jax.tree.map(
+                lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+                self.caches, self._cspec,
+            )
+
+            def local_fwd(p, t, c, cl, pos):
+                return M.forward(
+                    p, self.config, t, positions=pos, caches=c,
+                    cache_len=cl, tp_axis="model",
+                )
+
+            self._fwd = shard_map(
+                local_fwd,
+                mesh=mesh,
+                in_specs=(pspec, P(None, None), self._cspec, P(None),
+                          P(None, None)),
+                out_specs=(P(None, None, None), self._cspec),
+                check_vma=False,
+            )
+        else:
+            self._fwd = lambda p, t, c, cl, pos: M.forward(
+                p, self.config, t, positions=pos, caches=c, cache_len=cl
+            )
+
         self._decode_fn = jax.jit(self._decode_step)
         self._prefill_fns = {}
 
     # -- jitted programs ----------------------------------------------------
 
     def _decode_step(self, params, tokens, caches, cache_len, key, active):
-        logits, caches = M.forward(
-            params, self.config, tokens, caches=caches, cache_len=cache_len
+        positions = cache_len[:, None]  # T == 1
+        logits, caches = self._fwd(
+            params, tokens, caches, cache_len, positions
         )
         last = logits[:, -1, :]
         next_tok = jnp.where(
@@ -122,10 +167,9 @@ class Engine:
     def _prefill(self, params, tokens, true_len, caches1, key):
         """B=1 forward over a padded bucket; returns next token + caches."""
         B, T = tokens.shape
-        pos = jnp.arange(T, dtype=jnp.int32)[None, :]
-        logits, caches1 = M.forward(
-            params, self.config, tokens, caches=caches1,
-            cache_len=jnp.zeros((B,), jnp.int32), positions=pos,
+        pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+        logits, caches1 = self._fwd(
+            params, tokens, caches1, jnp.zeros((B,), jnp.int32), pos
         )
         last = jnp.take_along_axis(
             logits, (true_len - 1)[:, None, None], axis=1

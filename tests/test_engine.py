@@ -103,3 +103,20 @@ def test_greedy_sampling_is_argmax(rng):
     np.testing.assert_array_equal(
         np.asarray(toks), np.asarray(jnp.argmax(logits, axis=-1))
     )
+
+
+def test_engine_with_tp_mesh(rng, params):
+    """Engine over a TP mesh must reproduce single-device greedy decoding."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, model=2)
+    prompts = [[int(t) for t in rng.integers(0, 128, size=6)]]
+    want = _naive_greedy(params, prompts[0], 5)
+    outs = generate(
+        params, CFG, prompts, SamplingParams(max_new_tokens=5),
+        max_batch=2, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,), mesh=mesh,
+    )
+    assert outs[0] == want

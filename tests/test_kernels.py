@@ -91,6 +91,30 @@ def test_w4a8_gemm_custom_blocks(rng, group_size):
         _assert_matches(got, expected, group_size)
 
 
+@pytest.mark.parametrize("group_size", [-1, 128])
+@pytest.mark.parametrize("M,K,N", [(1, 256, 256), (33, 512, 384), (4, 128, 64)])
+def test_w4a8_gemm_fused_matches_oracle(rng, M, K, N, group_size):
+    """The act-quant-fused single-launch kernel must agree with quantizing in
+    XLA then running the reference math."""
+    from qqq_tpu.kernels import w4a8_gemm_fused
+
+    q4, s_channel, s_group = _make_quantized(rng, K, N, group_size)
+    x = rng.normal(size=(M, K)).astype(np.float32) * 2.0
+    a_q, s_tok = quantize_activations_per_token(jnp.asarray(x))
+    expected = w4a8_matmul_reference(
+        a_q, s_tok, q4, s_channel, s_group,
+        group_size=group_size, out_dtype=jnp.float32,
+    )
+    got = w4a8_gemm_fused(
+        jnp.asarray(x), pack_int4(q4), s_channel, s_group,
+        group_size=group_size, out_dtype=jnp.float32, interpret=True,
+    )
+    scale = np.abs(np.asarray(expected)).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=5e-6, atol=5e-5 * scale
+    )
+
+
 def test_w4a8_linear_3d_and_bias(rng):
     B, T, K, N = 2, 5, 256, 256
     q4, s_channel, s_group = _make_quantized(rng, K, N, 128)
