@@ -37,6 +37,8 @@ from qqq_tpu.core.quant import quantize_activations_per_token
 
 _NIBBLE_MASK = 0x0F0F0F0F  # python int: avoids a captured traced constant
 
+FUSE_ACT_QUANT = False  # see w4a8_linear — slower on v5e, kept for study
+
 
 def _unpack_u8(w32, block_k: int):
     """(block_k//8, bn) int32 words → per-block list of (64, bn) uint-nibble
@@ -493,7 +495,11 @@ def w4a8_linear(
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
     N = w_packed.shape[1]
-    if M <= 64 and _fused_bn(K, _round_up(N, 128)):
+    # measured on v5e: the act-quant-fused single-launch kernel LOSES to the
+    # two-step path at the model level (XLA fuses the quantization into the
+    # rms-norm producer, while the fused kernel re-reads + re-quantizes x per
+    # n-tile); keep it opt-in
+    if FUSE_ACT_QUANT and M <= 64 and _fused_bn(K, _round_up(N, 128)):
         out = w4a8_gemm_fused(
             x2, w_packed, s_channel, s_group,
             group_size=group_size, out_dtype=out_dtype, interpret=interpret,
