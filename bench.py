@@ -49,22 +49,47 @@ def _measure_e2e(config, args, layer, w_head):
         "norm": jnp.ones((config.hidden_size,), jnp.bfloat16),
         "lm_head": {"w": w_head},
     }
+    import time as _time
+
     caches = kv_cache.init(config, B, S, quantized=True)
-    cache_len = jnp.full((B,), S - 1, jnp.int32)
-    tokens = jnp.ones((B, 1), jnp.int32)
+    start_len = jnp.full((B,), S - 130, jnp.int32)
+    tokens = jnp.ones((B,), jnp.int32)
 
-    # params/caches must be jit ARGUMENTS — closure capture would embed GBs
-    # of constants into the (remote) compile payload
-    def step(params, caches, tokens, cache_len):
-        logits, _ = forward(
-            params, config, tokens, caches=caches, cache_len=cache_len
-        )
-        return logits[:, -1]
+    # realistic decode: caches thread through the scan carry so XLA aliases
+    # the buffers in place (an untied cache costs a ~300 MB copy per step);
+    # params/caches are jit ARGUMENTS — closure capture would embed GBs of
+    # constants into the (remote) compile payload
+    def run(n):
+        @jax.jit
+        def go(params, caches, tokens, cache_len):
+            def body(carry, _):
+                tok, caches, clen = carry
+                logits, caches = forward(
+                    params, config, tok[:, None], caches=caches,
+                    cache_len=clen,
+                )
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return (nxt, caches, clen + 1), None
 
-    def pert(a, c):
-        return (a[0], a[1], jnp.where(c > 1e30, 1, a[2]), a[3])
+            (tok, _, _), _ = jax.lax.scan(
+                body, (tokens, caches, cache_len), None, length=n
+            )
+            return jnp.sum(tok)
 
-    return measure_op(step, (params, caches, tokens, cache_len), perturb=pert)
+        return go
+
+    def timed(f, n):
+        vals = []
+        float(f(params, caches, tokens, start_len))  # compile+warm
+        for _ in range(3):
+            t0 = _time.time()
+            float(f(params, caches, tokens, start_len))
+            vals.append(_time.time() - t0)
+        return min(vals)
+
+    t32 = timed(run(32), 32)
+    t128 = timed(run(128), 128)
+    return (t128 - t32) / 96
 
 
 def main():

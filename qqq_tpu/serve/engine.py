@@ -129,7 +129,9 @@ class Engine:
                 p, self.config, t, positions=pos, caches=c, cache_len=cl
             )
 
-        self._decode_fn = jax.jit(self._decode_step)
+        # donate the cache buffers: the update aliases in place instead of
+        # copying the whole (B, nkv, S, hd) store every step
+        self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2,))
         self._prefill_fns = {}
 
     # -- jitted programs ----------------------------------------------------
@@ -145,7 +147,9 @@ class Engine:
         )
         return next_tok, caches
 
-    @functools.partial(jax.jit, static_argnames=("self", "n_steps"))
+    @functools.partial(
+        jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3,)
+    )
     def _decode_multi(self, params, tokens, caches, cache_len, key, active,
                       n_steps: int):
         """n decode steps fused in one on-device ``lax.scan`` — amortizes
