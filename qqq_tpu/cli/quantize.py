@@ -58,6 +58,9 @@ def parse_args():
     p.add_argument("--offload", type=str2bool, default=False,
                    help="stream dense weights host→device layer by layer "
                         "(models larger than one chip's HBM)")
+    p.add_argument("--quantize_lm_head", type=str2bool, default=False,
+                   help="also W4A8-quantize the LM head (beyond-reference "
+                        "option; the reference keeps it FP)")
     return p.parse_args()
 
 
@@ -131,6 +134,7 @@ def main():
         pack=True,
         dtype=dtype,
         stream_from_host=args.offload,
+        quantize_lm_head=args.quantize_lm_head,
     )
 
     save_quantized(

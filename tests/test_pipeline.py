@@ -102,3 +102,17 @@ def test_gptq_stream_from_host_matches(rng):
     la, _ = forward(q_resident, CFG, test_tokens)
     lb, _ = forward(q_streamed, CFG, test_tokens)
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+
+def test_quantize_lm_head_option(rng):
+    params, calib, test_tokens = _setup(rng)
+    spec = QuantSpec(bits=4, group_size=-1)
+    q, stats = apply_gptq(
+        params, CFG, calib, spec, sample_batch=4, pack=True,
+        dtype=jnp.float32, quantize_lm_head=True,
+    )
+    assert "w_packed" in q["lm_head"]
+    assert "lm_head_loss" in stats
+    fp_logits, _ = forward(params, CFG, test_tokens)
+    q_logits, _ = forward(q, CFG, test_tokens)
+    assert _logit_close(q_logits, fp_logits, 0.3)
