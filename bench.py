@@ -4,13 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 2.0 — the BASELINE.json north star is ≥2× BF16
 decode tokens/s/chip for Llama-2-7B W4A8 on v5e.
 
-Methodology: a full 7B in BF16 (13.5 GB) and in W4A8 (3.6 GB) don't fit HBM
-together, so we measure one decoder layer end-to-end (decode step, T=1,
-INT8 KV cache at context 1024) in each precision plus the shared lm_head, and
-compose: t_model = n_layers · t_layer + t_head.  Timing uses scan-chained
-on-device loops with a device→host fetch fence (see utils/benchmark.py — the
-tunneled runtime acks dispatches early, wall-clock around block_until_ready is
-meaningless).
+Methodology: FULL-model decode in both precisions (a single measured layer
+replicated 32× — HBM traffic is address-independent, so a full 7B in BF16
+(13.5 GB) and in W4A8 (3.6 GB) never need to coexist), INT8 KV cache at
+context 1024 threaded through a lax.scan carry (XLA aliases the cache buffers
+in place — untied caches would add a ~300 MB copy per step).  Per-step time is
+the slope between 32- and 128-step scans, fenced by a scalar fetch (the
+tunneled runtime acks dispatches early; wall-clock around block_until_ready is
+meaningless — see utils/benchmark.py).
 """
 
 from __future__ import annotations
@@ -99,9 +100,8 @@ def main():
     parser.add_argument("--context", type=int, default=1024)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--verbose", action="store_true")
-    parser.add_argument("--e2e", action="store_true",
-                        help="also measure the FULL 32-layer model decode "
-                             "(validates the per-layer composition)")
+    parser.add_argument("--layer", action="store_true",
+                        help="also measure per-layer / head breakdown")
     args = parser.parse_args()
 
     from qqq_tpu.models import ModelConfig
@@ -129,61 +129,42 @@ def main():
     x = jax.random.normal(key, (B, 1, config.hidden_size), jnp.bfloat16)
 
     layer_bf16 = build_layer(key, config)
-
-    def step_bf16(x, layer):
-        out, _ = decoder_layer(
-            layer, x, positions, inv_freq, config, cache, cache_len
-        )
-        return out
-
-    t_bf16 = measure_op(step_bf16, (x, layer_bf16))
-
     one_layer_params = {
         "layers": [layer_bf16], "embed": None, "norm": None, "lm_head": None,
     }
     layer_w4 = _quantize_params(one_layer_params, config,
                                 group_size=args.group_size)["layers"][0]
-
-    def step_w4(x, layer):
-        out, _ = decoder_layer(
-            layer, x, positions, inv_freq, config, cache, cache_len
-        )
-        return out
-
-    t_w4 = measure_op(step_w4, (x, layer_w4))
-
-    # shared head: final norm + lm_head in bf16 (reference keeps it FP)
     w_head = jax.random.normal(key, (config.hidden_size, config.vocab_size),
                                jnp.bfloat16)
-    norm_w = jnp.ones((config.hidden_size,), jnp.bfloat16)
 
-    def head(x, w):
-        h = rms_norm(x, norm_w, config.rms_norm_eps)
-        return jnp.dot(h[:, -1], w, preferred_element_type=jnp.float32)
+    if args.layer:  # per-layer breakdown (diagnostic)
+        def step(x, layer):
+            out, _ = decoder_layer(
+                layer, x, positions, inv_freq, config, cache, cache_len
+            )
+            return out
 
-    t_head = measure_op(head, (x, w_head))
+        t_bf16 = measure_op(step, (x, layer_bf16))
+        t_w4 = measure_op(step, (x, layer_w4))
+        norm_w = jnp.ones((config.hidden_size,), jnp.bfloat16)
 
-    L = config.num_hidden_layers
-    t_model_bf16 = L * t_bf16 + t_head
-    t_model_w4 = L * t_w4 + t_head
-    speedup = t_model_bf16 / t_model_w4
-    tok_s_w4 = args.batch / t_model_w4
-    tok_s_bf16 = args.batch / t_model_bf16
+        def head(x, w):
+            h = rms_norm(x, norm_w, config.rms_norm_eps)
+            return jnp.dot(h[:, -1], w, preferred_element_type=jnp.float32)
 
-    if args.verbose:
+        t_head = measure_op(head, (x, w_head))
         print(f"# layer bf16 {t_bf16*1e6:.1f}us  w4a8 {t_w4*1e6:.1f}us  "
-              f"head {t_head*1e6:.1f}us")
-        print(f"# decode tokens/s/chip: bf16 {tok_s_bf16:.1f}  "
-              f"w4a8 {tok_s_w4:.1f}")
+              f"head {t_head*1e6:.1f}us  layer-composed speedup "
+              f"{(32*t_bf16+t_head)/(32*t_w4+t_head):.2f}x")
 
-    if args.e2e:
-        t_e2e_w4 = _measure_e2e(config, args, layer_w4, w_head)
-        t_e2e_bf = _measure_e2e(config, args, layer_bf16, w_head)
+    # headline: FULL-model decode, both precisions, cache buffers aliased
+    t_e2e_w4 = _measure_e2e(config, args, layer_w4, w_head)
+    t_e2e_bf = _measure_e2e(config, args, layer_bf16, w_head)
+    speedup = t_e2e_bf / t_e2e_w4
+    if args.verbose:
         print(f"# e2e full-model decode: w4a8 {t_e2e_w4*1e6:.0f}us/step = "
-              f"{args.batch/t_e2e_w4:.1f} tok/s (composed {tok_s_w4:.1f}); "
-              f"bf16 {t_e2e_bf*1e6:.0f}us = {args.batch/t_e2e_bf:.1f} tok/s; "
-              f"e2e speedup {t_e2e_bf/t_e2e_w4:.2f}x")
-        speedup = t_e2e_bf / t_e2e_w4
+              f"{args.batch/t_e2e_w4:.1f} tok/s; "
+              f"bf16 {t_e2e_bf*1e6:.0f}us = {args.batch/t_e2e_bf:.1f} tok/s")
 
     print(json.dumps({
         "metric": "llama2_7b_w4a8_decode_speedup_vs_bf16",
