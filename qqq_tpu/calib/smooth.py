@@ -26,8 +26,7 @@ Folding (export.py:8-103): ``ln /= s``; ``qkv *= s``; for MHA (not GQA)
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ Params layout (weights are (in, out) — see core/quant.py):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

@@ -24,11 +24,9 @@ K-shards stay multiples of 128 for every supported model size.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental import mesh_utils
 from jax import shard_map

@@ -12,7 +12,7 @@ cli/zeroshot.py uses this primitive with HF ``datasets`` task adapters).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
