@@ -32,25 +32,26 @@ def build_layer(key, config, dtype=jnp.bfloat16):
 
 
 def _measure_e2e(config, args, layer, w_head):
-    """Full 32-layer model (the given layer replicated — HBM traffic is
-    address-independent), one decode step end-to-end."""
+    """Full 32-layer model decode end-to-end: ONE measured layer is looped
+    n_layers times inside the jit (HBM traffic is address-independent, and
+    XLA's memory accounting would count 32 replicated layer *arguments* as
+    distinct buffers — a bf16 7B would falsely 'OOM' at compile)."""
+    import time as _time
+
     import jax.numpy as jnp
 
-    from qqq_tpu.models.llama import forward
+    from qqq_tpu.models.llama import decoder_layer, rms_norm, rope_inv_freq
     from qqq_tpu.serve import kv_cache
     from qqq_tpu.utils.benchmark import measure_op
 
     B, S = args.batch, args.context
-    params = {
-        "embed": jax.random.normal(
-            jax.random.PRNGKey(1), (config.vocab_size, config.hidden_size),
-            jnp.bfloat16,
-        ),
-        "layers": [layer] * config.num_hidden_layers,
-        "norm": jnp.ones((config.hidden_size,), jnp.bfloat16),
-        "lm_head": {"w": w_head},
-    }
-    import time as _time
+    L = config.num_hidden_layers
+    embed = jax.random.normal(
+        jax.random.PRNGKey(1), (config.vocab_size, config.hidden_size),
+        jnp.bfloat16,
+    )
+    norm_w = jnp.ones((config.hidden_size,), jnp.bfloat16)
+    inv_freq = rope_inv_freq(config)
 
     caches = kv_cache.init(config, B, S, quantized=True)
     start_len = jnp.full((B,), S - 130, jnp.int32)
@@ -58,19 +59,28 @@ def _measure_e2e(config, args, layer, w_head):
 
     # realistic decode: caches thread through the scan carry so XLA aliases
     # the buffers in place (an untied cache costs a ~300 MB copy per step);
-    # params/caches are jit ARGUMENTS — closure capture would embed GBs of
+    # all tensors are jit ARGUMENTS — closure capture would embed GBs of
     # constants into the (remote) compile payload
     def run(n):
         @jax.jit
-        def go(params, caches, tokens, cache_len):
+        def go(embed, layer, w_head, caches, tokens, cache_len):
             def body(carry, _):
                 tok, caches, clen = carry
-                logits, caches = forward(
-                    params, config, tok[:, None], caches=caches,
-                    cache_len=clen,
+                x = embed[tok[:, None]]
+                positions = clen[:, None]
+                new_caches = []
+                for i in range(L):
+                    x, ci = decoder_layer(
+                        layer, x, positions, inv_freq, config,
+                        caches[i], clen,
+                    )
+                    new_caches.append(ci)
+                h = rms_norm(x, norm_w, config.rms_norm_eps)
+                logits = jnp.dot(
+                    h[:, -1], w_head, preferred_element_type=jnp.float32
                 )
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                return (nxt, caches, clen + 1), None
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, new_caches, clen + 1), None
 
             (tok, _, _), _ = jax.lax.scan(
                 body, (tokens, caches, cache_len), None, length=n
@@ -81,10 +91,10 @@ def _measure_e2e(config, args, layer, w_head):
 
     def timed(f, n):
         vals = []
-        float(f(params, caches, tokens, start_len))  # compile+warm
+        float(f(embed, layer, w_head, caches, tokens, start_len))  # warm
         for _ in range(3):
             t0 = _time.time()
-            float(f(params, caches, tokens, start_len))
+            float(f(embed, layer, w_head, caches, tokens, start_len))
             vals.append(_time.time() - t0)
         return min(vals)
 
