@@ -146,3 +146,99 @@ def test_reference_pack_matches_ours(rng, reference_quantlinear, group_size):
 
     B_ours, s_ch_ours, _ = pack_marlin(q4, scale, group_size=group_size)
     np.testing.assert_array_equal(B_ours, ql.B.numpy())
+
+
+def test_reference_checkpoint_loads_end_to_end(rng, tmp_path):
+    """Synthesize a reference-format (Marlin-packed) HF checkpoint, load it
+    through the CLI auto-detect path, and check the model runs with logits
+    close to the dense fake-quant equivalent."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from qqq_tpu.models import ModelConfig, forward
+    from qqq_tpu.cli.eval import load_any
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    flat = {}
+    dense = {}
+
+    def add_linear(prefix, K, N):
+        q4, scale = _fake_quant_weights(rng, K, N, -1)
+        B, s_ch, _ = pack_marlin(q4, scale, group_size=-1)
+        flat[f"{prefix}.B"] = B
+        flat[f"{prefix}.s_channel"] = s_ch
+        dense[prefix] = q4.astype(np.float32) * np.repeat(scale, K, axis=0)
+
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}"
+        for name, (K, N) in {
+            "self_attn.q_proj": (H, H), "self_attn.k_proj": (H, H),
+            "self_attn.v_proj": (H, H), "self_attn.o_proj": (H, H),
+            "mlp.gate_proj": (H, I), "mlp.up_proj": (H, I),
+            "mlp.down_proj": (I, H),
+        }.items():
+            add_linear(f"{pre}.{name}", K, N)
+        flat[f"{pre}.input_layernorm.weight"] = np.ones(H, np.float32)
+        flat[f"{pre}.post_attention_layernorm.weight"] = np.ones(H, np.float32)
+    flat["model.embed_tokens.weight"] = (
+        rng.normal(size=(cfg.vocab_size, H)).astype(np.float32) * 0.1
+    )
+    flat["model.norm.weight"] = np.ones(H, np.float32)
+    flat["lm_head.weight"] = (
+        rng.normal(size=(cfg.vocab_size, H)).astype(np.float32) * 0.1
+    )
+
+    path = tmp_path / "ref_ckpt"
+    path.mkdir()
+    save_file(flat, str(path / "model.safetensors"))
+    with open(path / "config.json", "w") as f:
+        json.dump({
+            "model_type": "llama", "vocab_size": cfg.vocab_size,
+            "hidden_size": H, "intermediate_size": I,
+            "num_hidden_layers": 1, "num_attention_heads": 4,
+            "num_key_value_heads": 4, "max_position_embeddings": 64,
+            "rms_norm_eps": 1e-5,
+            "quantization_config": {
+                "quant_method": "qqq", "wbits": 4, "group_size": -1,
+            },
+        }, f)
+
+    params, config = load_any(str(path), jnp.float32)
+    assert "w_packed" in params["layers"][0]["q_proj"]
+    tokens = jnp.asarray(rng.integers(0, 64, size=(2, 8)).astype(np.int32))
+    logits, _ = forward(params, config, tokens)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+    # dense equivalent: same dequantized weights, fp path + act-quant noise
+    dense_params = {
+        "embed": jnp.asarray(flat["model.embed_tokens.weight"]),
+        "norm": jnp.asarray(flat["model.norm.weight"]),
+        "lm_head": {"w": jnp.asarray(flat["lm_head.weight"].T)},
+        "layers": [{
+            "input_layernorm": jnp.ones(H, jnp.float32),
+            "post_attention_layernorm": jnp.ones(H, jnp.float32),
+            **{
+                ours: {"w": jnp.asarray(dense[f"model.layers.0.{theirs}"])}
+                for ours, theirs in (
+                    ("q_proj", "self_attn.q_proj"),
+                    ("k_proj", "self_attn.k_proj"),
+                    ("v_proj", "self_attn.v_proj"),
+                    ("o_proj", "self_attn.o_proj"),
+                    ("gate_proj", "mlp.gate_proj"),
+                    ("up_proj", "mlp.up_proj"),
+                    ("down_proj", "mlp.down_proj"),
+                )
+            },
+        }],
+    }
+    want, _ = forward(dense_params, config, tokens)
+    scale = float(np.abs(np.asarray(want)).max())
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(want), atol=0.05 * scale
+    )
