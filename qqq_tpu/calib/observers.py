@@ -277,3 +277,56 @@ OBSERVERS = {
 
 def make_observer(name: str, **kw) -> RangeObserver:
     return OBSERVERS[name](**kw)
+
+
+@dataclasses.dataclass
+class LSQPlusObserver(RangeObserver):
+    """observer.py:183-209: LSQ+-style init — range = mean ± 3·std (weights
+    only; symmetric)."""
+
+    def _batch_range(self, x):
+        if self.ch_axis == -1:
+            m, s = jnp.mean(x), jnp.std(x)
+        else:
+            y = _flatten_ch(x, self.ch_axis)
+            m, s = jnp.mean(y, axis=1), jnp.std(y, axis=1)
+        return m - 3 * s, m + 3 * s
+
+
+@dataclasses.dataclass
+class EMAQuantileObserver(RangeObserver):
+    """observer.py:308-360: histogram-based |x| quantile clip, EMA-combined
+    across batches (per-tensor only)."""
+
+    ema_ratio: float = 0.9
+    threshold: float = 0.9999
+    bins: int = 2048
+
+    def _batch_range(self, x):
+        assert self.ch_axis == -1
+        flat = x.reshape(-1)
+        mn, mx = jnp.min(flat), jnp.max(flat)
+        hist_max = jnp.maximum(-mn, mx)
+        absx = jnp.abs(flat)
+        hist, _ = jnp.histogram(absx, bins=self.bins, range=(0.0, hist_max))
+        cum = jnp.cumsum(hist)
+        # first bin where the cumulative count crosses threshold·numel
+        idx = jnp.argmax(cum >= self.threshold * flat.size)
+        crossed = cum[-1] >= self.threshold * flat.size
+        clip = jnp.where(
+            crossed, (idx + 0.5) * (hist_max / self.bins), hist_max
+        )
+        return jnp.maximum(mn, -clip), jnp.minimum(mx, clip)
+
+    def _combine(self, cur_min, cur_max):
+        if self.min_val is None:
+            return cur_min, cur_max
+        r = self.ema_ratio
+        return (
+            self.min_val * r + cur_min * (1 - r),
+            self.max_val * r + cur_max * (1 - r),
+        )
+
+
+OBSERVERS["lsq_plus"] = LSQPlusObserver
+OBSERVERS["ema_quantile"] = EMAQuantileObserver

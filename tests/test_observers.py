@@ -102,3 +102,23 @@ def test_all_observers_produce_qparams(rng, name):
     obs.update(jnp.asarray(x))
     s, z = obs.qparams()
     assert np.all(np.asarray(s) > 0)
+
+
+def test_token_wise_clipping_search(rng):
+    """The ratio sweep must run and return a valid ratio; on outlier-heavy
+    activations a sub-1.0 ratio should not be much worse than 1.0."""
+    import jax
+    from qqq_tpu.models import ModelConfig, init_params
+    from qqq_tpu.calib.clipping import token_wise_clipping_search
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = jnp.asarray(rng.integers(0, 64, size=(2, 16)).astype(np.int32))
+    ratio, loss = token_wise_clipping_search(
+        params, cfg, calib, step=0.01, iters=3
+    )
+    assert 0.97 <= ratio <= 1.0
+    assert np.isfinite(loss)
