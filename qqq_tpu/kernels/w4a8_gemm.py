@@ -94,8 +94,8 @@ def _w4a8_channel_kernel(
 def _w4a8_group_kernel(
     a_ref,      # (bm, bk) int8
     w_ref,      # (bk//8, bn) int32 packed
-    s_g_ref,    # (bk//128, bn) f32 full group scales
-    corr_ref,   # (bm, bn) f32: precomputed 8·(blocksums(a) @ s_group)
+    s_g_ref,    # (Gp ≥ bk//128, bn) f32 full group scales (sublane-padded)
+    bsum_ref,   # (1, bm, Gp) int32: this tile's per-group rowsums of a
     s_tok_ref,  # (bm, 1) f32
     out_ref,    # (bm, bn) out_dtype
     facc_ref,   # (bm, bn) f32 scratch
@@ -103,10 +103,13 @@ def _w4a8_group_kernel(
     block_k: int,
     out_dtype,
 ):
-    """The +8 code-offset correction Σ_g 8·rowsum_g(a)·s_g is a tiny
-    (M, K/128)·(K/128, N) matmul — computed once OUTSIDE the kernel by XLA
-    and subtracted in the epilogue, so the hot loop is pure dot + fp32 FMA."""
+    """The +8 code-offset is undone per group with the INTEGER identity
+    ``dot(a, u) − 8·rowsum(a) = dot(a, q4)`` *before* the fp32 scale — the
+    int32 subtraction is exact, whereas hoisting the correction to the
+    epilogue (Σ s_g·dot(a,u) − 8·Σ s_g·rowsum) cancels two ~100× larger fp32
+    sums and loses ~1% of the output at K ≈ 11008."""
     k = pl.program_id(2)
+    n_groups = block_k // PACK_BLOCK
 
     @pl.when(k == 0)
     def _():
@@ -120,13 +123,12 @@ def _w4a8_group_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        facc_ref[:] += d.astype(jnp.float32) * s_g_ref[b, :][None, :]
+        bs = bsum_ref[0, :, b : b + 1]  # (bm, 1) int32, static lane index
+        facc_ref[:] += (d - 8 * bs).astype(jnp.float32) * s_g_ref[b, :][None, :]
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
-        out_ref[:] = (
-            (facc_ref[:] - corr_ref[:]) * s_tok_ref[:]
-        ).astype(out_dtype)
+        out_ref[:] = (facc_ref[:] * s_tok_ref[:]).astype(out_dtype)
 
 
 def _w4a8_fused_channel_kernel(
@@ -207,19 +209,13 @@ def _pick_blocks(M: int, K: int, N: int, per_group: bool):
     bn = next(b for b in (512, 256, 128) if N % b == 0)
     budget = 3 * 1024 * 1024 // bn  # max bk in int8 elements
     d_max = K // PACK_BLOCK
-
-    def ok(d):
-        if per_group and d % 8 != 0 and d != d_max:
-            return False
-        return d_max % d == 0 and PACK_BLOCK * d <= budget
-
-    cands = [PACK_BLOCK * d for d in range(1, d_max + 1) if ok(d)]
-    if cands:
-        return bm, bn, max(cands)
-    # per-group fallback: full-K tile, shrink bn to fit the VMEM budget
-    while bn > 128 and K * bn > 3 * 1024 * 1024:
-        bn //= 2
-    return bm, bn, K
+    bk = max(
+        PACK_BLOCK * d
+        for d in range(1, d_max + 1)
+        if d_max % d == 0 and PACK_BLOCK * d <= budget
+    )
+    del per_group  # s_group tiles are sublane-padded in the dispatcher
+    return bm, bn, bk
 
 
 def _round_up(x: int, m: int) -> int:
@@ -342,11 +338,25 @@ def w4a8_gemm(
     else:
         bsum = jnp.sum(  # (Mp, K//128) per-128-block rowsums of a
             a32.reshape(Mp, K // PACK_BLOCK, PACK_BLOCK), axis=-1
-        ).astype(jnp.float32)
+        )
         s_group = s_group.astype(jnp.float32)
-        corr = 8.0 * jnp.dot(
-            bsum, s_group, preferred_element_type=jnp.float32
-        )  # (Mp, Np)
+        # Mosaic needs the s_group tile's sublane count 8-divisible: pad each
+        # k-tile's group rows from Gt = bk/128 up to Gp (K=11008 → Gt=43,
+        # Gp=48); the kernel only reads the first Gt rows of each tile.
+        # bsum gets the matching tile-major layout (n_tiles, Mp, Gp) so the
+        # kernel can take a STATIC lane slice per group (dynamic lane
+        # indexing does not lower).
+        Gt = bk // PACK_BLOCK
+        Gp = _round_up(Gt, 8)
+        n_t = K // bk
+        if Gp != Gt:
+            sg_tiles = s_group.reshape(n_t, Gt, Np)
+            sg_tiles = jnp.pad(sg_tiles, ((0, 0), (0, Gp - Gt), (0, 0)))
+            s_group = sg_tiles.reshape(n_t * Gp, Np)
+        bsum_t = bsum.reshape(Mp, n_t, Gt)
+        if Gp != Gt:
+            bsum_t = jnp.pad(bsum_t, ((0, 0), (0, 0), (0, Gp - Gt)))
+        bsum_t = jnp.swapaxes(bsum_t, 0, 1)  # (n_t, Mp, Gp)
         out = pl.pallas_call(
             functools.partial(
                 _w4a8_group_kernel, block_k=bk, out_dtype=out_dtype
@@ -357,9 +367,9 @@ def w4a8_gemm(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bk // 8, bn), lambda i, j, k: (k, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bk // PACK_BLOCK, bn), lambda i, j, k: (k, j),
+                pl.BlockSpec((Gp, bn), lambda i, j, k: (k, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                pl.BlockSpec((1, bm, Gp), lambda i, j, k: (k, i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -370,7 +380,7 @@ def w4a8_gemm(
             a_q,
             w_packed,
             s_group,
-            corr,
+            bsum_t,
             s_token,
         )
 
