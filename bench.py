@@ -103,6 +103,62 @@ def _measure_e2e(config, args, layer, w_head):
     return (t128 - t32) / 96
 
 
+def _measure_prefill(config, args, layer, w_head):
+    """Full-model prefill (T = context) tokens/s, single-layer-arg loop."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from qqq_tpu.models.llama import decoder_layer, rms_norm, rope_inv_freq
+
+    B, T = args.batch, args.context
+    L = config.num_hidden_layers
+    embed = jax.random.normal(
+        jax.random.PRNGKey(1), (config.vocab_size, config.hidden_size),
+        jnp.bfloat16,
+    )
+    norm_w = jnp.ones((config.hidden_size,), jnp.bfloat16)
+    inv_freq = rope_inv_freq(config)
+    tokens = jnp.ones((B, T), jnp.int32)
+
+    def run(n):
+        @jax.jit
+        def go(embed, layer, w_head, tokens):
+            positions = jnp.broadcast_to(
+                jnp.arange(T, dtype=jnp.int32)[None], (B, T)
+            )
+
+            def body(c, _):
+                x = embed[tokens] + c * 1e-30
+                for _ in range(L):
+                    x, _unused = decoder_layer(
+                        layer, x, positions, inv_freq, config
+                    )
+                h = rms_norm(x, norm_w, config.rms_norm_eps)
+                logits = jnp.dot(
+                    h[:, -1], w_head, preferred_element_type=jnp.float32
+                )
+                return jnp.max(logits) * 1e-30 + c + 1.0, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+
+        return go
+
+    def timed(f):
+        float(f(embed, layer, w_head, tokens))
+        vals = []
+        for _ in range(3):
+            t0 = _time.time()
+            float(f(embed, layer, w_head, tokens))
+            vals.append(_time.time() - t0)
+        return min(vals)
+
+    t2 = timed(run(2))
+    t8 = timed(run(8))
+    return (t8 - t2) / 6
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--group-size", type=int, default=-1,
@@ -112,6 +168,8 @@ def main():
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--layer", action="store_true",
                         help="also measure per-layer / head breakdown")
+    parser.add_argument("--prefill", action="store_true",
+                        help="also measure full-model prefill throughput")
     args = parser.parse_args()
 
     from qqq_tpu.models import ModelConfig
@@ -166,6 +224,14 @@ def main():
         print(f"# layer bf16 {t_bf16*1e6:.1f}us  w4a8 {t_w4*1e6:.1f}us  "
               f"head {t_head*1e6:.1f}us  layer-composed speedup "
               f"{(32*t_bf16+t_head)/(32*t_w4+t_head):.2f}x")
+
+    if args.prefill:
+        tp_w4 = _measure_prefill(config, args, layer_w4, w_head)
+        tp_bf = _measure_prefill(config, args, layer_bf16, w_head)
+        print(f"# prefill {args.context} tokens: w4a8 {tp_w4*1e3:.1f}ms = "
+              f"{args.batch*args.context/tp_w4:.0f} tok/s; bf16 "
+              f"{tp_bf*1e3:.1f}ms = {args.batch*args.context/tp_bf:.0f} tok/s;"
+              f" speedup {tp_bf/tp_w4:.2f}x")
 
     # headline: FULL-model decode, both precisions, cache buffers aliased
     try:
