@@ -175,10 +175,13 @@ def load_qqq_hf_checkpoint(
     model_path: str, dtype=jnp.bfloat16
 ) -> Tuple[Dict[str, Any], Any]:
     """Load a reference-quantized HF checkpoint (quant_method == "qqq",
-    quant_model.py:323-331) into our params pytree with TPU-packed weights."""
-    from qqq_tpu.core.packing import pack_int4
+    quant_model.py:323-331) into our params pytree with TPU-packed weights.
+
+    Repacking runs through the native host packer (qqq_tpu/native) — ~100×
+    the NumPy path, which matters at 70B scale."""
     from qqq_tpu.models.config import ModelConfig
     from qqq_tpu.models.loader import _read_state_dict
+    from qqq_tpu.native import pack_int4_host
 
     with open(os.path.join(model_path, "config.json")) as f:
         raw = json.load(f)
@@ -201,7 +204,7 @@ def load_qqq_hf_checkpoint(
         q4, s_channel, s_full = unpack_marlin(
             B, s_ch, s_g, infeatures=K, outfeatures=N
         )
-        p: Dict[str, Any] = {"w_packed": pack_int4(jnp.asarray(q4))}
+        p: Dict[str, Any] = {"w_packed": jnp.asarray(pack_int4_host(q4))}
         if s_full is None:
             p["s_channel"] = jnp.asarray(s_channel)
         else:
