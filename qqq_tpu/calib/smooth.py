@@ -40,11 +40,17 @@ from qqq_tpu.models.config import ModelConfig
 from qqq_tpu.models import llama as M
 
 
-def _fake_quant_act(x: jax.Array) -> jax.Array:
+def _fake_quant_act(x: jax.Array, percentile: Optional[float] = None) -> jax.Array:
     """Dynamic per-token symmetric INT8 fake quant (the default activation
-    quantizer, TokenFixedFakeQuantize, fake_quant.py:168-195)."""
-    q, s = quantize_activations_per_token(x.reshape(-1, x.shape[-1]))
-    return (q.astype(jnp.float32) * s).reshape(x.shape).astype(x.dtype)
+    quantizer, TokenFixedFakeQuantize, fake_quant.py:168-195).  With
+    ``percentile`` set, the per-token scale clips at that |x| quantile
+    instead of the absmax (QuantileObserver semantics, observer.py:153-180)."""
+    if percentile is None:
+        q, s = quantize_activations_per_token(x.reshape(-1, x.shape[-1]))
+        return (q.astype(jnp.float32) * s).reshape(x.shape).astype(x.dtype)
+    from qqq_tpu.calib.clipping import fake_quant_act_percentile
+
+    return fake_quant_act_percentile(x, jnp.float32(percentile))
 
 
 def _sub_block_output(
@@ -94,7 +100,7 @@ def _quantized_output(
     w_spec: QuantSpec,
     extra: Dict[str, Any],
 ) -> jax.Array:
-    xq = _fake_quant_act(x)
+    xq = _fake_quant_act(x, extra.get("a_percentile"))
     wq = fake_quantize_weight(w, w_spec).astype(w.dtype)
     return _sub_block_output(module_type, xq, wq, extra)
 
@@ -202,6 +208,7 @@ def smooth_model(
     method: str = "os+",
     w_spec: QuantSpec = QuantSpec(bits=4, group_size=-1),
     n_grid: Optional[int] = None,
+    a_percentile: Optional[float] = None,
 ) -> List[jax.Array]:
     """Run the migration searches through the model, returning scale_list
     in the reference's order: [qkv, o, gate_up, down] × layers
@@ -219,6 +226,7 @@ def smooth_model(
             "config": config,
             "positions": positions,
             "inv_freq": inv_freq,
+            "a_percentile": a_percentile,
         }
         # ---- attention: qkv migration on the post-ln input
         h = M.rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)

@@ -49,6 +49,11 @@ def parse_args():
     # smooth (quant_model.py:119-152)
     p.add_argument("--smooth_method", default="none",
                    choices=["os+", "awq", "sq", "none"])
+    p.add_argument("--a_observer", default="minmax",
+                   choices=["minmax", "quantile"],
+                   help="activation range estimator during smoothing")
+    p.add_argument("--a_percentile", type=float, default=0.999,
+                   help="clip quantile when --a_observer quantile")
     # gptq (quant_model.py:155-207)
     p.add_argument("--gptq_mse", type=str2bool, default=False)
     p.add_argument("--gptq_groupsize", type=int, default=None)
@@ -114,6 +119,9 @@ def main():
         scale_list = smooth_model(
             params, config, jnp.asarray(calib[:1]),
             method=args.smooth_method, w_spec=spec,
+            a_percentile=(
+                args.a_percentile if args.a_observer == "quantile" else None
+            ),
         )
         np.savez(
             f"{args.save_path}_scale_list.npz",
