@@ -93,20 +93,22 @@ def run_tasks(
 ) -> Dict[str, float]:
     from transformers import AutoTokenizer
 
-    from qqq_tpu.utils.eval import loglikelihood
+    from qqq_tpu.utils.eval import loglikelihood_batch
 
     tok = AutoTokenizer.from_pretrained(tokenizer_path, use_fast=False)
     results: Dict[str, float] = {}
     for task in tasks:
         task = task.strip()
-        n, acc, acc_norm = 0, 0, 0
         try:
             examples = list(_load_task(task, limit))
         except Exception as e:
             logger.warning("task %s unavailable (%s); skipping", task, e)
             continue
-        for ctx, choices, gold in examples:
-            lls, lls_norm = [], []
+        # tokenize all (context, choice) pairs up front and score them in
+        # padded batches — one compile per length bucket instead of one
+        # eager forward per choice
+        pairs, meta = [], []
+        for ex_i, (ctx, choices, gold) in enumerate(examples):
             for choice in choices:
                 if isinstance(ctx, tuple) and ctx[0] == "winogrande":
                     _, sentence, idx = ctx
@@ -117,15 +119,27 @@ def run_tasks(
                     cont_text = choice
                     c_toks = tok(ctx).input_ids
                 t_toks = tok(cont_text, add_special_tokens=False).input_ids
-                ll, _ = loglikelihood(params, config, c_toks, t_toks)
-                lls.append(ll)
-                lls_norm.append(ll / max(len(cont_text), 1))
-            acc += int(int(np.argmax(lls)) == gold)
-            acc_norm += int(int(np.argmax(lls_norm)) == gold)
-            n += 1
-        if n:
-            results[f"{task}_acc"] = round(acc / n, 4)
-            results[f"{task}_acc_norm"] = round(acc_norm / n, 4)
+                pairs.append((c_toks, t_toks))
+                meta.append((ex_i, len(cont_text)))
+        scored = loglikelihood_batch(params, config, pairs)
+
+        n_ex = len(examples)
+        lls = [[] for _ in range(n_ex)]
+        lls_norm = [[] for _ in range(n_ex)]
+        for (ex_i, clen), (ll, _) in zip(meta, scored):
+            lls[ex_i].append(ll)
+            lls_norm[ex_i].append(ll / max(clen, 1))
+        acc = sum(
+            int(int(np.argmax(l)) == ex[2])
+            for l, ex in zip(lls, examples)
+        )
+        acc_norm = sum(
+            int(int(np.argmax(l)) == ex[2])
+            for l, ex in zip(lls_norm, examples)
+        )
+        if n_ex:
+            results[f"{task}_acc"] = round(acc / n_ex, 4)
+            results[f"{task}_acc_norm"] = round(acc_norm / n_ex, 4)
             logger.info("%s: acc=%.4f acc_norm=%.4f (n=%d)",
-                        task, acc / n, acc_norm / n, n)
+                        task, acc / n_ex, acc_norm / n_ex, n_ex)
     return results

@@ -65,12 +65,71 @@ def loglikelihood(
 ) -> Tuple[float, bool]:
     """(logprob of continuation given context, is_greedy) — the lm_eval
     scoring contract for multiple-choice zero-shot tasks."""
-    toks = jnp.asarray([list(context) + list(continuation)], jnp.int32)
-    logits, _ = M.forward(params, config, toks)
-    logp = jax.nn.log_softmax(logits[0, :-1, :], axis=-1)
-    start = len(context) - 1
-    cont = jnp.asarray(list(continuation), jnp.int32)
-    sel = logp[start : start + len(continuation)]
-    ll = jnp.sum(jnp.take_along_axis(sel, cont[:, None], axis=-1))
-    greedy = bool(jnp.all(jnp.argmax(sel, axis=-1) == cont))
-    return float(ll), greedy
+    ll, greedy = loglikelihood_batch(
+        params, config, [(list(context), list(continuation))]
+    )[0]
+    return ll, greedy
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _score_batch(params, config: ModelConfig, tokens, ctx_len, total_len):
+    """Σ log p(continuation) per row: positions [ctx_len−1, total_len−1)
+    predicting tokens[pos+1], via masking (padded batch, one compile per
+    bucket shape)."""
+    logits, _ = M.forward(params, config, tokens)
+    logp = jax.nn.log_softmax(logits[:, :-1, :].astype(jnp.float32), axis=-1)
+    tgt = tokens[:, 1:]
+    tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    pos = jnp.arange(tokens.shape[1] - 1, dtype=jnp.int32)[None, :]
+    mask = (pos >= ctx_len[:, None] - 1) & (pos < total_len[:, None] - 1)
+    ll = jnp.sum(jnp.where(mask, tok_lp, 0.0), axis=1)
+    greedy_tok = jnp.argmax(logp, axis=-1)
+    all_greedy = jnp.all(
+        jnp.where(mask, greedy_tok == tgt, True), axis=1
+    )
+    return ll, all_greedy
+
+
+def loglikelihood_batch(
+    params: Dict[str, Any],
+    config: ModelConfig,
+    pairs: Sequence[Tuple[Sequence[int], Sequence[int]]],
+    *,
+    batch_size: int = 8,
+    buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048),
+) -> list:
+    """Batched scoring: requests are grouped into padded length buckets so
+    each (bucket, batch) shape compiles once.  Returns [(ll, is_greedy)] in
+    input order."""
+    items = []
+    for idx, (ctx, cont) in enumerate(pairs):
+        toks = list(ctx) + list(cont)
+        bucket = next((b for b in buckets if len(toks) <= b), None)
+        if bucket is None:
+            toks = toks[-buckets[-1]:]  # left-truncate like lm_eval
+            bucket = buckets[-1]
+        items.append((bucket, idx, toks, len(ctx), len(toks)))
+
+    results: list = [None] * len(pairs)
+    by_bucket: Dict[int, list] = {}
+    for it in items:
+        by_bucket.setdefault(it[0], []).append(it)
+    for bucket, group in by_bucket.items():
+        for i0 in range(0, len(group), batch_size):
+            chunk = group[i0 : i0 + batch_size]
+            B = batch_size  # fixed batch shape → one compile per bucket
+            toks = np.zeros((B, bucket), np.int32)
+            ctx_len = np.full((B,), 2, np.int32)
+            total_len = np.full((B,), 2, np.int32)
+            for r, (_, _, t, cl, tl) in enumerate(chunk):
+                toks[r, : len(t)] = t
+                ctx_len[r] = cl
+                total_len[r] = tl
+            ll, greedy = _score_batch(
+                params, config, jnp.asarray(toks), jnp.asarray(ctx_len),
+                jnp.asarray(total_len),
+            )
+            ll, greedy = np.asarray(ll), np.asarray(greedy)
+            for r, (_, idx, _, _, _) in enumerate(chunk):
+                results[idx] = (float(ll[r]), bool(greedy[r]))
+    return results

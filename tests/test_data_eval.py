@@ -90,3 +90,20 @@ def test_loglikelihood_additivity(rng):
     ll_a, _ = loglikelihood(params, CFG, ctx, a)
     ll_b, _ = loglikelihood(params, CFG, ctx + a, b)
     assert ll_ab == pytest.approx(ll_a + ll_b, rel=1e-4, abs=1e-3)
+
+
+def test_loglikelihood_batch_matches_single(rng):
+    """Bucketed/padded batch scoring must equal per-example scoring."""
+    from qqq_tpu.utils.eval import loglikelihood_batch
+
+    params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    pairs = []
+    for _ in range(5):
+        c = [int(t) for t in rng.integers(0, 128, size=rng.integers(3, 20))]
+        t = [int(x) for x in rng.integers(0, 128, size=rng.integers(1, 6))]
+        pairs.append((c, t))
+    batched = loglikelihood_batch(params, CFG, pairs, batch_size=2,
+                                  buckets=(16, 32))
+    for (c, t), (ll_b, greedy_b) in zip(pairs, batched):
+        ll_s, greedy_s = loglikelihood(params, CFG, c, t)
+        assert ll_b == pytest.approx(ll_s, rel=1e-5, abs=1e-4)
