@@ -44,6 +44,9 @@ def pack_int4(q: jax.Array) -> jax.Array:
     K, N = q.shape
     if K % PACK_BLOCK != 0:
         raise ValueError(f"K={K} must be a multiple of {PACK_BLOCK}")
+    # clamp defensively: out-of-range codes (e.g. a future asymmetric path)
+    # would otherwise wrap silently in the uint nibble compose
+    q = jnp.clip(q, -8, 7)
     u = (q.astype(jnp.int32) + 8).astype(jnp.uint32)  # offset-unsigned [0,15]
     ub = u.reshape(K // PACK_BLOCK, 2, 16, 4, N)  # [block, half, r, i, n]
     byte = ub[:, 0] | (ub[:, 1] << 4)  # [block, r, i, n], values 0..255

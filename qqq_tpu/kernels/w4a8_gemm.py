@@ -300,8 +300,8 @@ def w4a8_gemm(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * N * K,
-            bytes_accessed=Mp * K + K * N // 2 + Mp * N * 2,
+            flops=2 * Mp * Np * K,  # padded dims: the grid runs over Mp×Np
+            bytes_accessed=Mp * K + K * Np // 2 + Mp * Np * 2,
             transcendentals=0,
         ),
         interpret=interpret,

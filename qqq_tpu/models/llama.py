@@ -307,10 +307,10 @@ def forward(
         return x, new_caches
     if params.get("lm_head") is not None:
         logits = linear_apply(params["lm_head"], x)
-    else:  # tied embeddings
+        if tp_axis is not None:  # lm_head is vocab-sharded: gather shards
+            logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    else:  # tied embeddings: embed is replicated → logits already full-vocab
         logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
-    if tp_axis is not None:  # lm_head is vocab-sharded: gather the shards
-        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     return logits.astype(jnp.float32), new_caches
 
 

@@ -91,6 +91,10 @@ def pack_int4_host(q: np.ndarray) -> np.ndarray:
     q = np.ascontiguousarray(q, dtype=np.int8)
     K, N = q.shape
     assert K % 128 == 0, K
+    if q.size and (q.min() < -8 or q.max() > 7):
+        raise ValueError(
+            "int4 codes out of range [-8, 7] — packed words would wrap"
+        )
     lib = load_native()
     if lib is None:
         return _pack_int4_numpy(q)

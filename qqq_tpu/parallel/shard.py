@@ -133,7 +133,10 @@ def shard_params(
 ) -> Dict[str, Any]:
     specs = specs or param_pspecs(params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: (
+            None if x is None
+            else jax.device_put(x, NamedSharding(mesh, s))
+        ),
         params,
         specs,
         is_leaf=lambda x: x is None,

