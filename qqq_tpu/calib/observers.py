@@ -38,10 +38,19 @@ def _flatten_ch(x: jax.Array, ch_axis: int) -> jax.Array:
     return x.reshape(x.shape[0], -1)
 
 
+def quant_range(bit: int, symmetric: bool) -> Tuple[int, int]:
+    """observer.py:36-42: symmetric range is ±(2^(b-1)-1) — note quant_min is
+    -(2^(b-1)) **+ 1**, so the 8-bit symmetric scale is absmax/127 (matching
+    the deployed kernel's dynamic quant), NOT absmax/127.5."""
+    if symmetric:
+        return -(2 ** (bit - 1)) + 1, 2 ** (bit - 1) - 1
+    return 0, 2**bit - 1
+
+
 def calculate_qparams(
     min_val: jax.Array, max_val: jax.Array, bit: int, symmetric: bool
 ) -> Tuple[jax.Array, jax.Array]:
-    quant_min, quant_max = -(2 ** (bit - 1)), 2 ** (bit - 1) - 1
+    quant_min, quant_max = quant_range(bit, symmetric)
     min_neg = jnp.minimum(min_val, 0.0)
     max_pos = jnp.maximum(max_val, 0.0)
     if symmetric:
@@ -180,7 +189,7 @@ class MSEObserver(RangeObserver):
 
         def err_for(mn, mx):
             scale, zero = calculate_qparams(mn, mx, self.bit, self.symmetric)
-            qmin, qmax = -(2 ** (self.bit - 1)), 2 ** (self.bit - 1) - 1
+            qmin, qmax = quant_range(self.bit, self.symmetric)
             q = jnp.clip(
                 jnp.round(y / scale[:, None]) + zero[:, None], qmin, qmax
             )
@@ -235,7 +244,7 @@ class MSEFastObserver(RangeObserver):
         scale, zero = calculate_qparams(
             -bound, bound, self.bit, self.symmetric
         )
-        qmin, qmax = -(2 ** (self.bit - 1)), 2 ** (self.bit - 1) - 1
+        qmin, qmax = quant_range(self.bit, self.symmetric)
         q = jnp.clip(jnp.round(y / scale) + zero, qmin, qmax)
         deq = (q - zero) * scale
         return jnp.sum(jnp.abs(deq - y) ** self.norm_p)

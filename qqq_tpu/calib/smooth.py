@@ -40,17 +40,64 @@ from qqq_tpu.models.config import ModelConfig
 from qqq_tpu.models import llama as M
 
 
-def _fake_quant_act(x: jax.Array, percentile: Optional[float] = None) -> jax.Array:
+def _fake_quant_act(
+    x: jax.Array,
+    percentile: Optional[float] = None,
+    convention: str = "observer",
+) -> jax.Array:
     """Dynamic per-token symmetric INT8 fake quant (the default activation
-    quantizer, TokenFixedFakeQuantize, fake_quant.py:168-195).  With
-    ``percentile`` set, the per-token scale clips at that |x| quantile
-    instead of the absmax (QuantileObserver semantics, observer.py:153-180)."""
-    if percentile is None:
+    quantizer, TokenFixedFakeQuantize, fake_quant.py:168-195).
+
+    ``convention="observer"`` (default) reproduces the reference's
+    calibration-time quantizer exactly: per-token symmetric with
+    quant range ±127 (ObserverBase quant_min = -(2^(b-1)) **+1**,
+    observer.py:36-42), scale = absmax/127 clamped at float eps.
+    ``convention="kernel"`` is the deployed kernel's dynamic quant
+    (absmax/127, clamp [-128, 127], tiny-clamp instead of eps,
+    qlinear_marlin.py:265-268) — numerically identical except for the
+    all-zero-row guard.
+
+    With ``percentile`` set, the per-token scale clips at that |x| quantile
+    instead of the absmax (QuantileObserver semantics, observer.py:153-180).
+    """
+    if percentile is not None:
+        from qqq_tpu.calib.clipping import fake_quant_act_percentile
+
+        return fake_quant_act_percentile(x, jnp.float32(percentile))
+    if convention == "kernel":
         q, s = quantize_activations_per_token(x.reshape(-1, x.shape[-1]))
         return (q.astype(jnp.float32) * s).reshape(x.shape).astype(x.dtype)
-    from qqq_tpu.calib.clipping import fake_quant_act_percentile
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(absmax / 127.0, 1.1920929e-07)
+    q = jnp.clip(jnp.round(xf / s), -127, 127)
+    return (q * s).reshape(x.shape).astype(x.dtype)
 
-    return fake_quant_act_percentile(x, jnp.float32(percentile))
+
+def _fake_quant_weight_observer(w: jax.Array, w_spec: QuantSpec) -> jax.Array:
+    """Weight fake quant in the reference's *observer* convention
+    (MinMaxObserver + fake_quantize_per_channel_affine, migrator.quantize,
+    migration_llama.py:100-126): symmetric, quant range ±(2^(b-1)-1) = ±7
+    (observer.py:36-42), scale = absmax / 7; per out-channel, or per
+    (out, group) row for GroupFixedQuantize.  Note this differs from the
+    GPTQ-stage per-group convention ([0,15] affine, gptq/quant.py:85-88) —
+    the reference itself uses both, per stage."""
+    K, N = w.shape
+    maxq = 2 ** (w_spec.bits - 1) - 1
+    if w_spec.per_channel:
+        y = w.astype(jnp.float32).T  # (N, K): reference row = out channel
+    else:
+        g = w_spec.group_size
+        # reference reshapes the (N, K) weight to (-1, group_size): each row
+        # is one contiguous K-group of one output channel
+        y = w.astype(jnp.float32).T.reshape(-1, g)
+    absmax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+    s = jnp.maximum(absmax / maxq, 1.1920929e-07)
+    q = jnp.clip(jnp.round(y / s), -maxq, maxq)
+    deq = q * s
+    if w_spec.per_channel:
+        return deq.T.astype(w.dtype)
+    return deq.reshape(N, K).T.astype(w.dtype)
 
 
 def _sub_block_output(
@@ -100,8 +147,12 @@ def _quantized_output(
     w_spec: QuantSpec,
     extra: Dict[str, Any],
 ) -> jax.Array:
-    xq = _fake_quant_act(x, extra.get("a_percentile"))
-    wq = fake_quantize_weight(w, w_spec).astype(w.dtype)
+    convention = extra.get("convention", "observer")
+    xq = _fake_quant_act(x, extra.get("a_percentile"), convention)
+    if convention == "observer":
+        wq = _fake_quant_weight_observer(w, w_spec)
+    else:
+        wq = fake_quantize_weight(w, w_spec).astype(w.dtype)
     return _sub_block_output(module_type, xq, wq, extra)
 
 
@@ -153,12 +204,11 @@ def migrate(
 
     if method == "awq":  # migration_llama.py:285-354
         n = n_grid or 20
-        x_max = jnp.clip(
-            jnp.mean(jnp.abs(x.reshape(-1, x.shape[-1])), axis=0), 1e-4, None
-        )
+        # reference: x_max = mean|x|; clamp(min=1e-4) applied AFTER pow(ratio)
+        x_max = jnp.mean(jnp.abs(x.reshape(-1, x.shape[-1])), axis=0)
 
         def eval_ratio(r):
-            s = x_max**r
+            s = jnp.clip(x_max**r, 1e-4, None)
             s = s / jnp.sqrt(s.max() * s.min())
             out = _quantized_output(
                 module_type, x / s, w * s[:, None], w_spec, extra
@@ -168,15 +218,26 @@ def migrate(
         ratios = jnp.arange(n, dtype=jnp.float32) / n
         losses = jax.lax.map(eval_ratio, ratios)
         best = ratios[jnp.argmin(losses)]
-        s = x_max**best
+        s = jnp.clip(x_max**best, 1e-4, None)
         return s / jnp.sqrt(s.max() * s.min())
 
     if method == "os+":  # Migrator1DRangeSearch, migration_llama.py:240-282
-        amx = jnp.maximum(jnp.max(x), 0.0)
-        amn = jnp.minimum(jnp.min(x), 0.0)
-        bound = jnp.maximum(-amn, amx)
-        # reference: num = max(100, amx/0.5) candidates from bound down to 0.1
-        n = n_grid or 100
+        amx = float(jnp.maximum(jnp.max(x), 0.0))
+        amn = float(jnp.minimum(jnp.min(x), 0.0))
+        bound = max(-amn, amx)
+        # exact reference candidate walk (search_migrate_range_1D): st from
+        # bound down by step while st >= 0.1, num = max(100, int(amx/0.5))
+        lo = 0.1
+        num = n_grid or max(100, int(amx / 0.5))
+        step = (bound - lo) / num
+        ts = []
+        st = bound
+        while st >= lo:
+            ts.append(st)
+            st -= step
+        if not ts:  # degenerate tiny activations: bound <= 0.1
+            ts = [max(bound, lo)]
+        thresholds = jnp.asarray(ts, jnp.float32)
 
         def eval_threshold(t):
             s = _cac_scale(cmx, cmn, t)
@@ -185,10 +246,6 @@ def migrate(
             )
             return _loss(out, fp_out)
 
-        lo = jnp.float32(0.1)
-        step = (bound - lo) / n
-        thresholds = bound - step * jnp.arange(n, dtype=jnp.float32)
-        thresholds = jnp.maximum(thresholds, lo)
         losses = jax.lax.map(eval_threshold, thresholds)
         best_t = thresholds[jnp.argmin(losses)]
         return _cac_scale(cmx, cmn, best_t)

@@ -12,17 +12,21 @@ from qqq_tpu.calib.observers import (
 
 
 def test_qparams_symmetric():
+    # reference ObserverBase: symmetric quant range is ±(2^(b-1)-1), so the
+    # scale is absmax/127 (observer.py:36-42) — verified reference-exact in
+    # test_reference_parity.py
     s, z = calculate_qparams(jnp.float32(-3.0), jnp.float32(5.0), 8, True)
-    assert float(s) == pytest.approx(5.0 / 127.5)
+    assert float(s) == pytest.approx(5.0 / 127.0)
     assert float(z) == 0.0
 
 
 def test_qparams_asymmetric():
+    # reference asymmetric range is [0, 2^b - 1] (observer.py:39-42)
     s, z = calculate_qparams(jnp.float32(-1.0), jnp.float32(3.0), 8, False)
     assert float(s) == pytest.approx(4.0 / 255)
-    # zero = qmin - round(min/scale) clamped
+    # zero = qmin - round(min/scale) clamped into [0, 255]
     assert float(z) == pytest.approx(
-        np.clip(-128 - np.round(-1.0 / (4.0 / 255)), -128, 127)
+        np.clip(0 - np.round(-1.0 / (4.0 / 255)), 0, 255)
     )
 
 
