@@ -1,24 +1,29 @@
-"""Quantization range observers — the reference's estimator zoo, functional.
+"""Quantization range observers — the reference's 13-estimator zoo, functional.
 
-Re-derivation of QQQ/smooth/quantization/observer.py as pure functions over
-``(state, batch) → state`` with a shared ``qparams`` finisher.  The reference
-implements 13 nn.Module observers with running buffers; here each is a
-``RangeObserver`` subclass with jnp state so they compose with jit/scan.
+Faithful re-derivation of QQQ/smooth/quantization/observer.py as stateful
+dataclasses with jnp math (host-driven: observers run at calibration time).
+Every class is parity-tested against the reference torch implementation in
+tests/test_reference_parity_observers.py.
 
-Covered (reference line refs):
-* minmax        MinMaxObserver         :125-150  (last-batch min/max)
-* ema_minmax    EMAMinMaxObserver      :242-270  (EMA over batches)
-* avg_minmax    AvgMinMaxObserver      :212-239  (running mean of batch ranges)
-* quantile      QuantileObserver       :153-180  (percentile clip)
-* avg_token_quantile AvgTokenQuantileObserver :273-305
-* mse           MSEObserver            :417-519  (grid search, shrink 0.8/80)
-* avg_mse       AvgMSEObserver         :522-556
-* mse_fast      MSEFastObserver        :559-699  (golden-section 1-D search)
+Registry (reference line refs):
+* minmax             MinMaxObserver          :125-150  last-batch min/max
+* quantile           QuantileObserver        :153-180  minmax + token pruning
+* lsq_plus           LSQPlusObserver         :183-209  mean ± 3·std (ddof=1)
+* avg_minmax         AvgMinMaxObserver       :212-239  running mean of ranges
+* ema_minmax         EMAMinMaxObserver       :242-270  EMA of ranges
+* avg_token_quantile AvgTokenQuantileObserver:273-305  pruned-token avg
+* ema_quantile       EMAQuantileObserver     :308-359  |x|-histogram clip, EMA
+* avg_quantile       AvgQuantileObserver     :362-414  |x|-histogram clip, avg
+* mse                MSEObserver             :417-519  1D/2D grid, expanding
+* avg_mse            AvgMSEObserver          :522-556  grid, running mean
+* mse_fast           MSEFastObserver         :559-699  scipy bounded search
+* avg_mse_fast       AvgMSEFastObserver      :702-734
+* ema_mse_fast       EMAMSEFastObserver      :737-770
 
-``calculate_qparams`` mirrors observer.py:103-122: symmetric scale =
-max(|min|, max) / ((qmax - qmin)/2); asymmetric affine with clamped zero.
-Observation masks (padding removal, observer.py:77-88) are supported via an
-optional boolean mask.
+``calculate_qparams`` mirrors observer.py:103-122 with the reference's
+symmetric range ±(2^(b-1)-1) (quant_min = -(2^(b-1)) **+ 1**, :36-42) — the
+8-bit symmetric scale is absmax/127, matching the deployed kernel.
+Observation masks (padding removal, observer.py:77-88) via optional mask.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1.1920929e-07  # torch.finfo(float32).eps, observer.py eps buffer
 
@@ -65,9 +71,23 @@ def calculate_qparams(
     return scale, zero
 
 
+def fake_quant(
+    x: jax.Array, scale, zero, bit: int, symmetric: bool
+) -> jax.Array:
+    """fake_quantize_per_{tensor,channel}_affine with the observer ranges.
+    ``scale``/``zero`` broadcast against ``x``."""
+    qmin, qmax = quant_range(bit, symmetric)
+    q = jnp.clip(jnp.round(x / scale) + zero, qmin, qmax)
+    return (q - zero) * scale
+
+
+# ---------------------------------------------------------------------------
+# base + minmax family
+
+
 @dataclasses.dataclass
 class RangeObserver:
-    """Base: tracks (min_val, max_val); subclasses override update rule."""
+    """MinMaxObserver (observer.py:125-150): last batch wins."""
 
     bit: int = 8
     symmetric: bool = True
@@ -83,17 +103,25 @@ class RangeObserver:
         return jnp.min(y, axis=1), jnp.max(y, axis=1)
 
     def _combine(self, cur_min, cur_max):
-        return cur_min, cur_max  # MinMax: last batch wins (reference :148-149)
+        return cur_min, cur_max  # last batch wins (reference :148-149)
+
+    def _mask(self, x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+        """remove_padding (observer.py:77-88): drop masked-out tokens.
+        ``mask``: (B, T) bool/int — selects tokens of x (B, T, C), or
+        elements when x is itself (B, T)."""
+        if mask is None:
+            return x
+        assert self.ch_axis == -1, "mask only for per-tensor observers"
+        keep = jnp.asarray(
+            np.nonzero(np.asarray(mask).reshape(-1).astype(bool))[0]
+        )
+        if x.ndim == np.asarray(mask).ndim:
+            return x.reshape(-1)[keep]
+        return x.reshape(-1, x.shape[-1])[keep]
 
     def update(self, x: jax.Array, mask: Optional[jax.Array] = None):
-        x = x.astype(jnp.float32)
-        if mask is not None:
-            assert self.ch_axis == -1, "mask only for per-tensor observers"
-            x = jnp.where(mask, x, jnp.nan)
-            cur_min = jnp.nanmin(x)
-            cur_max = jnp.nanmax(x)
-        else:
-            cur_min, cur_max = self._batch_range(x)
+        x = self._mask(x.astype(jnp.float32), mask)
+        cur_min, cur_max = self._batch_range(x)
         self.min_val, self.max_val = self._combine(cur_min, cur_max)
         self._count += 1
         return self.min_val, self.max_val
@@ -105,9 +133,70 @@ class RangeObserver:
         )
 
 
+class MinMaxObserver(RangeObserver):
+    pass
+
+
+@dataclasses.dataclass
+class QuantileObserver(RangeObserver):
+    """observer.py:153-180: per-tensor = plain minmax; per-channel (tokens on
+    ch_axis) prunes outlier TOKENS first — values are clipped at the
+    ``percentile`` quantile of the per-token max/min (prune_token, :85-93)."""
+
+    percentile: float = 1.0
+
+    def _batch_range(self, x):
+        if self.ch_axis == -1:
+            return jnp.min(x), jnp.max(x)
+        y = _flatten_ch(x, self.ch_axis)  # rows = tokens
+        y = prune_token(y, self.percentile)
+        return jnp.min(y, axis=1), jnp.max(y, axis=1)
+
+
+def prune_token(y: jax.Array, percentile: float) -> jax.Array:
+    """observer.py:85-93 prune_token: clip values at the ``percentile``
+    quantile of per-token maxes (upper) and mins (lower).  ``y``: (tokens, C)."""
+    t_max = jnp.max(y, axis=1)
+    t_min = jnp.min(y, axis=1)
+    upper = jnp.quantile(jnp.abs(t_max.astype(jnp.float32)), percentile)
+    lower = -jnp.quantile(jnp.abs(t_min.astype(jnp.float32)), percentile)
+    # reference: indices where token_max <= upper … then max over those =
+    # clip bound; equivalent to clipping values into [lower-sel, upper-sel]
+    sel_upper = jnp.max(jnp.where(t_max <= upper, t_max, -jnp.inf))
+    sel_lower = jnp.min(jnp.where(t_min >= lower, t_min, jnp.inf))
+    return jnp.clip(y, sel_lower, sel_upper)
+
+
+@dataclasses.dataclass
+class LSQPlusObserver(RangeObserver):
+    """observer.py:183-209: range = mean ± 3·std (torch std: ddof=1)."""
+
+    def _batch_range(self, x):
+        if self.ch_axis == -1:
+            m, s = jnp.mean(x), jnp.std(x, ddof=1)
+        else:
+            y = _flatten_ch(x, self.ch_axis)
+            m, s = jnp.mean(y, axis=1), jnp.std(y, axis=1, ddof=1)
+        return m - 3 * s, m + 3 * s
+
+
+@dataclasses.dataclass
+class AvgMinMaxObserver(RangeObserver):
+    """observer.py:212-239: running mean of batch ranges (per-tensor)."""
+
+    def _combine(self, cur_min, cur_max):
+        if self.min_val is None:
+            return cur_min, cur_max
+        c = self._count
+        return (
+            (self.min_val * c + cur_min) / (c + 1),
+            (self.max_val * c + cur_max) / (c + 1),
+        )
+
+
 @dataclasses.dataclass
 class EMAMinMaxObserver(RangeObserver):
-    """observer.py:242-270: exponential moving average of batch ranges."""
+    """observer.py:242-270: EMA of batch ranges."""
 
     ema_ratio: float = 0.9
 
@@ -122,190 +211,49 @@ class EMAMinMaxObserver(RangeObserver):
 
 
 @dataclasses.dataclass
-class AvgMinMaxObserver(RangeObserver):
-    """observer.py:212-239: running mean of batch ranges."""
+class AvgTokenQuantileObserver(AvgMinMaxObserver):
+    """observer.py:273-305: running mean of ranges; when a mask is given the
+    batch is token-pruned first (same prune_token as QuantileObserver)."""
 
-    def _combine(self, cur_min, cur_max):
-        if self.min_val is None:
-            return cur_min, cur_max
-        c = self._count
-        return (
-            (self.min_val * c + cur_min) / (c + 1),
-            (self.max_val * c + cur_max) / (c + 1),
-        )
+    percentile: float = 1.0
 
-
-@dataclasses.dataclass
-class QuantileObserver(RangeObserver):
-    """observer.py:153-180: clip ranges at a percentile of the distribution."""
-
-    percentile: float = 0.999
-
-    def _batch_range(self, x):
-        if self.ch_axis == -1:
-            flat = x.reshape(-1)
-            lo = jnp.quantile(flat, 1.0 - self.percentile)
-            hi = jnp.quantile(flat, self.percentile)
-            return lo, hi
-        y = _flatten_ch(x, self.ch_axis)
-        lo = jnp.quantile(y, 1.0 - self.percentile, axis=1)
-        hi = jnp.quantile(y, self.percentile, axis=1)
-        return lo, hi
-
-
-@dataclasses.dataclass
-class AvgTokenQuantileObserver(RangeObserver):
-    """observer.py:273-305: per-token ranges averaged with quantile pruning —
-    drops the most extreme tokens before averaging."""
-
-    prune_ratio: float = 0.01
-
-    def _batch_range(self, x):
-        assert self.ch_axis == -1
-        tok = x.reshape(-1, x.shape[-1])
-        t_min = jnp.min(tok, axis=1)
-        t_max = jnp.max(tok, axis=1)
-        k = max(int(tok.shape[0] * (1 - self.prune_ratio)), 1)
-        t_min = jnp.sort(t_min)[::-1][:k]   # drop most-negative outliers
-        t_max = jnp.sort(t_max)[:k]         # drop most-positive outliers
-        return jnp.mean(t_min), jnp.mean(t_max)
-
-
-@dataclasses.dataclass
-class MSEObserver(RangeObserver):
-    """observer.py:417-519: shrink-grid search minimizing fake-quant MSE
-    (p-norm 2.4), vectorized with a scan over the grid."""
-
-    maxshrink: float = 0.8
-    grid: int = 80
-    norm_p: float = 2.4
-
-    def _mse_search(self, x) -> Tuple[jax.Array, jax.Array]:
-        per_channel = self.ch_axis != -1
-        y = _flatten_ch(x, self.ch_axis) if per_channel else x.reshape(1, -1)
-        xmin = jnp.min(y, axis=1)
-        xmax = jnp.max(y, axis=1)
-        n_steps = int(self.maxshrink * self.grid)
-
-        def err_for(mn, mx):
-            scale, zero = calculate_qparams(mn, mx, self.bit, self.symmetric)
-            qmin, qmax = quant_range(self.bit, self.symmetric)
-            q = jnp.clip(
-                jnp.round(y / scale[:, None]) + zero[:, None], qmin, qmax
-            )
-            deq = (q - zero[:, None]) * scale[:, None]
-            return jnp.sum(jnp.abs(deq - y) ** self.norm_p, axis=1)
-
-        def step(carry, i):
-            best_err, best_min, best_max = carry
-            p = 1.0 - i.astype(jnp.float32) / self.grid
-            mn, mx = p * xmin, p * xmax
-            err = err_for(mn, mx)
-            better = err < best_err
-            return (
-                jnp.where(better, err, best_err),
-                jnp.where(better, mn, best_min),
-                jnp.where(better, mx, best_max),
-            ), None
-
-        init = (jnp.full(y.shape[0], jnp.inf), xmin, xmax)
-        (err, mn, mx), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
-        if not per_channel:
-            return mn[0], mx[0]
-        return mn, mx
-
-    def _batch_range(self, x):
-        return self._mse_search(x)
-
-
-@dataclasses.dataclass
-class AvgMSEObserver(MSEObserver):
-    """observer.py:522-556: running mean of per-batch MSE-searched ranges."""
-
-    def _combine(self, cur_min, cur_max):
-        if self.min_val is None:
-            return cur_min, cur_max
-        c = self._count
-        return (
-            (self.min_val * c + cur_min) / (c + 1),
-            (self.max_val * c + cur_max) / (c + 1),
-        )
-
-
-@dataclasses.dataclass
-class MSEFastObserver(RangeObserver):
-    """observer.py:559-699: golden-section search on a symmetric clip bound —
-    same objective as MSEObserver, O(log) probes instead of a full grid."""
-
-    iters: int = 20
-    norm_p: float = 2.4
-
-    def _loss(self, y, bound):
-        scale, zero = calculate_qparams(
-            -bound, bound, self.bit, self.symmetric
-        )
-        qmin, qmax = quant_range(self.bit, self.symmetric)
-        q = jnp.clip(jnp.round(y / scale) + zero, qmin, qmax)
-        deq = (q - zero) * scale
-        return jnp.sum(jnp.abs(deq - y) ** self.norm_p)
-
-    def _batch_range(self, x):
-        assert self.ch_axis == -1, "fast search is per-tensor"
-        y = x.reshape(-1)
-        hi = jnp.maximum(jnp.max(jnp.abs(y)), _EPS)
-        lo = hi * 0.1
-        gr = 0.6180339887498949
-
-        def step(carry, _):
-            a, b = carry
-            c = b - gr * (b - a)
-            d = a + gr * (b - a)
-            fc = self._loss(y, c)
-            fd = self._loss(y, d)
-            a, b = jax.lax.cond(
-                fc < fd, lambda: (a, d), lambda: (c, b)
-            )
-            return (a, b), None
-
-        (a, b), _ = jax.lax.scan(step, (lo, hi), None, length=self.iters)
-        bound = (a + b) / 2
-        return -bound, bound
-
-
-OBSERVERS = {
-    "minmax": RangeObserver,
-    "ema_minmax": EMAMinMaxObserver,
-    "avg_minmax": AvgMinMaxObserver,
-    "quantile": QuantileObserver,
-    "avg_token_quantile": AvgTokenQuantileObserver,
-    "mse": MSEObserver,
-    "avg_mse": AvgMSEObserver,
-    "mse_fast": MSEFastObserver,
-}
-
-
-def make_observer(name: str, **kw) -> RangeObserver:
-    return OBSERVERS[name](**kw)
-
-
-@dataclasses.dataclass
-class LSQPlusObserver(RangeObserver):
-    """observer.py:183-209: LSQ+-style init — range = mean ± 3·std (weights
-    only; symmetric)."""
-
-    def _batch_range(self, x):
-        if self.ch_axis == -1:
-            m, s = jnp.mean(x), jnp.std(x)
+    def update(self, x: jax.Array, mask: Optional[jax.Array] = None):
+        x = x.astype(jnp.float32)
+        if mask is not None:
+            y = self._mask(x, mask)
+            y = prune_token(y, self.percentile)
         else:
-            y = _flatten_ch(x, self.ch_axis)
-            m, s = jnp.mean(y, axis=1), jnp.std(y, axis=1)
-        return m - 3 * s, m + 3 * s
+            # reference prunes only when given a mask / seq_pos (:283-294)
+            y = x
+        cur_min, cur_max = jnp.min(y), jnp.max(y)
+        self.min_val, self.max_val = self._combine(cur_min, cur_max)
+        self._count += 1
+        return self.min_val, self.max_val
+
+
+# ---------------------------------------------------------------------------
+# |x|-histogram quantile family (per-tensor only)
+
+
+def _hist_clip(x: jax.Array, threshold: float, bins: int) -> Tuple[jax.Array, jax.Array]:
+    """observer.py:330-347: histogram |x| over [0, max|range|], find the first
+    bin where the cumulative count crosses threshold·numel."""
+    mn, mx = jnp.min(x), jnp.max(x)
+    hist_max = jnp.maximum(-mn, mx)
+    absx = jnp.abs(x.reshape(-1))
+    hist, _ = jnp.histogram(absx, bins=bins, range=(0.0, hist_max))
+    cum = jnp.cumsum(hist)
+    crossed = cum >= threshold * absx.size
+    idx = jnp.argmax(crossed)
+    clip = jnp.where(
+        jnp.any(crossed), (idx + 0.5) * (hist_max / bins), hist_max
+    )
+    return jnp.maximum(mn, -clip), jnp.minimum(mx, clip)
 
 
 @dataclasses.dataclass
 class EMAQuantileObserver(RangeObserver):
-    """observer.py:308-360: histogram-based |x| quantile clip, EMA-combined
-    across batches (per-tensor only)."""
+    """observer.py:308-359."""
 
     ema_ratio: float = 0.9
     threshold: float = 0.9999
@@ -313,19 +261,7 @@ class EMAQuantileObserver(RangeObserver):
 
     def _batch_range(self, x):
         assert self.ch_axis == -1
-        flat = x.reshape(-1)
-        mn, mx = jnp.min(flat), jnp.max(flat)
-        hist_max = jnp.maximum(-mn, mx)
-        absx = jnp.abs(flat)
-        hist, _ = jnp.histogram(absx, bins=self.bins, range=(0.0, hist_max))
-        cum = jnp.cumsum(hist)
-        # first bin where the cumulative count crosses threshold·numel
-        idx = jnp.argmax(cum >= self.threshold * flat.size)
-        crossed = cum[-1] >= self.threshold * flat.size
-        clip = jnp.where(
-            crossed, (idx + 0.5) * (hist_max / self.bins), hist_max
-        )
-        return jnp.maximum(mn, -clip), jnp.minimum(mx, clip)
+        return _hist_clip(x, self.threshold, self.bins)
 
     def _combine(self, cur_min, cur_max):
         if self.min_val is None:
@@ -337,5 +273,306 @@ class EMAQuantileObserver(RangeObserver):
         )
 
 
-OBSERVERS["lsq_plus"] = LSQPlusObserver
-OBSERVERS["ema_quantile"] = EMAQuantileObserver
+@dataclasses.dataclass
+class AvgQuantileObserver(RangeObserver):
+    """observer.py:362-414 (was missing in round 1)."""
+
+    threshold: float = 0.999
+    bins: int = 2048
+
+    def _batch_range(self, x):
+        assert self.ch_axis == -1
+        return _hist_clip(x, self.threshold, self.bins)
+
+    def _combine(self, cur_min, cur_max):
+        if self.min_val is None:
+            return cur_min, cur_max
+        c = self._count
+        return (
+            (self.min_val * c + cur_min) / (c + 1),
+            (self.max_val * c + cur_max) / (c + 1),
+        )
+
+
+# ---------------------------------------------------------------------------
+# MSE grid-search family (observer.py:417-556)
+
+
+@dataclasses.dataclass
+class MSEObserver(RangeObserver):
+    """observer.py:417-519: candidate ranges grow from xrange/num up to the
+    full range (1D symmetric/one-sided; 2D range × zero-point otherwise);
+    batches combine by EXPANDING (min of mins / max of maxes)."""
+
+    num: int = 100
+    norm_p: float = 2.0
+    one_side_dist: Optional[str] = None  # 'pos' | 'neg' | 'no'
+
+    def _lp_loss(self, xq, x):
+        d = jnp.abs(xq - x) ** self.norm_p
+        if self.ch_axis == -1:
+            return jnp.mean(d)
+        return jnp.mean(_flatten_ch(d, self.ch_axis), axis=1)
+
+    def _loss_for(self, x, new_min, new_max):
+        scale, zero = calculate_qparams(
+            new_min, new_max, self.bit, self.symmetric
+        )
+        if self.ch_axis == -1:
+            xq = fake_quant(x, scale, zero, self.bit, self.symmetric)
+        else:
+            shape = [1] * x.ndim
+            shape[self.ch_axis] = -1
+            xq = fake_quant(
+                x, scale.reshape(shape), zero.reshape(shape),
+                self.bit, self.symmetric,
+            )
+        return self._lp_loss(xq, x)
+
+    def _search_1d(self, x, pos=None, neg=None):
+        """``pos``/``neg`` are traced one-side-distribution bools (whole
+        tensor, like the reference's one_side_dist latch) — passing them as
+        arrays keeps the search jit-traceable inside lax.map."""
+        if pos is None:
+            pos = jnp.bool_(self.one_side_dist == "pos")
+            neg = jnp.bool_(self.one_side_dist == "neg")
+        if self.ch_axis == -1:
+            x_min, x_max = jnp.min(x), jnp.max(x)
+        else:
+            y = _flatten_ch(x, self.ch_axis)
+            x_min, x_max = jnp.min(y, axis=1), jnp.max(y, axis=1)
+        xrange = jnp.maximum(jnp.abs(x_min), x_max)
+        best_score = jnp.zeros_like(x_min) + 1e10
+        best_min, best_max = x_min, x_max
+        for i in range(1, self.num + 1):
+            thres = xrange / self.num * i
+            new_min = jnp.where(pos, jnp.zeros_like(x_min), -thres)
+            new_max = jnp.where(neg, jnp.zeros_like(x_max), thres)
+            score = self._loss_for(x, new_min, new_max)
+            best_min = jnp.where(score < best_score, new_min, best_min)
+            best_max = jnp.where(score < best_score, new_max, best_max)
+            best_score = jnp.minimum(score, best_score)
+        return best_min, best_max
+
+    def _search_2d(self, x):
+        qmin, qmax = quant_range(self.bit, self.symmetric)
+        if self.ch_axis == -1:
+            x_min, x_max = jnp.min(x), jnp.max(x)
+        else:
+            y = _flatten_ch(x, self.ch_axis)
+            x_min = jnp.minimum(jnp.min(y, axis=1), 0.0)
+            x_max = jnp.maximum(jnp.max(y, axis=1), 0.0)
+        xrange = x_max - x_min
+        best_score = jnp.zeros_like(x_min) + 1e10
+        best_min, best_max = x_min, x_max
+        for i in range(1, self.num + 1):
+            tmp_max = xrange / self.num * i
+            tmp_delta = tmp_max / float(qmax - qmin)
+            for zp in range(qmin, qmax + 1):
+                new_min = jnp.maximum(-zp * tmp_delta, x_min)
+                new_max = jnp.minimum(tmp_max - zp * tmp_delta, x_max)
+                score = self._loss_for(x, new_min, new_max)
+                best_min = jnp.where(score < best_score, new_min, best_min)
+                best_max = jnp.where(score < best_score, new_max, best_max)
+                best_score = jnp.minimum(best_score, score)
+        return best_min, best_max
+
+    def _batch_range(self, x):
+        if self.symmetric:
+            # trace-safe: one-side masks as traced bools (usable in lax.map)
+            pos = jnp.min(x) >= 0.0
+            neg = jnp.max(x) <= 0.0
+            return self._search_1d(x, pos, neg)
+        if self.one_side_dist is None:  # host path (concrete data)
+            self.one_side_dist = (
+                "pos" if float(jnp.min(x)) >= 0.0
+                else "neg" if float(jnp.max(x)) <= 0.0 else "no"
+            )
+        if self.one_side_dist != "no":
+            return self._search_1d(x)
+        return self._search_2d(x)
+
+    def _combine(self, cur_min, cur_max):
+        if self.min_val is None:
+            return cur_min, cur_max
+        return (
+            jnp.minimum(self.min_val, cur_min),
+            jnp.maximum(self.max_val, cur_max),
+        )
+
+
+@dataclasses.dataclass
+class AvgMSEObserver(MSEObserver):
+    """observer.py:522-556: grid search, running mean combine (per-tensor)."""
+
+    def _combine(self, cur_min, cur_max):
+        if self.min_val is None:
+            return cur_min, cur_max
+        c = self._count
+        return (
+            (self.min_val * c + cur_min) / (c + 1),
+            (self.max_val * c + cur_max) / (c + 1),
+        )
+
+
+# ---------------------------------------------------------------------------
+# MSEFast family (observer.py:559-770): scipy bounded scalar minimization —
+# host-side like the reference (scipy.optimize.minimize_scalar)
+
+
+@dataclasses.dataclass
+class MSEFastObserver(RangeObserver):
+    """observer.py:559-699; batches combine by expanding min/max."""
+
+    norm_p: float = 2.0
+    one_side_dist: Optional[str] = None
+
+    def _loss_np(self, x, new_min, new_max):
+        scale, zero = calculate_qparams(
+            jnp.float32(new_min), jnp.float32(new_max),
+            self.bit, self.symmetric,
+        )
+        xq = fake_quant(x, scale, zero, self.bit, self.symmetric)
+        return float(jnp.mean(jnp.abs(xq - x) ** self.norm_p))
+
+    def _search_1d(self, x, x_min, x_max):
+        from scipy.optimize import minimize_scalar
+
+        xrange = max(abs(x_min), x_max)
+
+        def range_loss(r):
+            new_min = 0.0 if self.one_side_dist == "pos" else -r
+            new_max = 0.0 if self.one_side_dist == "neg" else r
+            return self._loss_np(x, new_min, new_max)
+
+        res = minimize_scalar(
+            range_loss, bounds=(min(0.1, 0.01 * xrange), xrange),
+            method="Bounded",
+        )
+        r = res.x
+        best_min = 0.0 if self.one_side_dist == "pos" else -r
+        best_max = 0.0 if self.one_side_dist == "neg" else r
+        return jnp.float32(best_min), jnp.float32(best_max)
+
+    def _search_2d(self, x, x_min, x_max):
+        from scipy.optimize import minimize_scalar
+
+        qmin, qmax = quant_range(self.bit, self.symmetric)
+        xrange = x_max - x_min
+
+        def shift_loss(shift, r):
+            new_min = max(0.0 - shift, x_min)
+            new_max = min(r - shift, x_max)
+            return self._loss_np(x, new_min, new_max)
+
+        def range_loss(r):
+            d = r / float(qmax - qmin)
+            res = minimize_scalar(
+                shift_loss, args=(r,), bounds=(d * qmin, d * qmax),
+                method="Bounded",
+            )
+            return res.fun
+
+        res = minimize_scalar(
+            range_loss, bounds=(min(0.1, 0.01 * xrange), xrange),
+            method="Bounded",
+        )
+        final_range = res.x
+        d = final_range / float(qmax - qmin)
+        sub = minimize_scalar(
+            shift_loss, args=(final_range,), bounds=(d * qmin, d * qmax),
+            method="Bounded",
+        )
+        shift = sub.x
+        return (
+            jnp.float32(max(0.0 - shift, x_min)),
+            jnp.float32(min(final_range - shift, x_max)),
+        )
+
+    def _batch_range(self, x):
+        assert self.ch_axis == -1, "fast search is per-tensor here"
+        x_min, x_max = float(jnp.min(x)), float(jnp.max(x))
+        if self.one_side_dist is None:
+            self.one_side_dist = (
+                "pos" if x_min >= 0.0 else "neg" if x_max <= 0.0 else "no"
+            )
+        if self.one_side_dist != "no" or self.symmetric:
+            return self._search_1d(x, x_min, x_max)
+        return self._search_2d(x, x_min, x_max)
+
+    def _combine(self, cur_min, cur_max):
+        if self.min_val is None:
+            return cur_min, cur_max
+        return (
+            jnp.minimum(self.min_val, cur_min),
+            jnp.maximum(self.max_val, cur_max),
+        )
+
+
+@dataclasses.dataclass
+class AvgMSEFastObserver(MSEFastObserver):
+    """observer.py:702-734 (was missing in round 1)."""
+
+    def _combine(self, cur_min, cur_max):
+        if self.min_val is None:
+            return cur_min, cur_max
+        c = self._count
+        return (
+            (self.min_val * c + cur_min) / (c + 1),
+            (self.max_val * c + cur_max) / (c + 1),
+        )
+
+
+@dataclasses.dataclass
+class EMAMSEFastObserver(MSEFastObserver):
+    """observer.py:737-770 (was missing in round 1)."""
+
+    ema_ratio: float = 0.9
+
+    def _combine(self, cur_min, cur_max):
+        if self.min_val is None:
+            return cur_min, cur_max
+        r = self.ema_ratio
+        return (
+            self.min_val * r + cur_min * (1 - r),
+            self.max_val * r + cur_max * (1 - r),
+        )
+
+
+OBSERVERS = {
+    "minmax": MinMaxObserver,
+    "quantile": QuantileObserver,
+    "lsq_plus": LSQPlusObserver,
+    "avg_minmax": AvgMinMaxObserver,
+    "ema_minmax": EMAMinMaxObserver,
+    "avg_token_quantile": AvgTokenQuantileObserver,
+    "ema_quantile": EMAQuantileObserver,
+    "avg_quantile": AvgQuantileObserver,
+    "mse": MSEObserver,
+    "avg_mse": AvgMSEObserver,
+    "mse_fast": MSEFastObserver,
+    "avg_mse_fast": AvgMSEFastObserver,
+    "ema_mse_fast": EMAMSEFastObserver,
+}
+
+# reference class name ↔ our registry key (CLI accepts either spelling)
+REFERENCE_NAMES = {
+    "MinMaxObserver": "minmax",
+    "QuantileObserver": "quantile",
+    "LSQPlusObserver": "lsq_plus",
+    "AvgMinMaxObserver": "avg_minmax",
+    "EMAMinMaxObserver": "ema_minmax",
+    "AvgTokenQuantileObserver": "avg_token_quantile",
+    "EMAQuantileObserver": "ema_quantile",
+    "AvgQuantileObserver": "avg_quantile",
+    "MSEObserver": "mse",
+    "AvgMSEObserver": "avg_mse",
+    "MSEFastObserver": "mse_fast",
+    "AvgMSEFastObserver": "avg_mse_fast",
+    "EMAMSEFastObserver": "ema_mse_fast",
+}
+
+
+def make_observer(name: str, **kw) -> RangeObserver:
+    name = REFERENCE_NAMES.get(name, name)
+    return OBSERVERS[name](**kw)

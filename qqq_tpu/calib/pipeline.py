@@ -118,6 +118,59 @@ def quantize_result_to_linear(
     return p
 
 
+def save_quantizers(path: str, records: Dict[str, Any]) -> None:
+    """Persist the per-linear GPTQ results (q4 codes + scales + losses) —
+    the quantizers.pth analogue (reference apply_gptq.py:34), but
+    self-contained: packing can resume from this file alone."""
+    import numpy as np
+
+    np.savez(path, **records)
+    logger.info("saved GPTQ intermediate to %s", path)
+
+
+def pack_from_quantizers(
+    params: Dict[str, Any],
+    config: ModelConfig,
+    spec: QuantSpec,
+    quantizers_path: str,
+) -> Dict[str, Any]:
+    """Rebuild the packed checkpoint from a saved quantizers.npz without
+    re-running GPTQ (resume after a crash between GPTQ and pack)."""
+    import numpy as np
+
+    z = np.load(quantizers_path)
+    out = dict(params)
+    new_layers = []
+    for li, layer in enumerate(params["layers"]):
+        new_layer = dict(layer)
+        for name in (*_QKV, "o_proj", *_GUP, "down_proj"):
+            pre = f"layers.{li}.{name}"
+            res = GPTQResult(
+                w_deq=jnp.zeros((1, 1)),  # unused by packing
+                q4=jnp.asarray(z[f"{pre}.q4"]),
+                scale=jnp.asarray(z[f"{pre}.scale"]),
+                zero=jnp.asarray(z[f"{pre}.zero"]),
+                loss=jnp.float32(z[f"{pre}.loss"]),
+            )
+            new_layer[name] = quantize_result_to_linear(
+                res, spec, layer[name].get("b")
+            )
+        new_layers.append(new_layer)
+    out["layers"] = new_layers
+    if "lm_head.q4" in z.files and params.get("lm_head") is not None:
+        res = GPTQResult(
+            w_deq=jnp.zeros((1, 1)),
+            q4=jnp.asarray(z["lm_head.q4"]),
+            scale=jnp.asarray(z["lm_head.scale"]),
+            zero=jnp.asarray(z["lm_head.zero"]),
+            loss=jnp.float32(z["lm_head.loss"]),
+        )
+        out["lm_head"] = quantize_result_to_linear(
+            res, spec, params["lm_head"].get("b")
+        )
+    return out
+
+
 def apply_gptq(
     params: Dict[str, Any],
     config: ModelConfig,
@@ -132,6 +185,7 @@ def apply_gptq(
     dtype=jnp.bfloat16,
     stream_from_host: bool = False,
     quantize_lm_head: bool = False,
+    quantizers_path: Optional[str] = None,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Quantize all decoder-layer linears of ``params`` in place (functionally).
 
@@ -157,7 +211,10 @@ def apply_gptq(
     if stream_from_host:
         del embed
 
+    import numpy as np
+
     stats: Dict[str, Any] = {"layer_losses": []}
+    quantizer_records: Dict[str, Any] = {}
     new_layers = []
     for li, layer in enumerate(params["layers"]):
         t0 = time.time()
@@ -195,6 +252,12 @@ def apply_gptq(
                 actorder=actorder,
             )
             losses[name] = float(res.loss)
+            if quantizers_path:
+                pre = f"layers.{li}.{name}"
+                quantizer_records[f"{pre}.q4"] = np.asarray(res.q4)
+                quantizer_records[f"{pre}.scale"] = np.asarray(res.scale)
+                quantizer_records[f"{pre}.zero"] = np.asarray(res.zero)
+                quantizer_records[f"{pre}.loss"] = np.float32(res.loss)
             dense = {"w": res.w_deq.astype(dtype)}
             if "b" in lin:
                 dense["b"] = lin["b"]
@@ -240,9 +303,16 @@ def apply_gptq(
             blocksize=blocksize, percdamp=percdamp, actorder=actorder,
         )
         stats["lm_head_loss"] = float(res.loss)
+        if quantizers_path:
+            quantizer_records["lm_head.q4"] = np.asarray(res.q4)
+            quantizer_records["lm_head.scale"] = np.asarray(res.scale)
+            quantizer_records["lm_head.zero"] = np.asarray(res.zero)
+            quantizer_records["lm_head.loss"] = np.float32(res.loss)
         out["lm_head"] = (
             quantize_result_to_linear(res, spec, head.get("b"))
             if pack
             else {"w": res.w_deq.astype(dtype)}
         )
+    if quantizers_path:
+        save_quantizers(quantizers_path, quantizer_records)
     return out, stats

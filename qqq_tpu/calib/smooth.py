@@ -40,10 +40,41 @@ from qqq_tpu.models.config import ModelConfig
 from qqq_tpu.models import llama as M
 
 
+#: observers usable as per-token activation range estimators (ch_axis=0 in
+#: the reference's TokenFixedFakeQuantize; the others assert per-tensor)
+TOKEN_OBSERVERS = ("minmax", "quantile", "lsq_plus", "mse")
+
+
+def _fake_quant_act_observed(
+    x: jax.Array, observer: str, percentile: Optional[float]
+) -> jax.Array:
+    """Per-token fake quant with a selectable range estimator — the
+    reference's TokenFixedFakeQuantize + ``--a_observer`` path
+    (fake_quant.py:168-195, quant_model.py:26-60).  Observer runs with
+    tokens on the channel axis, exactly like the reference's ch_axis=0."""
+    from qqq_tpu.calib.observers import fake_quant, make_observer
+
+    if observer not in TOKEN_OBSERVERS:
+        raise ValueError(
+            f"a_observer {observer!r} is per-tensor only; per-token "
+            f"activation quant supports {TOKEN_OBSERVERS}"
+        )
+    kw = {}
+    if observer == "quantile" and percentile is not None:
+        kw["percentile"] = percentile
+    obs = make_observer(observer, bit=8, symmetric=True, ch_axis=0, **kw)
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    obs.update(xf)
+    scale, zero = obs.qparams()
+    out = fake_quant(xf, scale[:, None], zero[:, None], 8, True)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
 def _fake_quant_act(
     x: jax.Array,
     percentile: Optional[float] = None,
     convention: str = "observer",
+    observer: str = "minmax",
 ) -> jax.Array:
     """Dynamic per-token symmetric INT8 fake quant (the default activation
     quantizer, TokenFixedFakeQuantize, fake_quant.py:168-195).
@@ -57,9 +88,12 @@ def _fake_quant_act(
     qlinear_marlin.py:265-268) — numerically identical except for the
     all-zero-row guard.
 
-    With ``percentile`` set, the per-token scale clips at that |x| quantile
-    instead of the absmax (QuantileObserver semantics, observer.py:153-180).
+    ``observer`` selects the per-token range estimator (reference
+    ``--a_observer``); with ``percentile`` set, quantile token-pruning applies
+    (QuantileObserver semantics, observer.py:153-180).
     """
+    if observer != "minmax":
+        return _fake_quant_act_observed(x, observer, percentile)
     if percentile is not None:
         from qqq_tpu.calib.clipping import fake_quant_act_percentile
 
@@ -74,14 +108,20 @@ def _fake_quant_act(
     return (q * s).reshape(x.shape).astype(x.dtype)
 
 
-def _fake_quant_weight_observer(w: jax.Array, w_spec: QuantSpec) -> jax.Array:
+#: observers usable as per-(out-channel|group-row) weight range estimators
+WEIGHT_OBSERVERS = ("minmax", "lsq_plus", "mse")
+
+
+def _fake_quant_weight_observer(
+    w: jax.Array, w_spec: QuantSpec, observer: str = "minmax"
+) -> jax.Array:
     """Weight fake quant in the reference's *observer* convention
-    (MinMaxObserver + fake_quantize_per_channel_affine, migrator.quantize,
-    migration_llama.py:100-126): symmetric, quant range ±(2^(b-1)-1) = ±7
-    (observer.py:36-42), scale = absmax / 7; per out-channel, or per
+    (migrator.quantize, migration_llama.py:100-126): symmetric, quant range
+    ±(2^(b-1)-1) = ±7 (observer.py:36-42); per out-channel, or per
     (out, group) row for GroupFixedQuantize.  Note this differs from the
     GPTQ-stage per-group convention ([0,15] affine, gptq/quant.py:85-88) —
-    the reference itself uses both, per stage."""
+    the reference itself uses both, per stage.  ``observer`` selects the
+    range estimator (reference ``--w_observer``)."""
     K, N = w.shape
     maxq = 2 ** (w_spec.bits - 1) - 1
     if w_spec.per_channel:
@@ -91,10 +131,24 @@ def _fake_quant_weight_observer(w: jax.Array, w_spec: QuantSpec) -> jax.Array:
         # reference reshapes the (N, K) weight to (-1, group_size): each row
         # is one contiguous K-group of one output channel
         y = w.astype(jnp.float32).T.reshape(-1, g)
-    absmax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
-    s = jnp.maximum(absmax / maxq, 1.1920929e-07)
-    q = jnp.clip(jnp.round(y / s), -maxq, maxq)
-    deq = q * s
+    if observer == "minmax":
+        absmax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+        s = jnp.maximum(absmax / maxq, 1.1920929e-07)
+        deq = jnp.clip(jnp.round(y / s), -maxq, maxq) * s
+    else:
+        from qqq_tpu.calib.observers import fake_quant, make_observer
+
+        if observer not in WEIGHT_OBSERVERS:
+            raise ValueError(
+                f"w_observer {observer!r} unsupported; pick one of "
+                f"{WEIGHT_OBSERVERS}"
+            )
+        obs = make_observer(
+            observer, bit=w_spec.bits, symmetric=True, ch_axis=0
+        )
+        obs.update(y)
+        scale, zero = obs.qparams()
+        deq = fake_quant(y, scale[:, None], zero[:, None], w_spec.bits, True)
     if w_spec.per_channel:
         return deq.T.astype(w.dtype)
     return deq.reshape(N, K).T.astype(w.dtype)
@@ -148,9 +202,14 @@ def _quantized_output(
     extra: Dict[str, Any],
 ) -> jax.Array:
     convention = extra.get("convention", "observer")
-    xq = _fake_quant_act(x, extra.get("a_percentile"), convention)
+    xq = _fake_quant_act(
+        x, extra.get("a_percentile"), convention,
+        extra.get("a_observer", "minmax"),
+    )
     if convention == "observer":
-        wq = _fake_quant_weight_observer(w, w_spec)
+        wq = _fake_quant_weight_observer(
+            w, w_spec, extra.get("w_observer", "minmax")
+        )
     else:
         wq = fake_quantize_weight(w, w_spec).astype(w.dtype)
     return _sub_block_output(module_type, xq, wq, extra)
@@ -266,10 +325,16 @@ def smooth_model(
     w_spec: QuantSpec = QuantSpec(bits=4, group_size=-1),
     n_grid: Optional[int] = None,
     a_percentile: Optional[float] = None,
+    a_observer: str = "minmax",
+    w_observer: str = "minmax",
 ) -> List[jax.Array]:
     """Run the migration searches through the model, returning scale_list
     in the reference's order: [qkv, o, gate_up, down] × layers
-    (migration_llama.py:13, export.py:8-48)."""
+    (migration_llama.py:13, export.py:8-48).
+
+    ``a_observer``/``w_observer`` select the activation/weight range
+    estimators used in the quantized replays (reference ``--a_observer`` /
+    ``--w_observer``, quant_model.py:26-117)."""
     B, T = calib_tokens.shape
     inv_freq = M.rope_inv_freq(config)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
@@ -284,6 +349,8 @@ def smooth_model(
             "positions": positions,
             "inv_freq": inv_freq,
             "a_percentile": a_percentile,
+            "a_observer": a_observer,
+            "w_observer": w_observer,
         }
         # ---- attention: qkv migration on the post-ln input
         h = M.rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)

@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--tokenizer_path", default=None)
     p.add_argument("--eval_ppl", action="store_true")
     p.add_argument("--ppl_dataset", default="wikitext2")
+    p.add_argument("--allow_synthetic", action="store_true",
+                   help="permit the random-token fallback when the dataset "
+                        "can't be fetched (smoke runs only)")
     p.add_argument("--tasks", default="")
     p.add_argument("--max_length", type=int, default=2048)
     p.add_argument("--max_windows", type=int, default=0)
@@ -89,6 +92,7 @@ def main():
             seed=0,
             seqlen=args.max_length,
             vocab_size=config.vocab_size,
+            allow_synthetic=args.allow_synthetic,
         )
         ppl = perplexity(
             params, config, testenc,
@@ -103,6 +107,7 @@ def main():
         task_results = run_tasks(
             params, config, args.tokenizer_path,
             args.tasks.split(","), limit=args.limit,
+            num_fewshot=args.num_fewshot,
         )
         results.update(task_results)
 

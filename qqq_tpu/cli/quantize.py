@@ -28,6 +28,19 @@ def str2bool(v: str) -> bool:
     return str(v).lower() in ("1", "true", "yes", "y")
 
 
+def _canon_observer(name: str) -> str:
+    """Accept both our registry keys and reference class names."""
+    from qqq_tpu.calib.observers import OBSERVERS, REFERENCE_NAMES
+
+    canon = REFERENCE_NAMES.get(name, name)
+    if canon not in OBSERVERS:
+        raise SystemExit(
+            f"unknown observer {name!r}; choose from "
+            f"{sorted(OBSERVERS)} (or reference class names)"
+        )
+    return canon
+
+
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", required=True)
@@ -39,6 +52,12 @@ def parse_args():
     p.add_argument("--w_group_size", type=int, default=-1)
     # calib data (quant_model.py:226-266)
     p.add_argument("--calib_dataset", default="wikitext2")
+    p.add_argument("--custom_dataset", default=None,
+                   help="local text/jsonl[.zst] calibration file "
+                        "(reference --custom_dataset)")
+    p.add_argument("--allow_synthetic", action="store_true",
+                   help="permit the random-token fallback when the dataset "
+                        "can't be fetched (smoke runs only)")
     p.add_argument("--nsamples", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_length", type=int, default=2048)
@@ -50,10 +69,15 @@ def parse_args():
     p.add_argument("--smooth_method", default="none",
                    choices=["os+", "awq", "sq", "none"])
     p.add_argument("--a_observer", default="minmax",
-                   choices=["minmax", "quantile"],
-                   help="activation range estimator during smoothing")
+                   help="activation range estimator during smoothing: one "
+                        "of the per-token-capable observers "
+                        "(minmax|quantile|lsq_plus|mse), reference class "
+                        "names accepted (quant_model.py:34-39)")
     p.add_argument("--a_percentile", type=float, default=0.999,
                    help="clip quantile when --a_observer quantile")
+    p.add_argument("--w_observer", default="minmax",
+                   help="weight range estimator during smoothing: "
+                        "minmax|lsq_plus|mse (quant_model.py:82-88)")
     # gptq (quant_model.py:155-207)
     p.add_argument("--gptq_mse", type=str2bool, default=False)
     p.add_argument("--gptq_groupsize", type=int, default=None)
@@ -66,6 +90,18 @@ def parse_args():
     p.add_argument("--quantize_lm_head", type=str2bool, default=False,
                    help="also W4A8-quantize the LM head (beyond-reference "
                         "option; the reference keeps it FP)")
+    # GPTQ intermediate artifact (apply_gptq.py:34 quantizers.pth analogue)
+    p.add_argument("--save_quantizers", type=str2bool, default=True,
+                   help="save <save_path>_quantizers.npz (per-linear q4 "
+                        "codes + scales) for pack-only resume")
+    p.add_argument("--quantizers_path", default=None)
+    p.add_argument("--pack_only", action="store_true",
+                   help="skip calibration/GPTQ; rebuild the packed "
+                        "checkpoint from --quantizers_path")
+    p.add_argument("--save_format", default="native",
+                   choices=["native", "marlin"],
+                   help="'marlin' writes a reference/vLLM-loadable "
+                        "checkpoint (qlinear_marlin.py buffer layout)")
     return p.parse_args()
 
 
@@ -92,6 +128,52 @@ def main():
             "the model on a multi-chip mesh or a larger host first"
         )
 
+    spec = QuantSpec(
+        bits=args.wbits, group_size=args.w_group_size, mse=args.gptq_mse
+    )
+    quantizers_path = args.quantizers_path or (
+        args.save_path + "_quantizers.npz"
+    )
+
+    if args.pack_only:
+        # resume after a crash between GPTQ and pack (apply_gptq.py:34's
+        # quantizers.pth analogue): re-apply the deterministic transforms
+        # (rotation is seeded; smooth scales come from scale_list.npz),
+        # then pack straight from the saved codes — no GPTQ re-run.
+        from qqq_tpu.calib.pipeline import pack_from_quantizers
+
+        if args.rotate != "none":
+            params = fuse_layer_norms(params, config)
+            params, _ = rotate_model(
+                params, config, mode=args.rotate, seed=args.seed
+            )
+        sl_path = f"{args.save_path}_scale_list.npz"
+        if args.smooth_method != "none":
+            z = np.load(sl_path)
+            scale_list = [jnp.asarray(z[k]) for k in z.files]
+            params = export_smoothed_model(params, config, scale_list)
+        params = pack_from_quantizers(params, config, spec, quantizers_path)
+        if args.save_format == "marlin":
+            from qqq_tpu.models.marlin_compat import save_marlin_checkpoint
+
+            save_marlin_checkpoint(
+                args.save_path, params, config, group_size=args.w_group_size
+            )
+        else:
+            save_quantized(
+                args.save_path, params, config,
+                {
+                    "quant_method": "qqq",
+                    "wbits": args.wbits,
+                    "group_size": args.w_group_size,
+                    "rotation": args.rotate,
+                    "smooth_method": args.smooth_method,
+                },
+            )
+        logger.info("re-packed from %s in %.1fs", quantizers_path,
+                    time.time() - t0)
+        return
+
     calib, _ = get_loaders(
         args.calib_dataset,
         tokenizer_path=args.tokenizer_path,
@@ -99,10 +181,8 @@ def main():
         seed=args.seed,
         seqlen=args.max_length,
         vocab_size=config.vocab_size,
-    )
-
-    spec = QuantSpec(
-        bits=args.wbits, group_size=args.w_group_size, mse=args.gptq_mse
+        allow_synthetic=args.allow_synthetic,
+        custom_data_path=args.custom_dataset,
     )
 
     Q = None
@@ -120,8 +200,11 @@ def main():
             params, config, jnp.asarray(calib[:1]),
             method=args.smooth_method, w_spec=spec,
             a_percentile=(
-                args.a_percentile if args.a_observer == "quantile" else None
+                args.a_percentile
+                if "uantile" in args.a_observer else None
             ),
+            a_observer=_canon_observer(args.a_observer),
+            w_observer=_canon_observer(args.w_observer),
         )
         np.savez(
             f"{args.save_path}_scale_list.npz",
@@ -143,21 +226,29 @@ def main():
         dtype=dtype,
         stream_from_host=args.offload,
         quantize_lm_head=args.quantize_lm_head,
+        quantizers_path=(quantizers_path if args.save_quantizers else None),
     )
 
-    save_quantized(
-        args.save_path, params, config,
-        {
-            "quant_method": "qqq",       # quant_model.py:323-327
-            "wbits": args.wbits,
-            "group_size": args.w_group_size,
-            "rotation": args.rotate,
-            "smooth_method": args.smooth_method,
-        },
-    )
+    if args.save_format == "marlin":
+        from qqq_tpu.models.marlin_compat import save_marlin_checkpoint
+
+        save_marlin_checkpoint(
+            args.save_path, params, config, group_size=args.w_group_size
+        )
+    else:
+        save_quantized(
+            args.save_path, params, config,
+            {
+                "quant_method": "qqq",       # quant_model.py:323-327
+                "wbits": args.wbits,
+                "group_size": args.w_group_size,
+                "rotation": args.rotate,
+                "smooth_method": args.smooth_method,
+            },
+        )
     logger.info(
-        "saved quantized checkpoint to %s (total %.1fs)",
-        args.save_path, time.time() - t0,
+        "saved quantized checkpoint (%s format) to %s (total %.1fs)",
+        args.save_format, args.save_path, time.time() - t0,
     )
 
 

@@ -32,12 +32,12 @@ def _hellaswag_preprocess(text: str) -> str:
     return text
 
 
-def _load_task(name: str, limit: int):
+def _load_task(name: str, limit: int, split: str = "validation"):
     """Yields (context, [choices], gold_idx)."""
     from datasets import load_dataset
 
     if name == "piqa":
-        ds = load_dataset("piqa", split="validation")
+        ds = load_dataset("piqa", split=split)
         for i, ex in enumerate(ds):
             if limit and i >= limit:
                 break
@@ -48,7 +48,7 @@ def _load_task(name: str, limit: int):
             )
     elif name in ("arc_easy", "arc_challenge"):
         sub = "ARC-Easy" if name == "arc_easy" else "ARC-Challenge"
-        ds = load_dataset("allenai/ai2_arc", sub, split="validation")
+        ds = load_dataset("allenai/ai2_arc", sub, split=split)
         for i, ex in enumerate(ds):
             if limit and i >= limit:
                 break
@@ -61,7 +61,7 @@ def _load_task(name: str, limit: int):
                 labels.index(ex["answerKey"]),
             )
     elif name == "hellaswag":
-        ds = load_dataset("hellaswag", split="validation")
+        ds = load_dataset("hellaswag", split=split)
         for i, ex in enumerate(ds):
             if limit and i >= limit:
                 break
@@ -73,7 +73,7 @@ def _load_task(name: str, limit: int):
                 int(ex["label"]),
             )
     elif name == "winogrande":
-        ds = load_dataset("winogrande", "winogrande_xl", split="validation")
+        ds = load_dataset("winogrande", "winogrande_xl", split=split)
         for i, ex in enumerate(ds):
             if limit and i >= limit:
                 break
@@ -88,8 +88,36 @@ def _load_task(name: str, limit: int):
         raise ValueError(f"unknown task {name!r}")
 
 
+def _example_text(ctx, choices, gold) -> str:
+    """Render one solved example for a few-shot prefix (lm_eval's
+    fewshot_context: doc text + gold continuation)."""
+    if isinstance(ctx, tuple) and ctx[0] == "winogrande":
+        _, sentence, idx = ctx
+        return (
+            sentence[:idx].strip() + " " + choices[gold]
+            + sentence[idx + 1:]
+        )
+    return ctx + choices[gold]
+
+
+def fewshot_prefix(task: str, k: int, seed: int = 1234) -> str:
+    """k solved TRAIN-split examples joined by the lm_eval delimiter
+    "\\n\\n" (eval_model.py:110-116 passes num_fewshot to lm_eval; lm_eval
+    0.4.2 samples fewshot docs from the training split, rnd seed 1234)."""
+    if k <= 0:
+        return ""
+    import random as _random
+
+    examples = list(_load_task(task, limit=max(200, 5 * k), split="train"))
+    rnd = _random.Random(seed)
+    rnd.shuffle(examples)
+    shots = examples[:k]
+    return "\n\n".join(_example_text(*ex) for ex in shots) + "\n\n"
+
+
 def run_tasks(
-    params, config, tokenizer_path: str, tasks: List[str], limit: int = 0
+    params, config, tokenizer_path: str, tasks: List[str], limit: int = 0,
+    num_fewshot: int = 0,
 ) -> Dict[str, float]:
     from transformers import AutoTokenizer
 
@@ -101,6 +129,7 @@ def run_tasks(
         task = task.strip()
         try:
             examples = list(_load_task(task, limit))
+            prefix = fewshot_prefix(task, num_fewshot)
         except Exception as e:
             logger.warning("task %s unavailable (%s); skipping", task, e)
             continue
@@ -112,12 +141,12 @@ def run_tasks(
             for choice in choices:
                 if isinstance(ctx, tuple) and ctx[0] == "winogrande":
                     _, sentence, idx = ctx
-                    context = sentence[:idx].strip() + " " + choice
+                    context = prefix + sentence[:idx].strip() + " " + choice
                     cont_text = sentence[idx + 1 :]
                     c_toks = tok(context).input_ids
                 else:
                     cont_text = choice
-                    c_toks = tok(ctx).input_ids
+                    c_toks = tok(prefix + ctx).input_ids
                 t_toks = tok(cont_text, add_special_tokens=False).input_ids
                 pairs.append((c_toks, t_toks))
                 meta.append((ex_i, len(cont_text)))

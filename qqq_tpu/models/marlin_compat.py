@@ -251,3 +251,85 @@ def load_qqq_hf_checkpoint(
             "w": jnp.asarray(fp("lm_head.weight").T, dtype=dtype)
         }
     return params, config
+
+
+def save_marlin_checkpoint(
+    out_path: str,
+    params: Dict[str, Any],
+    config,
+    *,
+    group_size: int,
+) -> None:
+    """Export OUR packed params as a reference/vLLM-loadable QQQ checkpoint
+    (the format QuantizedLlamaForCausalLM.from_pretrained expects,
+    gptq/models/llama.py:333-341 + qlinear_marlin.py:97-133): per linear
+    ``B``/``s_channel``[/``s_group``] buffers in Marlin layout, fp16 FP
+    weights, and config.json quantization_config per quant_model.py:323-331.
+
+    Per-group note: our native format keeps FULL fp32 group scales; the
+    Marlin format stores fp16 double scales (scale/s_extra), so the export
+    rounds through fp16 exactly like the reference's own pack()
+    (qlinear_marlin.py:209-210).
+    """
+    from safetensors.numpy import save_file
+
+    from qqq_tpu.core.packing import PACK_BLOCK  # noqa: F401 (doc anchor)
+    from qqq_tpu.native import unpack_int4_host
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def put_fp(key: str, arr) -> None:
+        # ascontiguousarray: astype(order='K') keeps a transposed view's
+        # F-layout and safetensors serializes the raw buffer as C-order
+        flat[key] = np.ascontiguousarray(
+            np.asarray(arr, np.float32).astype(np.float16)
+        )
+
+    def put_linear(prefix: str, lin: Dict[str, Any]) -> None:
+        assert "w_packed" in lin, f"{prefix} is not packed W4A8"
+        q4 = unpack_int4_host(np.asarray(lin["w_packed"]))
+        K, N = q4.shape
+        if group_size == -1:
+            scale = np.asarray(lin["s_channel"], np.float32).reshape(1, N)
+        else:
+            scale = np.asarray(lin["s_group"], np.float32)
+        B, s_channel, s_group = pack_marlin(q4, scale, group_size=group_size)
+        flat[f"{prefix}.B"] = B
+        flat[f"{prefix}.s_channel"] = s_channel.astype(np.float32)
+        if group_size != -1:
+            flat[f"{prefix}.s_group"] = s_group.astype(np.float16)
+        if "b" in lin:
+            put_fp(f"{prefix}.bias", lin["b"])
+
+    for i, layer in enumerate(params["layers"]):
+        pre = f"model.layers.{i}"
+        put_fp(f"{pre}.input_layernorm.weight", layer["input_layernorm"])
+        put_fp(
+            f"{pre}.post_attention_layernorm.weight",
+            layer["post_attention_layernorm"],
+        )
+        for ours, theirs in _MARLIN_LINEARS:
+            put_linear(f"{pre}.{theirs}", layer[ours])
+
+    put_fp("model.embed_tokens.weight", params["embed"])
+    put_fp("model.norm.weight", params["norm"])
+    head = params.get("lm_head")
+    if head is not None:
+        assert "w" in head, (
+            "marlin export keeps the LM head FP (reference "
+            "models/llama.py:306) — re-run without --quantize_lm_head"
+        )
+        put_fp("lm_head.weight", np.asarray(head["w"], np.float32).T)
+
+    os.makedirs(out_path, exist_ok=True)
+    save_file(flat, os.path.join(out_path, "model.safetensors"))
+    cfg = dict(config.__dict__)
+    cfg["model_type"] = "llama"
+    cfg["architectures"] = ["LlamaForCausalLM"]
+    cfg["quantization_config"] = {  # quant_model.py:323-327
+        "group_size": group_size,
+        "quant_method": "qqq",
+        "wbits": 4,
+    }
+    with open(os.path.join(out_path, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)

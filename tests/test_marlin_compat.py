@@ -242,3 +242,79 @@ def test_reference_checkpoint_loads_end_to_end(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(want), atol=0.05 * scale
     )
+
+
+@pytest.mark.parametrize("group_size", [-1, 128])
+def test_marlin_export_roundtrip_cli(rng, tmp_path, group_size):
+    """our pipeline → --save_format marlin → our marlin loader: logits must
+    match the native-format checkpoint (VERDICT r1 next #6).  The exported
+    checkpoint has exactly the reference's buffer names/shapes
+    (qlinear_marlin.py:97-133), so the reference's from_pretrained
+    (gptq/models/llama.py:333-341) would accept it."""
+    import sys
+
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from qqq_tpu.cli.quantize import main as quantize_main
+    from qqq_tpu.cli.eval import load_any
+    from qqq_tpu.models import forward
+    from safetensors import safe_open
+
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, torch_dtype="float32",
+    ))
+    src = str(tmp_path / "src")
+    hf.save_pretrained(src)
+
+    def run(argv):
+        old = sys.argv
+        sys.argv = ["prog"] + argv
+        try:
+            quantize_main()
+        finally:
+            sys.argv = old
+
+    base = [
+        "--model_path", src, "--calib_dataset", "synthetic",
+        "--nsamples", "2", "--max_length", "16", "--dtype", "float32",
+        "--w_group_size", str(group_size),
+    ]
+    native = str(tmp_path / "native")
+    marlin = str(tmp_path / "marlin")
+    run(base + ["--save_path", native])
+    run(base + ["--save_path", marlin, "--save_format", "marlin"])
+
+    # exported buffers carry the reference names and dtypes
+    with safe_open(f"{marlin}/model.safetensors", framework="np") as f:
+        keys = set(f.keys())
+        assert "model.layers.0.self_attn.q_proj.B" in keys
+        assert "model.layers.0.self_attn.q_proj.s_channel" in keys
+        assert ("model.layers.0.self_attn.q_proj.s_group" in keys) == (
+            group_size != -1
+        )
+        B = f.get_tensor("model.layers.0.self_attn.q_proj.B")
+        assert B.dtype == np.int32 and B.shape == (128 // 16, 128 * 16 // 8)
+
+    pn, cn = load_any(native, jnp.float32)
+    pm, cm = load_any(marlin, jnp.float32)
+    toks = jnp.asarray(rng.integers(0, 128, size=(2, 8)).astype(np.int32))
+    ln, _ = forward(pn, cn, toks)
+    lm, _ = forward(pm, cm, toks)
+    scale = float(np.abs(np.asarray(ln)).max())
+    if group_size == -1:
+        # quantized weights round-trip exactly (fp32 scales); the residual
+        # is fp16 storage of the FP tensors (embed/head/norms) — the Marlin
+        # checkpoint format's own precision (reference stores half)
+        np.testing.assert_allclose(
+            np.asarray(lm), np.asarray(ln), atol=1.5e-2 * scale
+        )
+    else:
+        # per-group rounds through fp16 double scales (the Marlin format's
+        # own precision, qlinear_marlin.py:209-210)
+        np.testing.assert_allclose(
+            np.asarray(lm), np.asarray(ln), atol=2e-2 * scale
+        )

@@ -57,12 +57,19 @@ def test_ema_minmax(rng):
     assert float(obs.min_val) == pytest.approx(0.5 * -1 + 0.5 * -5)
 
 
-def test_quantile_clips_outliers(rng):
-    x = rng.normal(size=(10000,)).astype(np.float32)
-    x[0] = 1000.0
-    obs = make_observer("quantile", ch_axis=-1, percentile=0.99)
+def test_quantile_prunes_outlier_tokens(rng):
+    """Reference QuantileObserver semantics: per-tensor is plain minmax;
+    token-axis (ch_axis=0) prunes outlier TOKENS at the percentile
+    (observer.py:85-93, 153-180)."""
+    x = rng.normal(size=(200, 32)).astype(np.float32)
+    x[0, :] = 1000.0  # one outlier token
+    obs = make_observer("quantile", ch_axis=0, percentile=0.98)
     obs.update(jnp.asarray(x))
-    assert float(obs.max_val) < 10.0  # outlier clipped away
+    assert float(jnp.max(obs.max_val)) < 10.0  # outlier token clipped
+    # per-tensor path keeps the reference's plain-minmax behavior
+    obs2 = make_observer("quantile", ch_axis=-1, percentile=0.98)
+    obs2.update(jnp.asarray(x))
+    assert float(obs2.max_val) == pytest.approx(1000.0)
 
 
 def test_per_channel_axis(rng):
