@@ -162,6 +162,10 @@ def annotate_legacy_attrs(fp_model):
     HF modules (they were moved onto config in newer transformers)."""
     cfg = fp_model.config
     head_dim = cfg.hidden_size // cfg.num_attention_heads
+    # old LlamaModel registered a causal_mask buffer; the mirror copies it
+    # (smooth/models/llama.py:423) but our patched _update_causal_mask
+    # rebuilds the mask, so None is fine
+    fp_model.model.causal_mask = None
     for layer in fp_model.model.layers:
         at = layer.self_attn
         at.hidden_size = cfg.hidden_size
