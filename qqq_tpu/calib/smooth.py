@@ -44,6 +44,51 @@ from qqq_tpu.models import llama as M
 #: the reference's TokenFixedFakeQuantize; the others assert per-tensor)
 TOKEN_OBSERVERS = ("minmax", "quantile", "lsq_plus", "mse")
 
+#: the reference's activation fake-quantizer menu (fake_quant.py:59-195):
+#:   token       TokenFixedFakeQuantize  — dynamic per-token (default)
+#:   tensor      FixedFakeQuantize       — one scale for the whole tensor
+#:   group       GroupFixedFakeQuantize  — per (token, channel-group) row
+#:   token_group TokenGroupFixedFakeQuantize — per channel-group, shared
+#:                                         across tokens (X.t()-major rows)
+A_QUANTIZERS = ("token", "tensor", "group", "token_group")
+
+A_QUANTIZER_REFERENCE_NAMES = {
+    "TokenFixedFakeQuantize": "token",
+    "FixedFakeQuantize": "tensor",
+    "GroupFixedFakeQuantize": "group",
+    "TokenGroupFixedFakeQuantize": "token_group",
+}
+
+
+def _fake_quant_act_grouped(
+    x: jax.Array, quantizer: str, group_size: int
+) -> jax.Array:
+    """GroupFixedFakeQuantize / TokenGroupFixedFakeQuantize /
+    FixedFakeQuantize (fake_quant.py:59-165), observer convention
+    (symmetric ±127, MinMaxObserver rows)."""
+    from qqq_tpu.calib.observers import fake_quant
+
+    C = x.shape[-1]
+    xf = x.reshape(-1, C).astype(jnp.float32)
+    if quantizer == "tensor":
+        absmax = jnp.max(jnp.abs(xf))
+        s = jnp.maximum(absmax / 127.0, 1.1920929e-07)
+        return fake_quant(xf, s, 0.0, 8, True).reshape(x.shape).astype(x.dtype)
+    assert C % group_size == 0, (C, group_size)
+    if quantizer == "group":
+        # rows = every (token, channel-group) pair (fake_quant.py:115-117)
+        y = xf.reshape(-1, group_size)
+    else:  # token_group: rows = channel groups over all tokens (:146-148)
+        y = xf.T.reshape(C // group_size, -1)
+    absmax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+    s = jnp.maximum(absmax / 127.0, 1.1920929e-07)
+    deq = fake_quant(y, s, 0.0, 8, True)
+    if quantizer == "group":
+        out = deq.reshape(-1, C)
+    else:
+        out = deq.reshape(C, -1).T
+    return out.reshape(x.shape).astype(x.dtype)
+
 
 def _fake_quant_act_observed(
     x: jax.Array, observer: str, percentile: Optional[float]
@@ -202,10 +247,16 @@ def _quantized_output(
     extra: Dict[str, Any],
 ) -> jax.Array:
     convention = extra.get("convention", "observer")
-    xq = _fake_quant_act(
-        x, extra.get("a_percentile"), convention,
-        extra.get("a_observer", "minmax"),
-    )
+    a_quantizer = extra.get("a_quantizer", "token")
+    if a_quantizer != "token":
+        xq = _fake_quant_act_grouped(
+            x, a_quantizer, extra.get("a_group_size", 128)
+        )
+    else:
+        xq = _fake_quant_act(
+            x, extra.get("a_percentile"), convention,
+            extra.get("a_observer", "minmax"),
+        )
     if convention == "observer":
         wq = _fake_quant_weight_observer(
             w, w_spec, extra.get("w_observer", "minmax")
@@ -327,6 +378,8 @@ def smooth_model(
     a_percentile: Optional[float] = None,
     a_observer: str = "minmax",
     w_observer: str = "minmax",
+    a_quantizer: str = "token",
+    a_group_size: int = 128,
 ) -> List[jax.Array]:
     """Run the migration searches through the model, returning scale_list
     in the reference's order: [qkv, o, gate_up, down] × layers
@@ -351,6 +404,8 @@ def smooth_model(
             "a_percentile": a_percentile,
             "a_observer": a_observer,
             "w_observer": w_observer,
+            "a_quantizer": a_quantizer,
+            "a_group_size": a_group_size,
         }
         # ---- attention: qkv migration on the post-ln input
         h = M.rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)

@@ -28,6 +28,20 @@ def str2bool(v: str) -> bool:
     return str(v).lower() in ("1", "true", "yes", "y")
 
 
+def _canon_a_quantizer(name: str) -> str:
+    from qqq_tpu.calib.smooth import (
+        A_QUANTIZER_REFERENCE_NAMES, A_QUANTIZERS,
+    )
+
+    canon = A_QUANTIZER_REFERENCE_NAMES.get(name, name)
+    if canon not in A_QUANTIZERS:
+        raise SystemExit(
+            f"unknown a_quantizer {name!r}; choose from {A_QUANTIZERS} "
+            "(or reference class names)"
+        )
+    return canon
+
+
 def _canon_observer(name: str) -> str:
     """Accept both our registry keys and reference class names."""
     from qqq_tpu.calib.observers import OBSERVERS, REFERENCE_NAMES
@@ -68,6 +82,12 @@ def parse_args():
     # smooth (quant_model.py:119-152)
     p.add_argument("--smooth_method", default="none",
                    choices=["os+", "awq", "sq", "none"])
+    p.add_argument("--a_quantizer", default="token",
+                   help="activation fake-quantizer during smoothing: "
+                        "token|tensor|group|token_group (reference class "
+                        "names accepted, fake_quant.py:59-195)")
+    p.add_argument("--a_group_size", type=int, default=128,
+                   help="channel-group size for group/token_group")
     p.add_argument("--a_observer", default="minmax",
                    help="activation range estimator during smoothing: one "
                         "of the per-token-capable observers "
@@ -205,6 +225,8 @@ def main():
             ),
             a_observer=_canon_observer(args.a_observer),
             w_observer=_canon_observer(args.w_observer),
+            a_quantizer=_canon_a_quantizer(args.a_quantizer),
+            a_group_size=args.a_group_size,
         )
         np.savez(
             f"{args.save_path}_scale_list.npz",

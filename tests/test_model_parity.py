@@ -125,3 +125,38 @@ def test_prefill_decode_matches_full(rng, quantized):
     tol = 5e-2 if quantized else 1e-4
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=tol * scale)
+
+
+def test_chunked_prefill_int8_cache_matches_full(rng):
+    """Two-chunk prefill over the INT8 cache (T>1 with cache_len>0 → the
+    causal flash kernel path) ≈ full forward."""
+    import jax
+
+    config = ModelConfig(
+        vocab_size=97,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+    )
+    params = init_params(config, jax.random.PRNGKey(1), dtype=jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, 97, size=(2, 12)).astype(np.int32))
+    full_logits, _ = forward(params, config, tokens)
+
+    caches = kv_cache.init(
+        config, batch=2, max_len=32, quantized=True, dtype=jnp.float32
+    )
+    positions = jnp.broadcast_to(jnp.arange(12, dtype=jnp.int32)[None], (2, 12))
+    _, caches = forward(
+        params, config, tokens[:, :5], positions=positions[:, :5],
+        caches=caches, cache_len=jnp.zeros((2,), jnp.int32),
+    )
+    chunk_logits, caches = forward(
+        params, config, tokens[:, 5:12], positions=positions[:, 5:12],
+        caches=caches, cache_len=jnp.full((2,), 5, jnp.int32),
+    )
+    got = np.asarray(chunk_logits)
+    want = np.asarray(full_logits[:, 5:12])
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=5e-2 * scale)

@@ -457,3 +457,45 @@ def test_rotated_model_forward_invariance_vs_reference(ref):
     np.testing.assert_allclose(
         np.asarray(logits_ours), logits_ref, rtol=2e-3, atol=2e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# Fake-quantizer menu (fake_quant.py:59-195)
+
+
+@pytest.mark.parametrize("quantizer,ref_cls", [
+    ("token", "TokenFixedFakeQuantize"),
+    ("group", "GroupFixedFakeQuantize"),
+    ("token_group", "TokenGroupFixedFakeQuantize"),
+])
+def test_act_fake_quantizer_matches_reference(rng, ref, quantizer, ref_cls):
+    """Each activation fake-quantizer variant (was missing for token_group,
+    VERDICT r1 #4) vs the reference class with a MinMaxObserver."""
+    from qqq_tpu.calib.smooth import (
+        _fake_quant_act, _fake_quant_act_grouped,
+    )
+
+    B, T, C, g = 2, 8, 256, 128
+    x = (rng.normal(size=(B, T, C)) * 2).astype(np.float32)
+    x[:, :, 3] *= 9.0
+
+    import QQQ.smooth.quantization.fake_quant as ref_fq  # noqa: E501
+
+    if quantizer == "token":
+        q = ref_fq.TokenFixedFakeQuantize(
+            ref.observer.MinMaxObserver, bit=8, symmetric=True, ch_axis=0
+        )
+    else:
+        q = getattr(ref_fq, ref_cls)(
+            ref.observer.MinMaxObserver, bit=8, symmetric=True, ch_axis=0,
+            group_size=g,
+        )
+    q.enable_observer()
+    q.enable_fake_quant()
+    want = q(torch.tensor(x)).numpy()
+
+    if quantizer == "token":
+        got = np.asarray(_fake_quant_act(jnp.asarray(x)))
+    else:
+        got = np.asarray(_fake_quant_act_grouped(jnp.asarray(x), quantizer, g))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
