@@ -4,14 +4,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 2.0 — the BASELINE.json north star is ≥2× BF16
 decode tokens/s/chip for Llama-2-7B W4A8 on v5e.
 
-Methodology: FULL-model decode in both precisions (a single measured layer
-replicated 32× — HBM traffic is address-independent, so a full 7B in BF16
-(13.5 GB) and in W4A8 (3.6 GB) never need to coexist), INT8 KV cache at
-context 1024 threaded through a lax.scan carry (XLA aliases the cache buffers
-in place — untied caches would add a ~300 MB copy per step).  Per-step time is
-the slope between 32- and 128-step scans, fenced by a scalar fetch (the
-tunneled runtime acks dispatches early; wall-clock around block_until_ready is
-meaningless — see utils/benchmark.py).
+Methodology: FULL-model decode in both precisions with **32 genuinely
+distinct layers** (w4a8 packed 7B ≈ 3.6 GB; bf16 13.5 GB exceeds v5e HBM
+next to the cache, so bf16 runs 16 distinct layers × 2 passes — identical
+per-step HBM bytes).  INT8 KV cache at context 1024 threads through a
+lax.scan carry (XLA aliases the cache buffers in place — untied caches
+would add a ~300 MB copy per step).  Per-step time is the slope between
+32- and 128-step scans, fenced by a scalar fetch (the tunneled runtime
+acks dispatches early; wall-clock around block_until_ready is meaningless
+— see utils/benchmark.py).
+
+``--replicated`` switches to the r1 methodology (ONE measured layer looped
+32× inside the jit).  Measured r2: replicated reports 4.05× vs the honest
+3.27× — a single layer's weights (~110 MB) partially persist on-chip
+across scan steps, implying >HBM-roofline bandwidth for the w4a8 pass;
+kept as a cross-check only, never the headline.
 """
 
 from __future__ import annotations
@@ -25,9 +32,14 @@ import numpy as np
 
 
 def build_layer(key, config, dtype=jnp.bfloat16):
+    """ONE random decoder layer (init a depth-1 config — a full-depth
+    init_params would materialize all 32 bf16 layers for nothing)."""
+    import dataclasses
+
     from qqq_tpu.models.llama import init_params
 
-    params = init_params(config, key, dtype=dtype)
+    cfg1 = dataclasses.replace(config, num_hidden_layers=1)
+    params = init_params(cfg1, key, dtype=dtype)
     return params["layers"][0]
 
 
@@ -103,13 +115,88 @@ def _measure_e2e(config, args, layer, w_head):
     return (t128 - t32) / 96
 
 
-def _measure_prefill(config, args, layer, w_head):
-    """Full-model prefill (T = context) tokens/s, single-layer-arg loop."""
+def _measure_e2e_real(config, args, layers, w_head, passes=1):
+    """Honest full-model decode: ``layers`` are DISTINCT on-device pytrees
+    (real HBM footprint, no address reuse), looped ``passes`` times per step.
+    Validates the single-layer-replicated methodology of :func:`_measure_e2e`
+    (VERDICT r1 weak #8).  bf16 7B (13.5 GB) exceeds v5e HBM alongside the
+    cache, so the bf16 validation uses 16 distinct layers x 2 passes — the
+    per-step HBM traffic is identical (there is no cache large enough to
+    make a re-read cheaper than a first read)."""
     import time as _time
 
     import jax.numpy as jnp
 
     from qqq_tpu.models.llama import decoder_layer, rms_norm, rope_inv_freq
+    from qqq_tpu.serve import kv_cache
+
+    B, S = args.batch, args.context
+    embed = jax.random.normal(
+        jax.random.PRNGKey(1), (config.vocab_size, config.hidden_size),
+        jnp.bfloat16,
+    )
+    norm_w = jnp.ones((config.hidden_size,), jnp.bfloat16)
+    inv_freq = rope_inv_freq(config)
+    caches = kv_cache.init(config, B, S, quantized=True)
+    start_len = jnp.full((B,), S - 130, jnp.int32)
+    tokens = jnp.ones((B,), jnp.int32)
+    L = config.num_hidden_layers
+    assert len(layers) * passes == L, (len(layers), passes, L)
+
+    def run(n):
+        @jax.jit
+        def go(embed, layers, w_head, caches, tokens, cache_len):
+            def body(carry, _):
+                tok, caches, clen = carry
+                x = embed[tok[:, None]]
+                positions = clen[:, None]
+                new_caches = []
+                for i in range(L):
+                    x, ci = decoder_layer(
+                        layers[i % len(layers)], x, positions, inv_freq,
+                        config, caches[i], clen,
+                    )
+                    new_caches.append(ci)
+                h = rms_norm(x, norm_w, config.rms_norm_eps)
+                logits = jnp.dot(
+                    h[:, -1], w_head, preferred_element_type=jnp.float32
+                )
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, new_caches, clen + 1), None
+
+            (tok, _, _), _ = jax.lax.scan(
+                body, (tokens, caches, cache_len), None, length=n
+            )
+            return jnp.sum(tok)
+
+        return go
+
+    def timed(f, n):
+        vals = []
+        float(f(embed, layers, w_head, caches, tokens, start_len))  # warm
+        for _ in range(3):
+            t0 = _time.time()
+            float(f(embed, layers, w_head, caches, tokens, start_len))
+            vals.append(_time.time() - t0)
+        return min(vals)
+
+    t32 = timed(run(32), 32)
+    t128 = timed(run(128), 128)
+    return (t128 - t32) / 96
+
+
+def _measure_prefill(config, args, layer, w_head, quantized):
+    """Full-model serving prefill (T = context) tokens/s, single-layer-arg
+    loop.  Prefill WRITES the KV cache as the engine does (serve/engine.py
+    prefill): the w4a8 model quantizes K/V to INT8 and attends through the
+    flash kernel (kernels/attention.py:flash_attention_int8); the bf16
+    baseline writes a bf16 cache and attends via XLA."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from qqq_tpu.models.llama import decoder_layer, rms_norm, rope_inv_freq
+    from qqq_tpu.serve import kv_cache
 
     B, T = args.batch, args.context
     L = config.num_hidden_layers
@@ -120,37 +207,45 @@ def _measure_prefill(config, args, layer, w_head):
     norm_w = jnp.ones((config.hidden_size,), jnp.bfloat16)
     inv_freq = rope_inv_freq(config)
     tokens = jnp.ones((B, T), jnp.int32)
+    caches = kv_cache.init(config, B, T, quantized=quantized)
+    clen = jnp.zeros((B,), jnp.int32)
 
     def run(n):
         @jax.jit
-        def go(embed, layer, w_head, tokens):
+        def go(embed, layer, w_head, tokens, caches):
             positions = jnp.broadcast_to(
                 jnp.arange(T, dtype=jnp.int32)[None], (B, T)
             )
 
-            def body(c, _):
+            def body(carry, _):
+                c, caches = carry
                 x = embed[tokens] + c * 1e-30
-                for _ in range(L):
-                    x, _unused = decoder_layer(
-                        layer, x, positions, inv_freq, config
+                new_caches = []
+                for i in range(L):
+                    x, ci = decoder_layer(
+                        layer, x, positions, inv_freq, config,
+                        caches[i], clen,
                     )
+                    new_caches.append(ci)
                 h = rms_norm(x, norm_w, config.rms_norm_eps)
                 logits = jnp.dot(
                     h[:, -1], w_head, preferred_element_type=jnp.float32
                 )
-                return jnp.max(logits) * 1e-30 + c + 1.0, None
+                return (jnp.max(logits) * 1e-30 + c + 1.0, new_caches), None
 
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            (c, _), _ = jax.lax.scan(
+                body, (jnp.float32(0), caches), None, length=n
+            )
             return c
 
         return go
 
     def timed(f):
-        float(f(embed, layer, w_head, tokens))
+        float(f(embed, layer, w_head, tokens, caches))
         vals = []
         for _ in range(3):
             t0 = _time.time()
-            float(f(embed, layer, w_head, tokens))
+            float(f(embed, layer, w_head, tokens, caches))
             vals.append(_time.time() - t0)
         return min(vals)
 
@@ -170,6 +265,11 @@ def main():
                         help="also measure per-layer / head breakdown")
     parser.add_argument("--prefill", action="store_true",
                         help="also measure full-model prefill throughput")
+    parser.add_argument("--replicated", action="store_true",
+                        help="r1 methodology (one layer looped 32x) as the "
+                             "headline — fast but optimistic (~+25%%), see "
+                             "module docstring; default is 32 DISTINCT "
+                             "layers (16x2 for bf16)")
     args = parser.parse_args()
 
     from qqq_tpu.models import ModelConfig
@@ -225,9 +325,37 @@ def main():
               f"head {t_head*1e6:.1f}us  layer-composed speedup "
               f"{(32*t_bf16+t_head)/(32*t_w4+t_head):.2f}x")
 
+    def measure_real_pair():
+        """(t_w4, t_bf) per decode step with genuinely distinct layers."""
+        L = config.num_hidden_layers
+        w4_layers = []
+        for i in range(L):  # one at a time: bf16 source freed each iter
+            src = build_layer(jax.random.PRNGKey(100 + i), config)
+            one = {"layers": [src], "embed": None, "norm": None,
+                   "lm_head": None}
+            w4_layers.append(
+                jax.block_until_ready(
+                    _quantize_params(one, config,
+                                     group_size=args.group_size)["layers"][0]
+                )
+            )
+            del src, one
+        t_real_w4 = _measure_e2e_real(config, args, w4_layers, w_head)
+        del w4_layers
+        jax.clear_caches()  # drop executables + their reserved temps
+        bf_layers = [build_layer(jax.random.PRNGKey(200 + i), config)
+                     for i in range(L // 2)]
+        t_real_bf = _measure_e2e_real(config, args, bf_layers, w_head,
+                                      passes=2)
+        del bf_layers
+        jax.clear_caches()
+        return t_real_w4, t_real_bf
+
     if args.prefill:
-        tp_w4 = _measure_prefill(config, args, layer_w4, w_head)
-        tp_bf = _measure_prefill(config, args, layer_bf16, w_head)
+        tp_w4 = _measure_prefill(config, args, layer_w4, w_head,
+                                 quantized=True)
+        tp_bf = _measure_prefill(config, args, layer_bf16, w_head,
+                                 quantized=False)
         print(f"# prefill {args.context} tokens: w4a8 {tp_w4*1e3:.1f}ms = "
               f"{args.batch*args.context/tp_w4:.0f} tok/s; bf16 "
               f"{tp_bf*1e3:.1f}ms = {args.batch*args.context/tp_bf:.0f} tok/s;"
@@ -235,11 +363,16 @@ def main():
 
     # headline: FULL-model decode, both precisions, cache buffers aliased
     try:
-        t_e2e_w4 = _measure_e2e(config, args, layer_w4, w_head)
-        t_e2e_bf = _measure_e2e(config, args, layer_bf16, w_head)
+        if args.replicated:
+            t_e2e_w4 = _measure_e2e(config, args, layer_w4, w_head)
+            t_e2e_bf = _measure_e2e(config, args, layer_bf16, w_head)
+        else:
+            t_e2e_w4, t_e2e_bf = measure_real_pair()
         speedup = t_e2e_bf / t_e2e_w4
         if args.verbose:
-            print(f"# e2e full-model decode: w4a8 {t_e2e_w4*1e6:.0f}us/step = "
+            tag = "replicated-layer" if args.replicated else "32 distinct"
+            print(f"# e2e full-model decode ({tag}): "
+                  f"w4a8 {t_e2e_w4*1e6:.0f}us/step = "
                   f"{args.batch/t_e2e_w4:.1f} tok/s; "
                   f"bf16 {t_e2e_bf*1e6:.0f}us = {args.batch/t_e2e_bf:.1f} tok/s")
     except Exception as e:  # never exit without the JSON line

@@ -293,11 +293,17 @@ def forward(
     cache_len: Optional[jax.Array] = None,
     return_hidden: bool = False,
     tp_axis: Optional[str] = None,
+    gather_logits: bool = True,
 ) -> Tuple[jax.Array, Optional[List[Dict[str, Any]]]]:
     """Returns (logits (B, T, V) f32, updated caches).
 
     With ``caches=None`` this is the full-sequence scoring path (PPL eval,
     calibration); with caches it is prefill (T>1) or decode (T=1).
+
+    ``gather_logits=False`` under TP returns this shard's vocab slice
+    (B, T, V/tp) instead of all-gathering — pair with
+    :func:`qqq_tpu.serve.sampling.sample_batched_sharded` to sample without
+    ever materializing full-vocab logits on any device.
     """
     B, T = tokens.shape
     if cache_len is not None:
@@ -326,7 +332,8 @@ def forward(
         return x, new_caches
     if params.get("lm_head") is not None:
         logits = linear_apply(params["lm_head"], x)
-        if tp_axis is not None:  # lm_head is vocab-sharded: gather shards
+        if tp_axis is not None and gather_logits:
+            # lm_head is vocab-sharded: gather shards
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     else:  # tied embeddings: embed is replicated → logits already full-vocab
         logits = jnp.dot(x, params["embed"].T.astype(x.dtype))

@@ -32,7 +32,7 @@ from qqq_tpu.models.config import ModelConfig
 from qqq_tpu.models import llama as M
 from qqq_tpu.serve import kv_cache
 from qqq_tpu.serve.sampling import (
-    SamplingParams, sample_batched, sampling_arrays,
+    SamplingParams, sample_batched, sample_batched_sharded, sampling_arrays,
 )
 
 
@@ -127,6 +127,31 @@ class Engine:
                 out_specs=(P(None, None, None), self._cspec),
                 check_vma=False,
             )
+
+            # decode with IN-MAP sampling: the vocab-sharded logits never
+            # leave their shard — Gumbel-max + 2-collective distributed
+            # argmax (sampling.sample_batched_sharded) replaces the per-step
+            # (B, V) f32 logits all_gather.  Usable whenever no active row
+            # needs top-k/top-p order statistics (host checks per tick).
+            def local_decode_sample(p, t, c, cl, pos, key, active, temp):
+                local_logits, c = M.forward(
+                    p, self.config, t, positions=pos, caches=c,
+                    cache_len=cl, tp_axis="model", gather_logits=False,
+                )
+                nxt = sample_batched_sharded(
+                    local_logits[:, -1, :], key, temp, "model",
+                    self.config.vocab_size,
+                )
+                return jnp.where(active, nxt, 0), c
+
+            self._fwd_decode_sample = shard_map(
+                local_decode_sample,
+                mesh=mesh,
+                in_specs=(pspec, P(None, None), self._cspec, P(None),
+                          P(None, None), P(None), P(None), P(None)),
+                out_specs=(P(None), self._cspec),
+                check_vma=False,
+            )
         else:
             self._fwd = lambda p, t, c, cl, pos: M.forward(
                 p, self.config, t, positions=pos, caches=c, cache_len=cl
@@ -135,6 +160,10 @@ class Engine:
         # donate the cache buffers: the update aliases in place instead of
         # copying the whole (B, nkv, S, hd) store every step
         self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2,))
+        if mesh is not None:
+            self._decode_fn_sharded = jax.jit(
+                self._decode_step_sharded, donate_argnums=(2,)
+            )
         self._prefill_fns = {}
 
     # -- jitted programs ----------------------------------------------------
@@ -150,6 +179,31 @@ class Engine:
             active, sample_batched(last, key, temp, topk, topp), 0
         )
         return next_tok, caches
+
+    def _decode_step_sharded(self, params, tokens, caches, cache_len, key,
+                             active, temp):
+        positions = cache_len[:, None]  # T == 1
+        return self._fwd_decode_sample(
+            params, tokens, caches, cache_len, positions, key, active, temp
+        )
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3,)
+    )
+    def _decode_multi_sharded(self, params, tokens, caches, cache_len, key,
+                              active, temp, n_steps: int):
+        def body(carry, _):
+            tok, caches, clen, key = carry
+            key, sub = jax.random.split(key)
+            nxt, caches = self._decode_step_sharded(
+                params, tok[:, None], caches, clen, sub, active, temp
+            )
+            return (nxt, caches, clen + 1, key), nxt
+
+        (_, caches, _, _), toks = jax.lax.scan(
+            body, (tokens[:, 0], caches, cache_len, key), None, length=n_steps
+        )
+        return toks.T, caches  # (B, n_steps)
 
     @functools.partial(
         jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3,)
@@ -256,12 +310,30 @@ class Engine:
                  for r in self.slot_req],
                 self.max_batch,
             )
-            if chunk == 1:
+            # vocab-sharded sampling path: exact for greedy/temperature rows
+            # (top-k/top-p need full-row order statistics → gathered path)
+            sharded = self.mesh is not None and all(
+                r is None or (r.sampling.top_k == 0 and r.sampling.top_p >= 1.0)
+                for r in self.slot_req
+            )
+            if chunk == 1 and sharded:
+                next_tok, self.caches = self._decode_fn_sharded(
+                    self.params, tokens, self.caches, cache_len, k,
+                    jnp.asarray(active), samp[0],
+                )
+                chunk_np = np.asarray(next_tok)[:, None]
+            elif chunk == 1:
                 next_tok, self.caches = self._decode_fn(
                     self.params, tokens, self.caches, cache_len, k,
                     jnp.asarray(active), *samp,
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
+            elif sharded:
+                toks, self.caches = self._decode_multi_sharded(
+                    self.params, tokens, self.caches, cache_len, k,
+                    jnp.asarray(active), samp[0], n_steps=chunk,
+                )
+                chunk_np = np.asarray(toks)
             else:
                 toks, self.caches = self._decode_multi(
                     self.params, tokens, self.caches, cache_len, k,

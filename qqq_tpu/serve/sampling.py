@@ -29,19 +29,11 @@ class SamplingParams:
     eos_token_id: Optional[int] = None
 
 
-def sample_batched(
-    logits: jax.Array,       # (B, V) f32
-    key: jax.Array,
-    temperature: jax.Array,  # (B,) f32; <=0 → greedy for that row
-    top_k: jax.Array,        # (B,) i32; 0 → disabled
-    top_p: jax.Array,        # (B,) f32; >=1 → disabled
+def _topk_topp_filter(
+    scaled: jax.Array, top_k: jax.Array, top_p: jax.Array
 ) -> jax.Array:
-    """Returns (B,) int32 next tokens; every row honors its own params."""
-    B, V = logits.shape
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
-    t = jnp.maximum(temperature, 1e-6)[:, None]
-    scaled = logits / t
+    """Mask logits below the per-row top-k / top-p cutoffs to -inf."""
+    V = scaled.shape[-1]
     # top-k: kth-largest per row as threshold (k=0 keeps everything)
     sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
     k_idx = jnp.clip(top_k - 1, 0, V - 1)
@@ -57,11 +49,86 @@ def sample_batched(
     cutoff = jnp.take_along_axis(
         sorted_desc, jnp.clip(cutoff_idx, 0, V - 1)[:, None], axis=-1
     )
-    scaled = jnp.where(
+    return jnp.where(
         (top_p[:, None] < 1.0) & (scaled < cutoff), -jnp.inf, scaled
     )
-    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+
+def sample_batched(
+    logits: jax.Array,       # (B, V) f32
+    key: jax.Array,
+    temperature: jax.Array,  # (B,) f32; <=0 → greedy for that row
+    top_k: jax.Array,        # (B,) i32; 0 → disabled
+    top_p: jax.Array,        # (B,) f32; >=1 → disabled
+) -> jax.Array:
+    """Returns (B,) int32 next tokens; every row honors its own params.
+
+    Sampling is explicit Gumbel-max (``argmax(logits/t + gumbel)``) —
+    distributionally identical to ``jax.random.categorical`` and, given the
+    same key, **bit-identical** to the vocab-sharded path
+    (:func:`sample_batched_sharded`).  The two full-vocab sorts that top-k /
+    top-p need are skipped at runtime (``lax.cond``) when no row uses them —
+    the common greedy/temperature serving configs never pay for them.
+    """
+    B, V = logits.shape
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = logits / t
+    need_filter = jnp.any(top_k > 0) | jnp.any(top_p < 1.0)
+    scaled = jax.lax.cond(
+        need_filter,
+        lambda s: _topk_topp_filter(s, top_k, top_p),
+        lambda s: s,
+        scaled,
+    )
+    g = jax.random.gumbel(key, (B, V), scaled.dtype)
+    sampled = jnp.argmax(scaled + g, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
+def sample_batched_sharded(
+    local_logits: jax.Array,  # (B, V_local) f32 — this shard's vocab slice
+    key: jax.Array,
+    temperature: jax.Array,   # (B,) f32; <=0 → greedy
+    axis_name: str,
+    vocab_size: int,
+) -> jax.Array:
+    """Greedy / temperature sampling on vocab-sharded logits WITHOUT
+    gathering them: per-shard Gumbel-max + a two-collective distributed
+    argmax (``pmax`` of the winning value, ``pmin`` of the winners'
+    indices).  Communicates 2×(B,) scalars per step instead of the (B, V)
+    f32 all-gather (serving at V=32k, B=8: 64 B vs 1 MB over ICI).
+
+    Bit-identical to :func:`sample_batched` with ``top_k=0, top_p=1`` and
+    the same key: the full-width Gumbel field is generated on every shard
+    (counter-based PRNG — (B, V) uniforms cost ~µs) and sliced to the local
+    vocab range, so noise depends only on the GLOBAL vocab index; ties
+    resolve to the lowest global index exactly as ``jnp.argmax`` does.
+    Rows needing top-k / top-p order statistics use the gathered path
+    (the engine picks per tick).
+    """
+    B, Vl = local_logits.shape
+    if Vl == vocab_size:
+        # replicated logits (tied embeddings): plain local sampling
+        return sample_batched(
+            local_logits, key, temperature,
+            jnp.zeros((B,), jnp.int32), jnp.ones((B,), jnp.float32),
+        )
+    v_start = jax.lax.axis_index(axis_name) * Vl
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    g = jax.random.gumbel(key, (B, vocab_size), jnp.float32)
+    g_local = jax.lax.dynamic_slice(g, (0, v_start), (B, Vl))
+    z = jnp.where(
+        temperature[:, None] > 0.0,
+        local_logits / t + g_local,
+        local_logits,
+    )
+    local_best = jnp.max(z, axis=-1)
+    local_arg = (jnp.argmax(z, axis=-1).astype(jnp.int32) + v_start)
+    best = jax.lax.pmax(local_best, axis_name)
+    cand = jnp.where(local_best == best, local_arg, vocab_size)
+    return jax.lax.pmin(cand, axis_name).astype(jnp.int32)
 
 
 def sampling_arrays(params_list, n: Optional[int] = None):

@@ -171,6 +171,66 @@ def test_sample_batched_per_row(rng):
     assert 0 <= int(toks[2]) < 40
 
 
+def test_sample_batched_sharded_bitexact(rng):
+    """Vocab-sharded Gumbel-max sampling must be bit-identical to the
+    gathered sample_batched (top_k=0/top_p=1) — same key, same Gumbel
+    field, ties to the lowest global index."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from qqq_tpu.parallel import make_mesh
+    from qqq_tpu.serve.sampling import sample_batched, sample_batched_sharded
+
+    mesh = make_mesh(data=1, model=8)
+    B, V = 5, 256
+    logits = jnp.asarray(rng.normal(size=(B, V)).astype(np.float32))
+    # exact ties across shard boundaries: duplicate the row max far apart
+    logits = logits.at[0, 3].set(50.0).at[0, 200].set(50.0)
+    temp = jnp.asarray([0.0, 0.7, 1.3, 0.0, 2.0], jnp.float32)
+
+    sharded_fn = shard_map(
+        lambda lg, k: sample_batched_sharded(lg, k, temp, "model", V),
+        mesh=mesh,
+        in_specs=(P(None, "model"), P(None)),
+        out_specs=P(None),
+        check_vma=False,
+    )
+    for seed in range(5):
+        key = jax.random.PRNGKey(seed)
+        want = sample_batched(
+            logits, key, temp,
+            jnp.zeros((B,), jnp.int32), jnp.ones((B,), jnp.float32),
+        )
+        got = sharded_fn(logits, key)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(want[0]) == 3  # tie resolved to the lowest index
+
+
+def test_engine_tp_sharded_vs_gathered_sampling(rng, params):
+    """TP engine: the vocab-sharded sampling fast path (top_k=0) must emit
+    exactly the tokens of the gathered path (top_k=V is semantically a
+    no-op filter but routes through the all-gather plan)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    prompts = [[int(t) for t in rng.integers(0, 128, size=6)],
+               [int(t) for t in rng.integers(0, 128, size=4)]]
+
+    def run(top_k):
+        mesh = make_mesh(data=1, model=2)
+        return generate(
+            params, CFG, prompts,
+            SamplingParams(temperature=0.8, top_k=top_k, max_new_tokens=6),
+            max_batch=2, max_len=64, kv_quantized=False, dtype=jnp.float32,
+            prefill_buckets=(16,), mesh=mesh,
+        )
+
+    assert run(0) == run(CFG.vocab_size)
+
+
 def test_engine_with_tp_mesh(rng, params):
     """Engine over a TP mesh must reproduce single-device greedy decoding."""
     if len(jax.devices()) < 2:
