@@ -88,7 +88,7 @@ def _pick_hblk(nkv: int, S: int, hd: int) -> int:
 
 def _flash_attn_kernel(
     clen_ref,   # (B,) int32 scalar-prefetch: keys valid BEFORE this chunk
-    q_ref,      # (1, 1, M, hd) f32 — queries ((g·T) rows), pre-scaled
+    q_ref,      # (1, 1, M, hd) bf16 — queries ((g·T) rows), pre-scaled
     k_ref,      # (1, 1, sblk, hd) int8
     ks_ref,     # (1, 1, 1, sblk) f32
     v_ref,      # (1, 1, sblk, hd) int8
@@ -121,13 +121,16 @@ def _flash_attn_kernel(
 
     @pl.when(s * sblk < total)
     def _tile():
-        q = q_ref[0, 0]  # (M, hd)
+        # both dots run in bf16 with f32 accumulation — the MXU's bf16 rate
+        # is ~4× its f32 rate and this kernel is compute-bound at prefill
+        # (standard flash-attention numerics: ≲0.4% relative)
+        q = q_ref[0, 0]  # (M, hd) bf16
         scores = jax.lax.dot_general(
             q,
-            k_ref[0, 0].astype(jnp.float32),
+            k_ref[0, 0].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * ks_ref[0, 0]  # (M, sblk)
+        ) * ks_ref[0, 0]  # (M, sblk) f32
         key_pos = s * sblk + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, 1
         )
@@ -146,8 +149,8 @@ def _flash_attn_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(scores - m_new) * vs_ref[0, 0]  # fold v scales into p
         pv = jax.lax.dot_general(
-            p,
-            v_ref[0, 0].astype(jnp.float32),
+            p.astype(jnp.bfloat16),
+            v_ref[0, 0].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -200,8 +203,9 @@ def flash_attention_int8(
     M = g * T
 
     qg = (
-        q.reshape(B, nkv, g, T, hd).reshape(B, nkv, M, hd)
-        .astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
+        (q.reshape(B, nkv, g, T, hd).reshape(B, nkv, M, hd)
+         .astype(jnp.float32) / jnp.sqrt(jnp.float32(hd)))
+        .astype(jnp.bfloat16)  # scale in f32, feed the MXU bf16
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

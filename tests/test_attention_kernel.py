@@ -108,8 +108,10 @@ def test_flash_decode_long_context(rng, S, sblk):
         causal=False, sblk=sblk, interpret=True,
     )
     want = _oracle(q[:, :, 0], k8, ks, v8, vs, clen)
+    # flash kernel runs its MXU dots in bf16 (f32 accumulation): ≲1% of the
+    # O(1)-magnitude outputs (the whole-cache decode kernel stays f32-exact)
     np.testing.assert_allclose(
-        np.asarray(got)[:, :, 0], want, rtol=3e-4, atol=3e-4
+        np.asarray(got)[:, :, 0], want, rtol=1e-2, atol=1e-2
     )
 
 
@@ -132,8 +134,9 @@ def test_decode_attention_auto_dispatch(rng):
             interpret=True,
         )
         want = _oracle(q, k8, ks, v8, vs, clen)
-        np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4,
-                                   atol=3e-4)
+        # S=1024 → f32 whole-cache kernel; S=16384 → bf16-dot flash kernel
+        tol = 3e-4 if S <= 8192 else 1e-2
+        np.testing.assert_allclose(np.asarray(got), want, rtol=tol, atol=tol)
 
 
 @pytest.mark.parametrize("B,nh,nkv,T,S,clen0", [
@@ -158,4 +161,5 @@ def test_flash_prefill_causal_matches_oracle(rng, B, nh, nkv, T, S, clen0):
         causal=True, sblk=128, interpret=True,
     )
     want = _oracle_prefill(q, k8, ks, v8, vs, clen)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+    # bf16 MXU dots (f32 accumulation) — see test_flash_decode_long_context
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-2, atol=1e-2)
