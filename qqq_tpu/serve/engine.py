@@ -250,8 +250,10 @@ class Engine:
     def _insert_cache(self, caches1, slot: int):
         """Copy a B=1 prefill cache into slot ``slot`` of the global cache."""
         def ins(big, small):
+            # rank-generic: k/v stores are 4-d (B, nkv, S, hd), the INT8
+            # scale planes are 3-d (B, nkv, S) — see kv_cache.init
             return jax.lax.dynamic_update_slice(
-                big, small[:, : big.shape[1]], (slot, 0, 0, 0)
+                big, small, (slot,) + (0,) * (big.ndim - 1)
             )
 
         self.caches = jax.tree.map(ins, self.caches, caches1)

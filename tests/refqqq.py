@@ -83,6 +83,17 @@ def get_ref():
 
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
+    # test_marlin_compat registers a bare (non-package) "QQQ" stub for its
+    # file-level qlinear import; if that module ran first in the session,
+    # `import QQQ.smooth...` here would fail with "QQQ is not a package" and
+    # silently skip every parity test.  Upgrade the stub into a passthrough
+    # package rooted at the reference tree.
+    existing = sys.modules.get("QQQ")
+    if existing is not None and not hasattr(existing, "__path__"):
+        existing.__path__ = [f"{REFERENCE}/QQQ"]
+        existing.__spec__ = importlib.machinery.ModuleSpec(
+            "QQQ", None, is_package=True
+        )
     if "easydict" not in sys.modules:
         _stub("easydict", EasyDict=EasyDict)
     if "fast_hadamard_transform" not in sys.modules:

@@ -82,6 +82,47 @@ def test_eos_stops_generation(rng, params):
     assert outs[0] == ref[:2]
 
 
+def _naive_greedy_int8kv(params, prompt, n_new, max_len=64):
+    """Greedy decode against the same INT8-KV code path the engine uses:
+    unpadded prefill + per-token decode over quantized caches."""
+    from qqq_tpu.serve import kv_cache
+
+    caches = kv_cache.init(CFG, 1, max_len, quantized=True, dtype=jnp.float32)
+    toks = jnp.asarray([prompt], jnp.int32)
+    logits, caches = forward(
+        params, CFG, toks, caches=caches,
+        cache_len=jnp.zeros((1,), jnp.int32),
+    )
+    out = [int(jnp.argmax(logits[0, -1]))]
+    clen = len(prompt)
+    for _ in range(n_new - 1):
+        logits, caches = forward(
+            params, CFG, jnp.asarray([[out[-1]]], jnp.int32),
+            caches=caches, cache_len=jnp.asarray([clen], jnp.int32),
+        )
+        out.append(int(jnp.argmax(logits[0, -1])))
+        clen += 1
+    return out
+
+
+def test_generate_int8_kv_cache(rng, params):
+    """The DEFAULT engine config (kv_quantized=True) must run and reproduce
+    the direct quantized-cache decode loop.  Regression: _insert_cache used
+    4-d slice indices on the 3-d scale planes and crashed on every
+    quantized-KV prefill."""
+    prompts = [
+        [int(t) for t in rng.integers(0, 128, size=7)],
+        [int(t) for t in rng.integers(0, 128, size=11)],
+    ]
+    outs = generate(
+        params, CFG, prompts, SamplingParams(max_new_tokens=5),
+        max_batch=2, max_len=64, kv_quantized=True, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )
+    for p, o in zip(prompts, outs):
+        assert o == _naive_greedy_int8kv(params, p, 5), (p, o)
+
+
 def test_sampling_topk_topp_shapes(rng):
     logits = jnp.asarray(rng.normal(size=(3, 50)).astype(np.float32))
     key = jax.random.PRNGKey(0)
