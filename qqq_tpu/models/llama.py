@@ -165,6 +165,28 @@ def _attention_scores(
     return out
 
 
+def _reduce_tp(out: jax.Array, tp_axis: Optional[str], reduce: str) -> jax.Array:
+    """Finish a row-parallel linear: sum the per-device partial products.
+
+    ``"psum"``    — all-reduce (classic Megatron TP; output replicated).
+    ``"scatter"`` — psum_scatter over the sequence dim (Megatron sequence
+                    parallelism: each device keeps its T-shard of the summed
+                    output; the matching all_gather runs after the next
+                    norm — same total bytes as the all-reduce, but norms and
+                    residual adds are T-sharded and the collective pair can
+                    overlap neighbouring compute).
+    """
+    if tp_axis is None:
+        return out
+    if reduce == "psum":
+        return jax.lax.psum(out, tp_axis)
+    if reduce == "scatter":
+        return jax.lax.psum_scatter(
+            out, tp_axis, scatter_dimension=1, tiled=True
+        )
+    raise ValueError(f"unknown reduce mode {reduce!r}")
+
+
 def attention(
     layer: Dict[str, Any],
     x: jax.Array,  # (B, T, H)
@@ -174,10 +196,12 @@ def attention(
     cache: Optional[Dict[str, Any]] = None,
     cache_len: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
+    reduce: str = "psum",
 ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     """Under tensor parallelism (``tp_axis`` set, inside shard_map) the
     q/k/v/o weights arrive head-sharded; the o_proj output is partial-summed
-    and needs a psum (Megatron-style row-parallel second matmul)."""
+    and needs a collective (Megatron-style row-parallel second matmul) —
+    see :func:`_reduce_tp` for the psum vs sequence-parallel variants."""
     from qqq_tpu.serve import kv_cache as kvc
 
     B, T, H = x.shape
@@ -209,9 +233,7 @@ def attention(
                 cache_len + 1,
             )
             out = linear_apply(layer["o_proj"], out.reshape(B, 1, nh * hd))
-            if tp_axis is not None:
-                out = jax.lax.psum(out, tp_axis)
-            return out, cache
+            return _reduce_tp(out, tp_axis, reduce), cache
         if "k_scale" in cache:
             # chunked-prefill fast path: causal flash attention straight
             # over the INT8 cache (query t of the chunk is at position
@@ -227,9 +249,7 @@ def attention(
             )
             out = jnp.swapaxes(out, 1, 2).reshape(B, T, nh * hd)
             out = linear_apply(layer["o_proj"], out)
-            if tp_axis is not None:
-                out = jax.lax.psum(out, tp_axis)
-            return out, cache
+            return _reduce_tp(out, tp_axis, reduce), cache
         kf, vf = kvc.read(cache, x.dtype)
         S = kf.shape[1]
         # cache slot s holds the token at position s, so slot index doubles
@@ -243,20 +263,17 @@ def attention(
     vf = repeat_kv(vf, config.num_kv_groups)
     out = _attention_scores(q, kf, vf, mask).reshape(B, T, nh * hd)
     out = linear_apply(layer["o_proj"], out)
-    if tp_axis is not None:
-        out = jax.lax.psum(out, tp_axis)
-    return out, cache
+    return _reduce_tp(out, tp_axis, reduce), cache
 
 
 def mlp(
-    layer: Dict[str, Any], x: jax.Array, tp_axis: Optional[str] = None
+    layer: Dict[str, Any], x: jax.Array, tp_axis: Optional[str] = None,
+    reduce: str = "psum",
 ) -> jax.Array:
     gate = linear_apply(layer["gate_proj"], x)
     up = linear_apply(layer["up_proj"], x)
     out = linear_apply(layer["down_proj"], jax.nn.silu(gate) * up)
-    if tp_axis is not None:
-        out = jax.lax.psum(out, tp_axis)
-    return out
+    return _reduce_tp(out, tp_axis, reduce)
 
 
 def decoder_layer(
@@ -336,6 +353,74 @@ def forward(
             # lm_head is vocab-sharded: gather shards
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     else:  # tied embeddings: embed is replicated → logits already full-vocab
+        logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
+    return logits.astype(jnp.float32), new_caches
+
+
+def forward_sp(
+    params: Dict[str, Any],
+    config: ModelConfig,
+    tokens: jax.Array,  # (B, T) int32, T divisible by the tp degree
+    *,
+    positions: Optional[jax.Array] = None,
+    caches: Optional[List[Dict[str, Any]]] = None,
+    cache_len: Optional[jax.Array] = None,
+    tp_axis: str = "model",
+    gather_logits: bool = True,
+) -> Tuple[jax.Array, Optional[List[Dict[str, Any]]]]:
+    """Sequence-parallel TP forward (Megatron-SP, arXiv:2205.05198 §4),
+    TPU-native: the residual stream lives sequence-sharded (B, T/tp, H) on
+    each device; the two per-layer all-reduces of classic TP become
+    psum_scatter (row-parallel epilogue) + all_gather (after the T-sharded
+    RMSNorm) pairs — identical total ICI bytes, but norms/residual adds run
+    on 1/tp of the tokens and activation residency drops by tp×.
+
+    Bit-identical to :func:`forward` with ``tp_axis`` (the same partial sums
+    are combined, only where they are materialized changes).  Prefill /
+    full-sequence scoring only — decode (T=1) keeps the psum path.
+    """
+    B, T = tokens.shape
+    tp = jax.lax.axis_size(tp_axis)
+    if T % tp != 0:
+        raise ValueError(f"sequence-parallel needs T % tp == 0, got {T=} {tp=}")
+    Ts = T // tp
+    idx = jax.lax.axis_index(tp_axis)
+    if cache_len is not None:
+        cache_len = jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (B,))
+    if positions is None:
+        base = cache_len[:, None] if cache_len is not None else 0
+        positions = base + jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[None, :], (B, T)
+        )
+
+    inv_freq = rope_inv_freq(config)
+    # embed lookup on the local T-shard only
+    tok_sp = jax.lax.dynamic_slice_in_dim(tokens, idx * Ts, Ts, axis=1)
+    x_sp = params["embed"][tok_sp]  # (B, Ts, H)
+    new_caches = [] if caches is not None else None
+    for i, layer in enumerate(params["layers"]):
+        cache_i = caches[i] if caches is not None else None
+        h = rms_norm(x_sp, layer["input_layernorm"], config.rms_norm_eps)
+        h = jax.lax.all_gather(h, tp_axis, axis=1, tiled=True)  # (B, T, H)
+        attn_out, cache_i = attention(
+            layer, h, positions, inv_freq, config, cache_i, cache_len,
+            tp_axis, reduce="scatter",
+        )
+        x_sp = x_sp + attn_out
+        h = rms_norm(x_sp, layer["post_attention_layernorm"],
+                     config.rms_norm_eps)
+        h = jax.lax.all_gather(h, tp_axis, axis=1, tiled=True)
+        x_sp = x_sp + mlp(layer, h, tp_axis, reduce="scatter")
+        if new_caches is not None:
+            new_caches.append(cache_i)
+
+    x_sp = rms_norm(x_sp, params["norm"], config.rms_norm_eps)
+    x = jax.lax.all_gather(x_sp, tp_axis, axis=1, tiled=True)
+    if params.get("lm_head") is not None:
+        logits = linear_apply(params["lm_head"], x)
+        if gather_logits:
+            logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    else:
         logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
     return logits.astype(jnp.float32), new_caches
 

@@ -150,18 +150,26 @@ def tp_forward_fn(
     *,
     with_cache: bool = False,
     caches_spec: Any = None,
+    sp: bool = False,
 ):
     """Build a jitted shard_map-wrapped forward.
 
     Returns ``f(params, tokens[, caches, cache_len]) → (logits, caches)``
     with tokens/logits batch-sharded on "data" and params laid out per
     :func:`param_pspecs`.
+
+    ``sp=True`` uses the sequence-parallel forward (models/llama.forward_sp):
+    the per-layer all-reduces become psum_scatter/all_gather pairs and the
+    residual stream is T-sharded across the "model" axis — prefill and
+    full-sequence scoring only (needs T divisible by the tp degree).
     """
     from qqq_tpu.models import llama as M
 
+    fwd_impl = M.forward_sp if sp else M.forward
+
     if with_cache:
         def local_fwd(params, tokens, caches, cache_len):
-            return M.forward(
+            return fwd_impl(
                 params, config, tokens, caches=caches, cache_len=cache_len,
                 tp_axis="model",
             )
@@ -175,7 +183,7 @@ def tp_forward_fn(
         )
     else:
         def local_fwd(params, tokens):
-            logits, _ = M.forward(params, config, tokens, tp_axis="model")
+            logits, _ = fwd_impl(params, config, tokens, tp_axis="model")
             return logits
 
         fwd = shard_map(

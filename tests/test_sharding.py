@@ -154,6 +154,53 @@ def test_tp_tied_embeddings(rng, mesh):
     )
 
 
+def test_sp_forward_matches_tp(rng, mesh):
+    """Sequence-parallel forward (forward_sp: psum_scatter/all_gather pairs,
+    T-sharded residual stream) must equal both the psum TP forward and the
+    single-device forward — same partial sums, different placement."""
+    params = init_params(CFG, jax.random.PRNGKey(5), dtype=jnp.float32)
+    # T=12 divisible by tp=4
+    tokens = jnp.asarray(rng.integers(0, 256, size=(4, 12)).astype(np.int32))
+    want, _ = forward(params, CFG, tokens)
+
+    specs = param_pspecs(params)
+    sparams = shard_params(params, mesh, specs)
+    f_sp = tp_forward_fn(CFG, mesh, specs, sp=True)
+    got_sp = f_sp(sparams, tokens)
+    np.testing.assert_allclose(
+        np.asarray(got_sp), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+    f_tp = tp_forward_fn(CFG, mesh, specs)
+    got_tp = f_tp(sparams, tokens)
+    np.testing.assert_allclose(
+        np.asarray(got_sp), np.asarray(got_tp), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_sp_prefill_with_cache_matches(rng, mesh):
+    """SP prefill writes the same KV cache and logits as the psum TP path
+    (INT8 cache exercises the flash-prefill kernel under SP)."""
+    params = init_params(CFG, jax.random.PRNGKey(6), dtype=jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 8)).astype(np.int32))
+
+    specs = param_pspecs(params)
+    sparams = shard_params(params, mesh, specs)
+    caches = kv_cache.init(CFG, batch=2, max_len=16, quantized=True,
+                           dtype=jnp.float32)
+    cspec = cache_pspec(caches)
+    f_sp = tp_forward_fn(CFG, mesh, specs, with_cache=True, caches_spec=cspec,
+                         sp=True)
+    f_tp = tp_forward_fn(CFG, mesh, specs, with_cache=True, caches_spec=cspec)
+
+    lg_sp, c_sp = f_sp(sparams, tokens, caches, jnp.zeros((2,), jnp.int32))
+    lg_tp, c_tp = f_tp(sparams, tokens, caches, jnp.zeros((2,), jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(lg_sp), np.asarray(lg_tp), rtol=1e-5, atol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(c_sp), jax.tree.leaves(c_tp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_tp_decode_with_cache(rng, mesh):
     params = init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
     tokens = jnp.asarray(rng.integers(0, 256, size=(2, 8)).astype(np.int32))
