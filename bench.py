@@ -296,12 +296,17 @@ def main():
     cache = kv_cache.init(config, B, S, quantized=True)[0]
     x = jax.random.normal(key, (B, 1, config.hidden_size), jnp.bfloat16)
 
+    from qqq_tpu.models.llama import fuse_inference_params
+
     layer_bf16 = build_layer(key, config)
     one_layer_params = {
         "layers": [layer_bf16], "embed": None, "norm": None, "lm_head": None,
     }
-    layer_w4 = _quantize_params(one_layer_params, config,
-                                group_size=args.group_size)["layers"][0]
+    layer_w4 = fuse_inference_params(
+        _quantize_params(one_layer_params, config,
+                         group_size=args.group_size),
+        config,
+    )["layers"][0]
     w_head = jax.random.normal(key, (config.hidden_size, config.vocab_size),
                                jnp.bfloat16)
 
@@ -335,8 +340,11 @@ def main():
                    "lm_head": None}
             w4_layers.append(
                 jax.block_until_ready(
-                    _quantize_params(one, config,
-                                     group_size=args.group_size)["layers"][0]
+                    fuse_inference_params(
+                        _quantize_params(one, config,
+                                         group_size=args.group_size),
+                        config,
+                    )["layers"][0]
                 )
             )
             del src, one

@@ -90,15 +90,16 @@ def _flash_attn_kernel(
     clen_ref,   # (B,) int32 scalar-prefetch: keys valid BEFORE this chunk
     q_ref,      # (1, 1, M, hd) bf16 — queries ((g·T) rows), pre-scaled
     k_ref,      # (1, 1, sblk, hd) int8
-    ks_ref,     # (1, 1, 1, sblk) f32
+    ks_ref,     # (1, 1, sblk, 1) f32 — sublane-major: folded into the K tile
     v_ref,      # (1, 1, sblk, hd) int8
-    vs_ref,     # (1, 1, 1, sblk) f32
+    vs_ref,     # (1, 1, sblk, 1) f32 — folded into the V tile
     o_ref,      # (1, 1, M, hd) f32
     m_scr,      # (M, 1) f32 scratch: running max
     l_scr,      # (M, 1) f32 scratch: running denominator
     acc_scr,    # (M, hd) f32 scratch: running numerator
     *,
     sblk: int,
+    qm: int,
     T: int,
     causal: bool,
 ):
@@ -114,53 +115,87 @@ def _flash_attn_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # keys of this tile span [s·sblk, s·sblk + sblk); all keys at positions
-    # >= clen + T are invalid, and under causality row t only sees
-    # positions <= clen + t.  Skip tiles with no valid key at all.
+    # Keys of this tile span [s·sblk, s·sblk + sblk); all keys at positions
+    # >= clen + T are invalid, and under causality row t only sees positions
+    # <= clen + t.  The query rows are sub-tiled in-kernel (static loop, qm
+    # rows each) so causally-dead (q-subtile, key-tile) pairs skip their
+    # compute entirely — same grid (no extra per-cell overhead or DMA), but
+    # the upper-triangle work disappears: occupancy ½ + sblk/2T instead
+    # of 1.  When qm | T each subtile lies in one g-group with a contiguous
+    # t range [t0, t0 + qm) (rows are (g, T)-flattened), so the skip bound
+    # is exact.
     total = clen + T  # valid keys including the chunk itself
+    # dequantize the K/V tiles once (sblk×hd work) instead of scaling the
+    # (M, sblk) score/probability matrices (M ≫ hd at prefill); int8 codes
+    # are exact in bf16, the scale multiply rounds once — same error class
+    # as the bf16 dots
+    kt = k_ref[0, 0].astype(jnp.bfloat16) * ks_ref[0, 0].astype(jnp.bfloat16)
+    vt = v_ref[0, 0].astype(jnp.bfloat16) * vs_ref[0, 0].astype(jnp.bfloat16)
 
-    @pl.when(s * sblk < total)
-    def _tile():
-        # both dots run in bf16 with f32 accumulation — the MXU's bf16 rate
-        # is ~4× its f32 rate and this kernel is compute-bound at prefill
-        # (standard flash-attention numerics: ≲0.4% relative)
-        q = q_ref[0, 0]  # (M, hd) bf16
+    def body(r0, t0, masked):
+        # both dots run in bf16 with f32 accumulation — the MXU's bf16
+        # rate is ~4× its f32 rate and this kernel is compute-bound at
+        # prefill (standard flash-attention numerics: ≲0.4% relative)
+        q = q_ref[0, 0][r0 : r0 + qm]  # (qm, hd) bf16
         scores = jax.lax.dot_general(
             q,
-            k_ref[0, 0].astype(jnp.bfloat16),
+            kt,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * ks_ref[0, 0]  # (M, sblk) f32
-        key_pos = s * sblk + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 1
-        )
-        valid = key_pos < total
-        if causal:
-            # rows are (g, T)-flattened: row r queries position clen + r%T
-            t_row = (
-                jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % T
+        )  # (qm, sblk)
+        if masked:
+            key_pos = s * sblk + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1
             )
-            valid = valid & (key_pos <= clen + t_row)
-        scores = jnp.where(valid, scores, _NEG_INF)
+            valid = key_pos < total
+            if causal:
+                t_row = t0 + jax.lax.broadcasted_iota(
+                    jnp.int32, scores.shape, 0
+                )
+                if qm != M:  # qm | T: rows stay inside one g-group
+                    valid = valid & (key_pos <= clen + t_row)
+                else:
+                    valid = valid & (key_pos <= clen + t_row % T)
+            scores = jnp.where(valid, scores, _NEG_INF)
 
-        m_prev = m_scr[:]
+        m_prev = m_scr[r0 : r0 + qm]
         m_cur = jnp.max(scores, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new) * vs_ref[0, 0]  # fold v scales into p
+        e = jnp.exp(scores - m_new)
         pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16),
-            v_ref[0, 0].astype(jnp.bfloat16),
+            e.astype(jnp.bfloat16),
+            vt,  # v scales already folded into the tile
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # l tracks the TRUE softmax denominator (p has v-scales folded in,
-        # so sum separately without them)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(
-            jnp.exp(scores - m_new), axis=1, keepdims=True
+        l_scr[r0 : r0 + qm] = l_scr[r0 : r0 + qm] * alpha + jnp.sum(
+            e, axis=1, keepdims=True
         )
-        acc_scr[:] = acc_scr[:] * alpha + pv
-        m_scr[:] = m_new
+        acc_scr[r0 : r0 + qm] = acc_scr[r0 : r0 + qm] * alpha + pv
+        m_scr[r0 : r0 + qm] = m_new
+
+    for r0 in range(0, M, qm):
+        t0 = r0 % T  # first t of the subtile (static)
+        if causal:
+            live = s * sblk < clen + t0 + qm
+            # no mask needed when every key of the tile is visible to the
+            # subtile's WORST row (its first: t0, or t=0 when the whole M
+            # block is one subtile); the causal bound key ≤ clen + t_row
+            # subsumes the key < total tail bound
+            t_min = t0 if qm != M else 0
+            interior = (s + 1) * sblk <= clen + t_min + 1
+        else:
+            live = s * sblk < total
+            interior = (s + 1) * sblk <= total
+
+        @pl.when(live & interior)
+        def _unmasked(r0=r0, t0=t0):
+            body(r0, t0, masked=False)
+
+        @pl.when(live & jnp.logical_not(interior))
+        def _masked(r0=r0, t0=t0):
+            body(r0, t0, masked=True)
 
     @pl.when(s == n_s - 1)
     def _finish():
@@ -179,7 +214,7 @@ def flash_attention_int8(
     cache_len: jax.Array,  # (B,) int32 — valid keys BEFORE this chunk
     *,
     causal: bool = True,
-    sblk: int = 512,
+    sblk: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Chunked-prefill / long-context attention over the INT8 KV cache.
@@ -197,10 +232,20 @@ def flash_attention_int8(
     g = nh // nkv
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if sblk is None:
+        # swept on v5e: per-grid-step overhead + DMA setup beat the causal
+        # skip's compute savings at small tiles — big tiles win (S=1024:
+        # 216 µs at sblk=1024 vs 358 at 256; S=16k decode: 294 µs at 2048)
+        sblk = 1024 if S <= 4096 else 2048
     sblk = min(sblk, S)
     while S % sblk != 0:  # odd cache sizes: largest divisor ≤ requested
         sblk -= 1
     M = g * T
+    # q sub-tile rows (in-kernel causal skip); causal needs qm | T so each
+    # subtile spans one contiguous t range of one g-group
+    qm = M
+    if M % 256 == 0 and (not causal or T % 256 == 0):
+        qm = 256
 
     qg = (
         (q.reshape(B, nkv, g, T, hd).reshape(B, nkv, M, hd)
@@ -216,11 +261,11 @@ def flash_attention_int8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sblk, hd), lambda b, h, s, c: (b, h, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, sblk), lambda b, h, s, c: (b, h, 0, s),
+            pl.BlockSpec((1, 1, sblk, 1), lambda b, h, s, c: (b, h, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sblk, hd), lambda b, h, s, c: (b, h, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, sblk), lambda b, h, s, c: (b, h, 0, s),
+            pl.BlockSpec((1, 1, sblk, 1), lambda b, h, s, c: (b, h, s, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -236,7 +281,7 @@ def flash_attention_int8(
 
     out = pl.pallas_call(
         functools.partial(
-            _flash_attn_kernel, sblk=sblk, T=T, causal=causal
+            _flash_attn_kernel, sblk=sblk, qm=qm, T=T, causal=causal
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, nkv, M, hd), jnp.float32),
@@ -246,7 +291,7 @@ def flash_attention_int8(
         interpret=interpret,
     )(
         cache_len.astype(jnp.int32), qg,
-        k_cache, k_scale[:, :, None, :], v_cache, v_scale[:, :, None, :],
+        k_cache, k_scale[:, :, :, None], v_cache, v_scale[:, :, :, None],
     )
 
     return (

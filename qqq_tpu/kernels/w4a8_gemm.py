@@ -191,31 +191,145 @@ def _w4a8_fused_group_kernel(
     out_ref[:] = (facc * s_tok).astype(out_dtype)
 
 
+def _max_bk(K: int, bn: int) -> int:
+    """Largest divisor-of-K k-tile with the unpacked bk·bn int8 tile ≤ ~3 MB
+    (VMEM headroom for Mosaic's double buffering)."""
+    budget = 3 * 1024 * 1024 // bn
+    d_max = K // PACK_BLOCK
+    return max(
+        (
+            PACK_BLOCK * d
+            for d in range(1, d_max + 1)
+            if d_max % d == 0 and PACK_BLOCK * d <= budget
+        ),
+        default=PACK_BLOCK,
+    )
+
+
+def _w4a8_channel_glu_kernel(
+    a_ref,      # (bm, bk) int8
+    w_ref,      # (bk//8, 2·bn) int32 packed [gate_j | up_j] interleave
+    asum_ref,   # (bm, 1) int32
+    s_tok_ref,  # (bm, 1) f32
+    s_ch_ref,   # (1, 2·bn) f32
+    out_ref,    # (bm, bn) out_dtype — silu(gate)·up
+    acc_ref,    # (bm, 2·bn) int32 scratch
+    *,
+    block_k: int,
+    out_dtype,
+):
+    """Per-channel W4A8 GEMM with a fused GLU epilogue: the packed weight
+    holds gate and up columns tile-interleaved (see ``fuse_glu_layout``), so
+    each grid cell accumulates both halves and writes ``silu(g)·u`` — the
+    (M, I) gate/up intermediates never touch HBM (saves ~88 MB of traffic
+    per layer at M=1024, I=11008)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pieces = []
+    for lo_b, hi_b in _unpack_u8(w_ref[:], block_k):
+        pieces += [lo_b, hi_b]
+    u8 = jnp.concatenate(pieces, axis=0)
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:], u8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        bn = out_ref.shape[1]
+        corr = acc_ref[:] - 8 * asum_ref[:]
+        scaled = corr.astype(jnp.float32) * s_ch_ref[:] * s_tok_ref[:]
+        g = scaled[:, :bn]
+        u = scaled[:, bn:]
+        out_ref[:] = (g * jax.lax.logistic(g) * u).astype(out_dtype)
+
+
+def _w4a8_group_glu_kernel(
+    a_ref,      # (bm, bk) int8
+    w_ref,      # (bk//8, 2·bn) int32 packed
+    s_g_ref,    # (Gp, 2·bn) f32
+    bsum_ref,   # (1, bm, Gp) int32
+    s_tok_ref,  # (bm, 1) f32
+    out_ref,    # (bm, bn) out_dtype
+    facc_ref,   # (bm, 2·bn) f32 scratch
+    *,
+    block_k: int,
+    out_dtype,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        facc_ref[:] = jnp.zeros_like(facc_ref)
+
+    for b, (lo_b, hi_b) in enumerate(_unpack_u8(w_ref[:], block_k)):
+        u8 = jnp.concatenate([lo_b, hi_b], axis=0)
+        d = jax.lax.dot_general(
+            a_ref[:, b * PACK_BLOCK : (b + 1) * PACK_BLOCK],
+            u8,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        bs = bsum_ref[0, :, b : b + 1]
+        facc_ref[:] += (d - 8 * bs).astype(jnp.float32) * s_g_ref[b, :][None, :]
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        bn = out_ref.shape[1]
+        scaled = facc_ref[:] * s_tok_ref[:]
+        g = scaled[:, :bn]
+        u = scaled[:, bn:]
+        out_ref[:] = (g * jax.lax.logistic(g) * u).astype(out_dtype)
+
+
 def _pick_blocks(M: int, K: int, N: int, per_group: bool):
     """Block-shape heuristic (replaces csrc/qqq_gemm.cu:847-916's thread
-    config tables).  Swept on v5e: large k-tiles amortize per-grid-step
-    overhead — bk=4096/bn=512 reaches ~85% of the HBM roofline at decode;
-    cap the unpacked tile (bk·bn int8) at ~3 MB to leave VMEM headroom for
-    double buffering.  The per-group path additionally needs the s_group
-    tile's sublane count (bk/128) to be 8-divisible, or bk == K (Mosaic
-    block-shape rule) — K like 11008 falls back to a full-K tile with a
-    narrower bn."""
+    config tables).  Swept on v5e in two regimes:
+
+    * decode (small M, HBM-bound): bk=4096/bn=512 reaches ~85% of the HBM
+      roofline; bn must divide the 128-padded N (no extra weight traffic).
+    * prefill (M ≥ 512, MXU-bound): fewer accumulator passes win — pick the
+      (bn, bk) pair maximizing bk (full-K when it fits the ~3 MB tile
+      budget), tie-break to the wider bn, and pad N up to a bn multiple
+      (the ≤4% extra weight read costs less than a second k-pass).  bm=512
+      when the A tile (bm·bk int8) stays within budget: 512×512×4096 runs
+      at ~351 TOPS (89% MXU) vs ~324 at bm=256; K=11008 keeps bm=256 with
+      a full-K tile (364 TOPS at the down_proj shape).
+
+    The per-group kernel's inner loop is a 128-deep dot + VPU
+    scale-accumulate per group, so its cost scales with the number of
+    (bm, bn) accumulator updates, not k-passes: it prefers the widest bn
+    first (swept: K=11008 g128 at bn=512/bk=5504 is 286 TOPS vs 198 at the
+    per-channel-optimal bn=256/bk=11008).  Its s_group tiles are
+    sublane-padded in the dispatcher, so no divisibility constraint here."""
+    if M >= 512:
+        if per_group:
+            bn, bk = max(
+                ((b, _max_bk(K, b)) for b in (512, 256, 128)),
+                key=lambda t: (t[0], t[1]),
+            )
+        else:
+            bn, bk = max(
+                ((b, _max_bk(K, b)) for b in (512, 256, 128)),
+                key=lambda t: (t[1], t[0]),
+            )
+        bm = 512 if M % 512 == 0 and 512 * bk <= 3 * 1024 * 1024 else 256
+        return bm, bn, bk
+    del per_group
     if M <= 32:
         bm = 32
     elif M <= 128:
         bm = 128
     else:
         bm = 256
-    bn = next(b for b in (512, 256, 128) if N % b == 0)
-    budget = 3 * 1024 * 1024 // bn  # max bk in int8 elements
-    d_max = K // PACK_BLOCK
-    bk = max(
-        PACK_BLOCK * d
-        for d in range(1, d_max + 1)
-        if d_max % d == 0 and PACK_BLOCK * d <= budget
-    )
-    del per_group  # s_group tiles are sublane-padded in the dispatcher
-    return bm, bn, bk
+    Np = _round_up(N, 128)
+    bn = next(b for b in (512, 256, 128) if Np % b == 0)
+    return bm, bn, _max_bk(K, bn)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -262,8 +376,15 @@ def w4a8_gemm(
         assert group_size == PACK_BLOCK, "only g=128 supported (like reference)"
         assert s_group is not None and s_group.shape == (K // group_size, N)
 
-    # pad narrow N up to the 128-lane width (tiny test models only)
-    Np = _round_up(N, 128)
+    bm0, bn0, bk0 = _pick_blocks(M, K, N, group_size != -1)
+    bm = block_m or bm0
+    bn = block_n or bn0
+    bk = block_k or bk0
+    assert bk % PACK_BLOCK == 0 and K % PACK_BLOCK == 0
+
+    # pad N up to a bn multiple (covers both narrow test-model N and the
+    # prefill regime's wide-bn preference, e.g. 11008 → 11264 at bn=512)
+    Np = _round_up(N, bn)
     if Np != N:
         w_packed = jnp.pad(w_packed, ((0, 0), (0, Np - N)))
         if s_channel is not None:
@@ -272,12 +393,6 @@ def w4a8_gemm(
             s_group = jnp.pad(
                 s_group, ((0, 0), (0, Np - N)), constant_values=1.0
             )
-
-    bm0, bn0, bk0 = _pick_blocks(M, K, Np, group_size != -1)
-    bm = block_m or bm0
-    bn = block_n or bn0
-    bk = block_k or bk0
-    assert bk % PACK_BLOCK == 0 and K % PACK_BLOCK == 0
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -480,6 +595,188 @@ def w4a8_gemm_fused(
     if Mp != M or Np != N:
         out = out[:M, :N]
     return out
+
+
+GLU_INTERLEAVE = 256  # gate/up column-tile width baked into the fused layout
+
+
+def _interleave_cols(a: jax.Array, b: jax.Array, bn: int) -> jax.Array:
+    """(R, I) + (R, I) → (R, 2I) as [a_0 b_0 a_1 b_1 ...] tiles of bn cols."""
+    R, I = a.shape
+    t = I // bn
+    return jnp.stack(
+        [a.reshape(R, t, bn), b.reshape(R, t, bn)], axis=2
+    ).reshape(R, 2 * I)
+
+
+def fuse_glu_layout(gate: dict, up: dict) -> Optional[dict]:
+    """Fuse packed gate/up linears into one GLU weight for
+    :func:`w4a8_glu_linear` (inference-time transform; no reference
+    analogue — the reference's QuantizedLlamaMLP runs three QuantLinears,
+    gptq/models/llama.py:165-341).  Returns None when not fusible."""
+    if "w_packed" not in gate or "w_packed" not in up:
+        return None
+    if "b" in gate or "b" in up:
+        return None
+    if gate["w_packed"].shape != up["w_packed"].shape:
+        return None
+    if ("s_group" in gate) != ("s_group" in up):
+        return None
+    I = gate["w_packed"].shape[1]
+    if I % GLU_INTERLEAVE != 0:
+        return None
+    bn = GLU_INTERLEAVE
+    fused = {"w_packed": _interleave_cols(gate["w_packed"], up["w_packed"], bn)}
+    if "s_group" in gate:
+        fused["s_group"] = _interleave_cols(gate["s_group"], up["s_group"], bn)
+    else:
+        fused["s_channel"] = _interleave_cols(
+            gate["s_channel"].reshape(1, I), up["s_channel"].reshape(1, I), bn
+        ).reshape(2 * I)
+    return fused
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "out_dtype", "interpret")
+)
+def w4a8_glu_gemm(
+    a_q: jax.Array,
+    s_token: jax.Array,
+    w_glu: jax.Array,       # (K//8, 2I) packed, GLU_INTERLEAVE layout
+    s_channel: Optional[jax.Array] = None,  # (2I,)
+    s_group: Optional[jax.Array] = None,    # (K//128, 2I)
+    *,
+    group_size: int = -1,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+):
+    """GLU-fused W4A8 GEMM: returns silu(a·W_gate)·(a·W_up) of shape (M, I)
+    without materializing either (M, I) intermediate in HBM."""
+    M, K = a_q.shape
+    I = w_glu.shape[1] // 2
+    bn = GLU_INTERLEAVE
+    assert I % bn == 0 and w_glu.shape[0] == K // 8
+    bk = _max_bk(K, 2 * bn)
+    if M <= 32:
+        bm = 32
+    elif M <= 128:
+        bm = 128
+    else:
+        bm = 512 if M % 512 == 0 and 512 * bk <= 3 * 1024 * 1024 else 256
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    Mp = _round_up(M, bm)
+    if Mp != M:
+        a_q = jnp.pad(a_q, ((0, Mp - M), (0, 0)))
+        s_token = jnp.pad(s_token, ((0, Mp - M), (0, 0)), constant_values=1.0)
+    s_token = s_token.astype(jnp.float32)
+    a32 = a_q.astype(jnp.int32)
+    grid = (Mp // bm, I // bn, K // bk)
+
+    common = dict(
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, I), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * 2 * I * K,
+            bytes_accessed=Mp * K + K * I + Mp * I * 2,
+            transcendentals=Mp * I,
+        ),
+        interpret=interpret,
+    )
+    a_spec = pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((bk // 8, 2 * bn), lambda i, j, k: (k, j),
+                          memory_space=pltpu.VMEM)
+    stok_spec = pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                             memory_space=pltpu.VMEM)
+
+    if group_size == -1:
+        assert s_channel is not None and s_channel.shape == (2 * I,)
+        asum = jnp.sum(a32, axis=-1, keepdims=True)
+        out = pl.pallas_call(
+            functools.partial(
+                _w4a8_channel_glu_kernel, block_k=bk, out_dtype=out_dtype
+            ),
+            grid=grid,
+            in_specs=[
+                a_spec,
+                w_spec,
+                pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                             memory_space=pltpu.VMEM),
+                stok_spec,
+                pl.BlockSpec((1, 2 * bn), lambda i, j, k: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((bm, 2 * bn), jnp.int32)],
+            **common,
+        )(
+            a_q, w_glu, asum, s_token,
+            s_channel.reshape(1, 2 * I).astype(jnp.float32),
+        )
+    else:
+        assert group_size == PACK_BLOCK
+        assert s_group is not None and s_group.shape == (K // PACK_BLOCK, 2 * I)
+        s_group = s_group.astype(jnp.float32)
+        bsum = jnp.sum(a32.reshape(Mp, K // PACK_BLOCK, PACK_BLOCK), axis=-1)
+        Gt = bk // PACK_BLOCK
+        Gp = _round_up(Gt, 8)
+        n_t = K // bk
+        if Gp != Gt:
+            sg_tiles = s_group.reshape(n_t, Gt, 2 * I)
+            sg_tiles = jnp.pad(sg_tiles, ((0, 0), (0, Gp - Gt), (0, 0)))
+            s_group = sg_tiles.reshape(n_t * Gp, 2 * I)
+        bsum_t = bsum.reshape(Mp, n_t, Gt)
+        if Gp != Gt:
+            bsum_t = jnp.pad(bsum_t, ((0, 0), (0, 0), (0, Gp - Gt)))
+        bsum_t = jnp.swapaxes(bsum_t, 0, 1)
+        out = pl.pallas_call(
+            functools.partial(
+                _w4a8_group_glu_kernel, block_k=bk, out_dtype=out_dtype
+            ),
+            grid=grid,
+            in_specs=[
+                a_spec,
+                w_spec,
+                pl.BlockSpec((Gp, 2 * bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bm, Gp), lambda i, j, k: (k, i, 0),
+                             memory_space=pltpu.VMEM),
+                stok_spec,
+            ],
+            scratch_shapes=[pltpu.VMEM((bm, 2 * bn), jnp.float32)],
+            **common,
+        )(a_q, w_glu, s_group, bsum_t, s_token)
+
+    if Mp != M:
+        out = out[:M]
+    return out
+
+
+def w4a8_glu_linear(
+    x: jax.Array,
+    glu: dict,
+    *,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """silu(x·W_gate)·(x·W_up) through the GLU-fused kernel.  ``glu`` comes
+    from :func:`fuse_glu_layout`."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    a_q, s_tok = quantize_activations_per_token(x2)
+    group_size = 128 if "s_group" in glu else -1
+    out = w4a8_glu_gemm(
+        a_q, s_tok, glu["w_packed"], glu.get("s_channel"),
+        glu.get("s_group"), group_size=group_size, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+    return out.reshape(*lead, -1)
 
 
 def w4a8_linear(

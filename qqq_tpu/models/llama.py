@@ -209,9 +209,17 @@ def attention(
     nh = config.num_attention_heads // tp
     nkv = config.num_key_value_heads // tp
     hd = config.head_dim
-    q = linear_apply(layer["q_proj"], x).reshape(B, T, nh, hd)
-    k = linear_apply(layer["k_proj"], x).reshape(B, T, nkv, hd)
-    v = linear_apply(layer["v_proj"], x).reshape(B, T, nkv, hd)
+    if "qkv_proj" in layer:  # fused single-GEMM projection (single-device)
+        assert tp_axis is None, "fused qkv is a single-device optimization"
+        qkv = linear_apply(layer["qkv_proj"], x)
+        qd, kvd = nh * hd, nkv * hd
+        q = qkv[..., :qd].reshape(B, T, nh, hd)
+        k = qkv[..., qd : qd + kvd].reshape(B, T, nkv, hd)
+        v = qkv[..., qd + kvd :].reshape(B, T, nkv, hd)
+    else:
+        q = linear_apply(layer["q_proj"], x).reshape(B, T, nh, hd)
+        k = linear_apply(layer["k_proj"], x).reshape(B, T, nkv, hd)
+        v = linear_apply(layer["v_proj"], x).reshape(B, T, nkv, hd)
     q, k = apply_rope(q, k, positions, inv_freq)
 
     if cache is None:
@@ -270,9 +278,16 @@ def mlp(
     layer: Dict[str, Any], x: jax.Array, tp_axis: Optional[str] = None,
     reduce: str = "psum",
 ) -> jax.Array:
-    gate = linear_apply(layer["gate_proj"], x)
-    up = linear_apply(layer["up_proj"], x)
-    out = linear_apply(layer["down_proj"], jax.nn.silu(gate) * up)
+    if "gate_up_glu" in layer:  # GLU-fused kernel (single-device)
+        assert tp_axis is None, "fused gate/up is a single-device optimization"
+        from qqq_tpu.kernels.w4a8_gemm import w4a8_glu_linear
+
+        h = w4a8_glu_linear(x, layer["gate_up_glu"], out_dtype=x.dtype)
+    else:
+        gate = linear_apply(layer["gate_proj"], x)
+        up = linear_apply(layer["up_proj"], x)
+        h = jax.nn.silu(gate) * up
+    out = linear_apply(layer["down_proj"], h)
     return _reduce_tp(out, tp_axis, reduce)
 
 
@@ -294,6 +309,75 @@ def decoder_layer(
     h = rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)
     x = x + mlp(layer, h, tp_axis)
     return x, cache
+
+
+def fuse_inference_params(
+    params: Dict[str, Any], config: ModelConfig,
+    *, qkv: bool = False, glu: bool = True,
+) -> Dict[str, Any]:
+    """Single-device inference-time GEMM fusion over packed W4A8 params:
+
+    * gate/up → ``gate_up_glu``, the GLU-epilogue kernel
+      (:func:`qqq_tpu.kernels.w4a8_gemm.w4a8_glu_linear`) that never
+      materializes the (M, I) gate/up intermediates in HBM — measured
+      −106 µs/layer at T=1024 on v5e (both per-channel and g128);
+    * optionally q/k/v → one ``qkv_proj`` column-concat GEMM (the reference
+      runs three QuantLinears, gptq/models/llama.py:260-264) — OFF by
+      default: slicing the fused (B, T, qd+2·kvd) output back apart costs
+      more than the single launch saves (+23 µs/layer measured).
+
+    Dense (bf16) layers and non-fusible shapes pass through unchanged.  The
+    returned params are for ``forward``/``Engine`` without a TP mesh;
+    checkpoints keep the unfused per-projection layout.
+    """
+    from qqq_tpu.kernels.w4a8_gemm import fuse_glu_layout
+
+    def fuse_qkv(q, k, v):
+        parts = (q, k, v)
+        if not all("w_packed" in p for p in parts):
+            return None
+        kinds = {("s_group" in p) for p in parts}
+        if len(kinds) != 1:
+            return None
+        has_b = {("b" in p) for p in parts}
+        if len(has_b) != 1:
+            return None
+        fused = {
+            "w_packed": jnp.concatenate(
+                [p["w_packed"] for p in parts], axis=1
+            )
+        }
+        if "s_group" in q:
+            fused["s_group"] = jnp.concatenate(
+                [p["s_group"] for p in parts], axis=1
+            )
+        else:
+            fused["s_channel"] = jnp.concatenate(
+                [p["s_channel"] for p in parts]
+            )
+        if "b" in q:
+            fused["b"] = jnp.concatenate([p["b"] for p in parts])
+        return fused
+
+    layers = []
+    for layer in params["layers"]:
+        L = dict(layer)
+        fq = (
+            fuse_qkv(layer["q_proj"], layer["k_proj"], layer["v_proj"])
+            if qkv else None
+        )
+        if fq is not None:
+            L["qkv_proj"] = fq
+            del L["q_proj"], L["k_proj"], L["v_proj"]
+        fg = (
+            fuse_glu_layout(layer["gate_proj"], layer["up_proj"])
+            if glu else None
+        )
+        if fg is not None:
+            L["gate_up_glu"] = fg
+            del L["gate_proj"], L["up_proj"]
+        layers.append(L)
+    return {**params, "layers": layers}
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,7 @@ class Engine:
         steps_per_tick: int = 1,
         dtype=jnp.bfloat16,
         mesh=None,
+        fuse: bool = True,
     ):
         """``steps_per_tick > 1`` decodes that many tokens per device call
         (fused scan) — higher throughput, at the cost of EOS/admission checks
@@ -72,7 +73,15 @@ class Engine:
 
         ``mesh``: a tensor-parallel Mesh (axes data×model with data=1) shards
         the packed weights and KV caches Megatron-style (parallel/shard.py);
-        scale out data-parallel by running one engine per replica."""
+        scale out data-parallel by running one engine per replica.
+
+        ``fuse``: apply the single-device GEMM fusions (GLU-fused gate/up
+        kernel) to packed params — no-op for dense params or under a TP
+        mesh (models/llama.py:fuse_inference_params)."""
+        if fuse and mesh is None:
+            from qqq_tpu.models.llama import fuse_inference_params
+
+            params = fuse_inference_params(params, config)
         self.params = params
         self.config = config
         self.max_batch = max_batch

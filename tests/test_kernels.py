@@ -140,3 +140,82 @@ def test_w4a8_linear_3d_and_bias(rng):
     np.testing.assert_allclose(
         np.asarray(out), expected, rtol=5e-6, atol=5e-5 * scale
     )
+
+
+# ---------------------------------------------------------------------------
+# GLU-fused GEMM (gate/up in one kernel with silu(g)·u epilogue)
+
+
+@pytest.mark.parametrize("group_size", [-1, 128])
+@pytest.mark.parametrize("M,K,I", [(8, 256, 256), (40, 512, 512)])
+def test_glu_gemm_matches_unfused(rng, M, K, I, group_size):
+    from qqq_tpu.kernels import fuse_glu_layout, w4a8_glu_gemm
+
+    qg, scg, sgg = _make_quantized(rng, K, I, group_size)
+    qu, scu, sgu = _make_quantized(rng, K, I, group_size)
+    gate = {"w_packed": pack_int4(qg)}
+    up = {"w_packed": pack_int4(qu)}
+    if group_size == -1:
+        gate["s_channel"], up["s_channel"] = scg, scu
+    else:
+        gate["s_group"], up["s_group"] = sgg, sgu
+    fused = fuse_glu_layout(gate, up)
+    assert fused is not None
+
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    a_q, s_tok = quantize_activations_per_token(jnp.asarray(x))
+
+    # golden: the two unfused GEMMs in f32 + silu in f32 (same math order
+    # as the kernel epilogue)
+    g = w4a8_matmul_reference(
+        a_q, s_tok, qg, scg, sgg, group_size=group_size,
+        out_dtype=jnp.float32,
+    )
+    u = w4a8_matmul_reference(
+        a_q, s_tok, qu, scu, sgu, group_size=group_size,
+        out_dtype=jnp.float32,
+    )
+    expected = np.asarray(g) * (1 / (1 + np.exp(-np.asarray(g)))) * np.asarray(u)
+
+    got = w4a8_glu_gemm(
+        a_q, s_tok, fused["w_packed"], fused.get("s_channel"),
+        fused.get("s_group"), group_size=group_size,
+        out_dtype=jnp.float32, interpret=True,
+    )
+    scale = np.abs(expected).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(got), expected, rtol=2e-5, atol=2e-5 * scale
+    )
+
+
+def test_fuse_inference_params_forward_parity(rng):
+    """Fused qkv + GLU forward matches the unfused quantized forward."""
+    import jax
+
+    from qqq_tpu.models import ModelConfig
+    from qqq_tpu.models.llama import (
+        forward, fuse_inference_params, init_params,
+    )
+    from __graft_entry__ import _quantize_params
+
+    cfg = ModelConfig(
+        vocab_size=96, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qparams = _quantize_params(params, cfg, group_size=-1)
+    fused = fuse_inference_params(qparams, cfg)
+    assert "qkv_proj" in fused["layers"][0]
+    assert "gate_up_glu" in fused["layers"][0]
+
+    toks = jnp.asarray(
+        rng.integers(0, 96, size=(2, 16)), jnp.int32
+    )
+    ref, _ = forward(qparams, cfg, toks)
+    got, _ = forward(fused, cfg, toks)
+    # qkv concat is exact; the GLU epilogue runs silu in f32 (the unfused
+    # path's silu sees bf16 inputs) — small tolerance
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0.05, atol=0.05
+    )
