@@ -5,5 +5,6 @@ from qqq_tpu.parallel.shard import (
     param_pspecs,
     cache_pspec,
     shard_params,
+    tp_decode_overlapped_fn,
     tp_forward_fn,
 )

@@ -205,7 +205,9 @@ def test_fuse_inference_params_forward_parity(rng):
     )
     params = init_params(cfg, jax.random.PRNGKey(0))
     qparams = _quantize_params(params, cfg, group_size=-1)
-    fused = fuse_inference_params(qparams, cfg)
+    # qkv=True: fusion is off by default (measured slower at model level)
+    # but its numerics must stay correct for the opt-in path
+    fused = fuse_inference_params(qparams, cfg, qkv=True)
     assert "qkv_proj" in fused["layers"][0]
     assert "gate_up_glu" in fused["layers"][0]
 

@@ -227,3 +227,43 @@ def test_tp_decode_with_cache(rng, mesh):
         np.asarray(step[:, -1]), np.asarray(want[:, 5]),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_tp_decode_overlapped_matches(rng, mesh):
+    """Micro-batch interleaved TP decode == plain TP decode, bit-for-bit
+    (chains are batch-independent; only the schedule changes)."""
+    from qqq_tpu.parallel import tp_decode_overlapped_fn
+
+    params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    specs = param_pspecs(params)
+    sparams = shard_params(params, mesh, specs)
+
+    B, micro = 4, 2
+    tokens = jnp.asarray(rng.integers(0, 256, size=(B, 6)).astype(np.int32))
+    caches = kv_cache.init(CFG, batch=B, max_len=16, quantized=True)
+    cspec = cache_pspec(caches)
+    f = tp_forward_fn(CFG, mesh, specs, with_cache=True, caches_spec=cspec)
+    logits, caches = f(sparams, tokens[:, :5], caches,
+                       jnp.zeros((B,), jnp.int32))
+    step, _ = f(sparams, tokens[:, 5:6], caches,
+                jnp.full((B,), 5, jnp.int32))
+
+    # pre-split state: per-micro-batch caches built by independent prefills
+    h = B // micro
+    caches_m = [kv_cache.init(CFG, batch=h, max_len=16, quantized=True)
+                for _ in range(micro)]
+    for m in range(micro):
+        _, caches_m[m] = f(
+            sparams, tokens[m * h:(m + 1) * h, :5], caches_m[m],
+            jnp.zeros((h,), jnp.int32),
+        )
+    g = tp_decode_overlapped_fn(CFG, mesh, specs, cspec, micro=micro)
+    outs, _ = g(
+        sparams,
+        tuple(tokens[m * h:(m + 1) * h, 5:6] for m in range(micro)),
+        tuple(caches_m),
+        tuple(jnp.full((h,), 5, jnp.int32) for _ in range(micro)),
+    )
+    got = np.concatenate([np.asarray(o) for o in outs], axis=0)
+    np.testing.assert_allclose(got, np.asarray(step[:, -1]),
+                               rtol=1e-6, atol=1e-6)
