@@ -1,0 +1,255 @@
+"""HTTP serving CLI — continuous-batching text generation over the Engine.
+
+The reference delegates serving to vLLM (README.md:15, 77-79); this is the
+framework's own TPU-native serving front end (BASELINE.json configs[3]):
+a threaded HTTP server feeding one shared :class:`qqq_tpu.serve.Engine`,
+so concurrent requests batch together on-device (slot-based continuous
+batching, INT8 KV cache, bucketed prefill).
+
+Endpoints:
+  POST /generate   {"prompt": str | "prompt_tokens": [int], "max_new_tokens",
+                    "temperature", "top_k", "top_p"}  →
+                   {"output_tokens": [int], "text": str?, "num_generated": int}
+  GET  /health     {"status": "ok", "active": n, "pending": n}
+
+Usage:
+  python -m qqq_tpu.cli.serve --model_path <dir> --port 8000
+  curl -s localhost:8000/generate -d '{"prompt_tokens": [1,2,3]}'
+
+Design notes: all device work stays on ONE worker thread (the engine loop);
+HTTP handler threads only append to the engine's pending queue and poll
+``Request.done`` — the jitted programs never race.  ``Engine.run`` re-reads
+``_pending`` every tick, so a request arriving mid-run joins the running
+batch as soon as a slot frees (no generation-wide barriers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+from qqq_tpu.serve.engine import Engine, Request
+from qqq_tpu.serve.sampling import SamplingParams
+
+log = logging.getLogger("qqq_tpu")
+
+
+class EngineWorker:
+    """Single engine-owning thread; HTTP threads submit and wait.
+
+    ``submit`` appends to the engine's pending list (visible to a run in
+    progress) and wakes the worker; the worker calls ``Engine.run([])``
+    which drains pending + active slots until idle.  A wake token enqueued
+    after the append guarantees a request landing just as ``run`` returns
+    is picked up by the next loop iteration.
+    """
+
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self._wake: "queue.Queue[Optional[object]]" = queue.Queue()
+        self._shutdown = False
+        self.error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, req: Request) -> None:
+        if self.error is not None:
+            raise RuntimeError(f"engine worker died: {self.error!r}")
+        self.engine.add_request(req)
+        self._wake.put(None)
+
+    def _loop(self) -> None:
+        while not self._shutdown:
+            try:
+                token = self._wake.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if token is StopIteration:
+                return
+            try:
+                while not self._wake.empty():  # coalesce wakes
+                    self._wake.get_nowait()
+                self.engine.run([])
+            except BaseException as e:  # noqa: BLE001 — surfaced to clients
+                self.error = e
+                log.exception("engine worker failed")
+                return
+
+    def stop(self) -> None:
+        self._shutdown = True
+        self._wake.put(StopIteration)
+        self._thread.join(timeout=5)
+
+    def wait(self, req: Request, timeout: float = 600.0) -> None:
+        t0 = time.monotonic()
+        while not req.done:
+            if self.error is not None:
+                raise RuntimeError(f"engine worker died: {self.error!r}")
+            if time.monotonic() - t0 > timeout:
+                raise TimeoutError("generation timed out")
+            time.sleep(0.002)
+
+
+def _make_handler(worker: EngineWorker, tokenizer=None,
+                  default_eos: Optional[int] = None):
+    max_prompt = worker.engine.prefill_buckets[-1]
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *a):  # route through our logger
+            log.debug("http: " + fmt, *a)
+
+        def _reply(self, code: int, payload: Dict[str, Any]) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path != "/health":
+                return self._reply(404, {"error": "not found"})
+            eng = worker.engine
+            self._reply(200, {
+                "status": "error" if worker.error else "ok",
+                "active": sum(r is not None for r in eng.slot_req),
+                "pending": len(eng._pending),
+            })
+
+        def do_POST(self):  # noqa: N802 — http.server API
+            if self.path != "/generate":
+                return self._reply(404, {"error": "not found"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._reply(400, {"error": f"bad JSON: {e}"})
+
+            if "prompt_tokens" in body:
+                toks = body["prompt_tokens"]
+                if not (isinstance(toks, list)
+                        and all(isinstance(t, int) for t in toks) and toks):
+                    return self._reply(
+                        400, {"error": "prompt_tokens: non-empty [int]"}
+                    )
+            elif "prompt" in body:
+                if tokenizer is None:
+                    return self._reply(
+                        400,
+                        {"error": "no tokenizer loaded; send prompt_tokens"},
+                    )
+                toks = tokenizer(body["prompt"]).input_ids
+            else:
+                return self._reply(
+                    400, {"error": "need prompt or prompt_tokens"}
+                )
+            if len(toks) > max_prompt:
+                return self._reply(400, {
+                    "error": f"prompt length {len(toks)} exceeds the largest "
+                             f"prefill bucket {max_prompt}"
+                })
+
+            sampling = SamplingParams(
+                temperature=float(body.get("temperature", 0.0)),
+                top_k=int(body.get("top_k", 0)),
+                top_p=float(body.get("top_p", 1.0)),
+                max_new_tokens=int(body.get("max_new_tokens", 128)),
+                eos_token_id=body.get("eos_token_id", default_eos),
+            )
+            req = Request(prompt_tokens=list(toks), sampling=sampling)
+            try:
+                worker.submit(req)
+                worker.wait(req)
+            except (RuntimeError, TimeoutError) as e:
+                return self._reply(500, {"error": str(e)})
+            out: Dict[str, Any] = {
+                "output_tokens": req.output_tokens,
+                "num_generated": len(req.output_tokens),
+            }
+            if tokenizer is not None:
+                out["text"] = tokenizer.decode(req.output_tokens)
+            self._reply(200, out)
+
+    return Handler
+
+
+def make_server(
+    engine: Engine,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    tokenizer=None,
+    default_eos: Optional[int] = None,
+):
+    """Build (server, worker); call ``server.serve_forever()`` to run.
+    Factored out of ``main`` so tests can serve a tiny in-memory model."""
+    worker = EngineWorker(engine)
+    server = ThreadingHTTPServer(
+        (host, port), _make_handler(worker, tokenizer, default_eos)
+    )
+    return server, worker
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_length", type=int, default=2048)
+    p.add_argument("--steps_per_tick", type=int, default=1,
+                   help=">1 fuses that many decode steps per device call "
+                        "(higher throughput, chunked EOS checks)")
+    p.add_argument("--kv_int8", action="store_true", default=True)
+    p.add_argument("--dtype", default="bfloat16")
+    return p.parse_args()
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    from qqq_tpu.cli.eval import load_any
+
+    params, config = load_any(args.model_path, dtype)
+    tokenizer = None
+    eos = None
+    try:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(
+            args.tokenizer_path or args.model_path, use_fast=False
+        )
+        eos = tokenizer.eos_token_id
+    except Exception as e:  # tokens-in/tokens-out still works
+        log.warning("no tokenizer (%s); serving prompt_tokens only", e)
+
+    engine = Engine(
+        params, config, max_batch=args.max_batch, max_len=args.max_length,
+        kv_quantized=args.kv_int8, steps_per_tick=args.steps_per_tick,
+        dtype=dtype,
+    )
+    server, worker = make_server(
+        engine, args.host, args.port, tokenizer, eos
+    )
+    log.info("serving on http://%s:%d (max_batch=%d, max_len=%d)",
+             args.host, args.port, args.max_batch, args.max_length)
+    try:
+        server.serve_forever()
+    finally:
+        worker.stop()
+
+
+if __name__ == "__main__":
+    main()

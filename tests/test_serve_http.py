@@ -1,0 +1,114 @@
+"""HTTP serving front end (cli/serve.py): concurrent requests batch through
+one shared Engine and greedy outputs match direct generation."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qqq_tpu.cli.serve import make_server
+from qqq_tpu.models import ModelConfig, init_params
+from qqq_tpu.serve.engine import Engine, generate
+from qqq_tpu.serve.sampling import SamplingParams
+
+CFG = ModelConfig(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=96,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=128,
+)
+
+
+@pytest.fixture(scope="module")
+def served():
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    engine = Engine(
+        params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,),
+    )
+    server, worker = make_server(engine, port=0)  # OS-assigned port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, params
+    server.shutdown()
+    worker.stop()
+
+
+def _post(base, payload, timeout=120):
+    req = urllib.request.Request(
+        base + "/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_health(served):
+    base, _ = served
+    with urllib.request.urlopen(base + "/health", timeout=30) as r:
+        out = json.loads(r.read())
+    assert out["status"] == "ok"
+
+
+def test_concurrent_generate_matches_direct(served, rng):
+    base, params = served
+    prompts = [
+        [int(t) for t in rng.integers(0, 128, size=n)] for n in (7, 12, 3)
+    ]
+    want = generate(
+        params, CFG, prompts, SamplingParams(max_new_tokens=5),
+        max_batch=2, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )
+
+    results = [None] * len(prompts)
+
+    def go(i):
+        results[i] = _post(
+            base, {"prompt_tokens": prompts[i], "max_new_tokens": 5}
+        )
+
+    # 3 concurrent requests onto 2 slots: continuous admission over HTTP
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i, res in enumerate(results):
+        assert res is not None, f"request {i} never completed"
+        assert res["num_generated"] == 5
+        assert res["output_tokens"] == want[i], i
+
+
+def test_sampled_request_shape(served, rng):
+    base, _ = served
+    res = _post(base, {
+        "prompt_tokens": [int(t) for t in rng.integers(0, 128, size=4)],
+        "max_new_tokens": 3, "temperature": 0.8, "top_k": 10,
+    })
+    assert res["num_generated"] == 3
+    assert all(0 <= t < CFG.vocab_size for t in res["output_tokens"])
+
+
+def test_bad_requests(served):
+    base, _ = served
+    for payload, want_err in [
+        ({}, "need prompt"),
+        ({"prompt_tokens": []}, "non-empty"),
+        ({"prompt_tokens": list(range(999))}, "exceeds"),
+        ({"prompt": "hi"}, "no tokenizer"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, payload)
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert want_err in body["error"], body
