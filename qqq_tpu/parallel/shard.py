@@ -60,12 +60,28 @@ def make_hybrid_mesh(
 
     Example (Llama-2-70B on 2 hosts × 8 chips):
         initialize_distributed(); mesh = make_hybrid_mesh(2, 1, 8)
+
+    On a single-process platform (CPU dryruns, one-host TPU) there is no
+    DCN granule to optimize against, so the hybrid construction degrades to
+    a plain reshape over the flat device list — same mesh shape and axis
+    names, letting multi-host programs be compile-validated on virtual
+    devices (`--xla_force_host_platform_device_count`).
     """
-    arr = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(ici_data, ici_model),
-        dcn_mesh_shape=(dcn_data, 1),
-    )
-    arr = arr.reshape(dcn_data * ici_data, ici_model)
+    devices = jax.devices()
+    if len({d.process_index for d in devices}) > 1:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ici_data, ici_model),
+            dcn_mesh_shape=(dcn_data, 1),
+        )
+        arr = arr.reshape(dcn_data * ici_data, ici_model)
+    else:
+        n = dcn_data * ici_data * ici_model
+        assert len(devices) >= n, (len(devices), n)
+        import numpy as _np
+
+        arr = _np.asarray(devices[:n]).reshape(
+            dcn_data * ici_data, ici_model
+        )
     return Mesh(arr, axis_names=("data", "model"))
 
 

@@ -267,3 +267,42 @@ def test_tp_decode_overlapped_matches(rng, mesh):
     got = np.concatenate([np.asarray(o) for o in outs], axis=0)
     np.testing.assert_allclose(got, np.asarray(step[:, -1]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_hybrid_mesh_70b_style_forward(rng):
+    """BASELINE.json configs[4] dry run: a 70B-structured model (GQA, deep
+    rel. to width) tensor-sharded over a hybrid mesh — 2 virtual "hosts"
+    (DCN data axis) x 4-chip TP slices (ICI model axis).  On one process
+    make_hybrid_mesh degrades to a reshape; the program and shardings are
+    the ones a real 2-host slice would run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from qqq_tpu.parallel import make_hybrid_mesh
+    from __graft_entry__ import _quantize_params
+
+    # Llama-2-70B structure at toy width: GQA 8 kv heads over 64 q... scaled
+    # to 8 q / 2 kv heads, hidden 512 so K-shards stay whole pack blocks
+    cfg = ModelConfig(
+        vocab_size=256,
+        hidden_size=512,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    hmesh = make_hybrid_mesh(dcn_data=2, ici_data=1, ici_model=4)
+    assert hmesh.devices.shape == (2, 4)
+    params = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    qparams = _quantize_params(params, cfg, group_size=128)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(4, 8)).astype(np.int32))
+    want, _ = forward(qparams, cfg, tokens)
+
+    specs = param_pspecs(qparams)
+    sparams = shard_params(qparams, hmesh, specs)
+    f = tp_forward_fn(cfg, hmesh, specs)
+    got = f(sparams, tokens)
+    scale = np.abs(np.asarray(want)).max()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.05 * scale
+    )
