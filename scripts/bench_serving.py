@@ -20,8 +20,12 @@ Memory notes (v5e, 16 GB HBM):
   bf16-vs-w4a8 speedup is measured with both stacks at --layers 16
   (identical model halving — the ratio is layer-count invariant up to the
   constant lm_head/sampling term, which the 32L absolute runs include).
+* ONE precision per process (--mode): the tunneled runtime does not
+  reliably reclaim a released engine's HBM within a process.
 
 Run (TPU):  python scripts/bench_serving.py --model llama2-7b --batches 1,4,16
+            python scripts/bench_serving.py --model llama2-7b --layers 16 \
+                --mode bf16 --batches 1,4     # then divide wall times
             python scripts/bench_serving.py --model llama3-8b --group-size 128
 CPU check:  QQQ_TPU_TEST_PLATFORM=cpu python scripts/bench_serving.py \
                 --model tiny --batches 1,2 --in-len 64 --out-len 16
@@ -156,9 +160,11 @@ def main():
     ap.add_argument("--layers", type=int, default=0,
                     help="override layer count (0 = geometry default)")
     ap.add_argument("--steps-per-tick", type=int, default=16)
-    ap.add_argument("--bf16", action="store_true",
-                    help="also run the bf16 engine (same layer count) and "
-                         "report the speedup — use with --layers 16 for 7B")
+    ap.add_argument("--mode", default="w4a8", choices=("w4a8", "bf16"),
+                    help="run ONE precision per process — HBM from a "
+                         "released engine is not reliably reclaimed by the "
+                         "tunneled runtime, so compare across two runs "
+                         "(same --layers; use 16 for 7B so bf16 fits)")
     args = ap.parse_args()
 
     geo = dict(GEOMETRIES[args.model])
@@ -166,36 +172,26 @@ def main():
         geo["num_hidden_layers"] = args.layers
     config = ModelConfig(**geo)
     batches = [int(b) for b in args.batches.split(",")]
+    quantize = args.mode == "w4a8"
 
-    qparams = None
+    params = None
     for bs in batches:
-        dt, qparams = bench_config(
-            config, quantize=True, group_size=args.group_size, bs=bs,
+        dt, params = bench_config(
+            config, quantize=quantize, group_size=args.group_size, bs=bs,
             in_len=args.in_len, out_len=args.out_len,
-            steps_per_tick=args.steps_per_tick, params=qparams,
+            steps_per_tick=args.steps_per_tick, params=params,
         )
         out_tps = bs * args.out_len / dt
         total_tps = bs * (args.in_len + args.out_len) / dt
         rec = {
             "model": args.model, "layers": config.num_hidden_layers,
-            "group_size": args.group_size, "bs": bs,
+            "mode": args.mode,
+            "group_size": args.group_size if quantize else None, "bs": bs,
             "in": args.in_len, "out": args.out_len,
             "wall_s": round(dt, 3),
             "out_tok_s": round(out_tps, 1),
             "total_tok_s": round(total_tps, 1),
         }
-        if args.bf16:
-            del qparams
-            qparams = None
-            jax.clear_caches()
-            dt_bf, _ = bench_config(
-                config, quantize=False, group_size=args.group_size, bs=bs,
-                in_len=args.in_len, out_len=args.out_len,
-                steps_per_tick=args.steps_per_tick,
-            )
-            jax.clear_caches()
-            rec["bf16_wall_s"] = round(dt_bf, 3)
-            rec["speedup"] = round(dt_bf / dt, 2)
         print(json.dumps(rec), flush=True)
 
 
