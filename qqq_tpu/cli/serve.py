@@ -57,6 +57,8 @@ class EngineWorker:
         self._wake: "queue.Queue[Optional[object]]" = queue.Queue()
         self._shutdown = False
         self.error: Optional[BaseException] = None
+        self._streams: Dict[int, "queue.Queue[int]"] = {}
+        engine.on_token = self._on_token
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -65,6 +67,22 @@ class EngineWorker:
             raise RuntimeError(f"engine worker died: {self.error!r}")
         self.engine.add_request(req)
         self._wake.put(None)
+
+    # -- streaming ----------------------------------------------------------
+
+    def open_stream(self, req: Request) -> "queue.Queue[int]":
+        """Register BEFORE submit; tokens arrive as the engine emits them."""
+        q: "queue.Queue[int]" = queue.Queue()
+        self._streams[id(req)] = q
+        return q
+
+    def close_stream(self, req: Request) -> None:
+        self._streams.pop(id(req), None)
+
+    def _on_token(self, req: Request, tok: int) -> None:
+        q = self._streams.get(id(req))
+        if q is not None:
+            q.put(tok)
 
     def _loop(self) -> None:
         while not self._shutdown:
@@ -117,14 +135,22 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 — http.server API
-            if self.path != "/health":
-                return self._reply(404, {"error": "not found"})
             eng = worker.engine
-            self._reply(200, {
-                "status": "error" if worker.error else "ok",
-                "active": sum(r is not None for r in eng.slot_req),
-                "pending": len(eng._pending),
-            })
+            if self.path == "/health":
+                return self._reply(200, {
+                    "status": "error" if worker.error else "ok",
+                    "active": sum(r is not None for r in eng.slot_req),
+                    "pending": len(eng._pending),
+                })
+            if self.path == "/stats":
+                return self._reply(200, {
+                    **eng.stats,
+                    "active": sum(r is not None for r in eng.slot_req),
+                    "pending": len(eng._pending),
+                    "max_batch": eng.max_batch,
+                    "max_len": eng.max_len,
+                })
+            self._reply(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802 — http.server API
             if self.path != "/generate":
@@ -167,6 +193,8 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 eos_token_id=body.get("eos_token_id", default_eos),
             )
             req = Request(prompt_tokens=list(toks), sampling=sampling)
+            if body.get("stream"):
+                return self._stream(req)
             try:
                 worker.submit(req)
                 worker.wait(req)
@@ -179,6 +207,60 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
             if tokenizer is not None:
                 out["text"] = tokenizer.decode(req.output_tokens)
             self._reply(200, out)
+
+        def _stream(self, req: Request) -> None:
+            """Chunked NDJSON: one {"token": t} line per generated token,
+            then a final {"done": true, ...} line."""
+            q = worker.open_stream(req)
+            try:
+                worker.submit(req)
+            except RuntimeError as e:
+                worker.close_stream(req)
+                return self._reply(500, {"error": str(e)})
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(payload: Dict[str, Any]) -> None:
+                data = (json.dumps(payload) + "\n").encode()
+                self.wfile.write(
+                    f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                )
+                self.wfile.flush()
+
+            try:
+                while True:
+                    try:
+                        tok = q.get(timeout=0.05)
+                    except queue.Empty:
+                        if worker.error is not None:
+                            chunk({"error": f"engine died: {worker.error!r}"})
+                            break
+                        # _emitted catches up to output_tokens at the END of
+                        # the engine's final emit — no token can still be in
+                        # flight once this holds
+                        if (req.done and q.empty()
+                                and req._emitted >= len(req.output_tokens)):
+                            break
+                        continue
+                    out: Dict[str, Any] = {"token": tok}
+                    if tokenizer is not None:
+                        out["text"] = tokenizer.decode([tok])
+                    chunk(out)
+                # done is set just before the final emit — drain stragglers
+                while not q.empty():
+                    chunk({"token": q.get_nowait()})
+                chunk({
+                    "done": True,
+                    "output_tokens": req.output_tokens,
+                    "num_generated": len(req.output_tokens),
+                })
+                self.wfile.write(b"0\r\n\r\n")
+            except BrokenPipeError:
+                pass  # client went away; engine finishes the slot anyway
+            finally:
+                worker.close_stream(req)
 
     return Handler
 

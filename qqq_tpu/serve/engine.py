@@ -43,6 +43,7 @@ class Request:
     # filled by the engine:
     output_tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    _emitted: int = 0  # tokens already delivered through Engine.on_token
 
 
 def _bucket(n: int, buckets) -> int:
@@ -101,6 +102,14 @@ class Engine:
         self.steps_per_tick = steps_per_tick
         self.key = jax.random.PRNGKey(0)
         self._pending: List[Request] = []
+        # optional per-token hook: on_token(req, token) fires for every
+        # SURVIVING token (EOS is never emitted) as the host loop accepts it
+        # — the streaming-generation feed for serve CLI clients
+        self.on_token = None
+        self.stats = {
+            "prefills": 0, "prefill_tokens": 0,
+            "generated_tokens": 0, "decode_ticks": 0,
+        }
 
         self.mesh = mesh
         if mesh is not None:
@@ -298,7 +307,10 @@ class Engine:
                 self.slot_req[slot] = req
                 self.slot_len[slot] = n
                 self.slot_last_tok[slot] = first
+                self.stats["prefills"] += 1
+                self.stats["prefill_tokens"] += n
                 self._maybe_finish(slot)
+                self._emit(req)
 
             active = np.array(
                 [r is not None for r in self.slot_req], bool
@@ -351,6 +363,7 @@ class Engine:
                     jnp.asarray(active), *samp, n_steps=chunk,
                 )
                 chunk_np = np.asarray(toks)
+            self.stats["decode_ticks"] += 1
             for slot, req in enumerate(self.slot_req):
                 if req is None:
                     continue
@@ -362,7 +375,19 @@ class Engine:
                     self.slot_len[slot] += 1
                     self.slot_last_tok[slot] = tok
                     self._maybe_finish(slot)
+                self._emit(req)
         return requests
+
+    def _emit(self, req: Request) -> None:
+        """Deliver not-yet-emitted surviving tokens (and completion) to the
+        ``on_token`` hook; a token popped as EOS is never delivered."""
+        self.stats["generated_tokens"] += max(
+            0, len(req.output_tokens) - req._emitted
+        )
+        if self.on_token is not None:
+            for tok in req.output_tokens[req._emitted:]:
+                self.on_token(req, tok)
+        req._emitted = len(req.output_tokens)
 
     def _maybe_finish(self, slot: int) -> None:
         req = self.slot_req[slot]

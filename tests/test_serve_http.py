@@ -112,3 +112,35 @@ def test_bad_requests(served):
         assert ei.value.code == 400
         body = json.loads(ei.value.read())
         assert want_err in body["error"], body
+
+
+def test_streaming_matches_non_streaming(served, rng):
+    base, params = served
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    plain = _post(base, {"prompt_tokens": prompt, "max_new_tokens": 6})
+
+    req = urllib.request.Request(
+        base + "/generate",
+        data=json.dumps({"prompt_tokens": prompt, "max_new_tokens": 6,
+                         "stream": True}).encode(),
+    )
+    lines = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "application/x-ndjson"
+        for raw in r:  # urllib de-chunks
+            raw = raw.strip()
+            if raw:
+                lines.append(json.loads(raw))
+    assert lines[-1]["done"] is True
+    streamed = [ln["token"] for ln in lines[:-1]]
+    assert streamed == plain["output_tokens"]
+    assert lines[-1]["output_tokens"] == plain["output_tokens"]
+
+
+def test_stats_endpoint(served):
+    base, _ = served
+    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+        out = json.loads(r.read())
+    assert out["prefills"] >= 1
+    assert out["generated_tokens"] >= 1
+    assert out["max_batch"] == 2
