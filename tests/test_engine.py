@@ -287,3 +287,41 @@ def test_engine_with_tp_mesh(rng, params):
         prefill_buckets=(16,), mesh=mesh,
     )
     assert outs[0] == want
+
+
+def test_generate_qwen2_config(rng):
+    """Qwen2 serving path: qkv biases (attention_bias=True) + GQA + tied
+    embeddings through the engine — greedy parity vs the naive loop
+    (reference serves Qwen2 via the same QuantizedQwen2 mirrors it uses for
+    llama, gptq/models/qwen2.py:340-348)."""
+    cfg = ModelConfig(
+        model_type="qwen2",
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        attention_bias=True,
+        tie_word_embeddings=True,
+        rope_theta=1000000.0,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    assert params["layers"][0]["q_proj"].get("b") is not None
+
+    def naive(prompt, n_new):
+        toks = list(prompt)
+        for _ in range(n_new):
+            logits, _ = forward(params, cfg, jnp.asarray([toks], jnp.int32))
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        return toks[len(prompt):]
+
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)] for n in (5, 9)]
+    outs = generate(
+        params, cfg, prompts, SamplingParams(max_new_tokens=5),
+        max_batch=2, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )
+    for p, o in zip(prompts, outs):
+        assert o == naive(p, 5), (p, o)
