@@ -6,9 +6,12 @@ configs[3]).  Design, shaped by XLA's static-shape compilation model:
 
 * fixed ``max_batch`` decode slots — the decode step is ONE jitted program of
   constant shape (B, 1), re-run every tick over all slots with an active mask;
-* prefill runs per request at bucketed lengths (powers of two — each bucket
-  compiles once), producing the request's quantized KV, which is inserted
-  into the global slot cache with ``dynamic_update_slice`` on the batch dim;
+* prefill runs at bucketed lengths (powers of two — each (bucket, sub-batch)
+  shape compiles once); same-bucket pending requests prefill TOGETHER in
+  power-of-two sub-batches (one dispatch + one host sync for up to
+  ``prefill_batch`` of them), and each row's quantized KV is installed into
+  its slot by a donated ``dynamic_update_slice`` (in-place, no cache-store
+  copy);
 * continuous batching is a host-side loop (`Engine.run`): admit pending
   requests into free slots as soon as they open, decode the rest — requests
   join and leave the batch independently, no generation-wide barriers;
@@ -46,6 +49,11 @@ class Request:
     _emitted: int = 0  # tokens already delivered through Engine.on_token
 
 
+#: max requests prefilled in one dispatch (per power-of-two sub-batch, so at
+#: most log2 of these shapes ever compile per bucket)
+_PREFILL_BATCH = 8
+
+
 def _bucket(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
@@ -67,6 +75,7 @@ class Engine:
         dtype=jnp.bfloat16,
         mesh=None,
         fuse: bool = True,
+        prefill_batch: int = _PREFILL_BATCH,
     ):
         """``steps_per_tick > 1`` decodes that many tokens per device call
         (fused scan) — higher throughput, at the cost of EOS/admission checks
@@ -100,6 +109,7 @@ class Engine:
         self.slot_len = np.zeros(max_batch, np.int32)
         self.slot_last_tok = np.zeros(max_batch, np.int32)
         self.steps_per_tick = steps_per_tick
+        self.prefill_batch = max(1, prefill_batch)
         self.key = jax.random.PRNGKey(0)
         self._pending: List[Request] = []
         # optional per-token hook: on_token(req, token) fires for every
@@ -247,7 +257,8 @@ class Engine:
 
     def _prefill(self, params, tokens, true_len, caches1, key,
                  temp, topk, topp):
-        """B=1 forward over a padded bucket; returns next token + caches."""
+        """Batch-generic forward over a padded bucket; returns per-row next
+        tokens + caches (the engine calls it with B = admitted sub-batch)."""
         B, T = tokens.shape
         pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
         logits, caches1 = self._fwd(
@@ -265,52 +276,97 @@ class Engine:
             self._prefill_fns[bucket] = jax.jit(self._prefill)
         return self._prefill_fns[bucket]
 
-    def _insert_cache(self, caches1, slot: int):
-        """Copy a B=1 prefill cache into slot ``slot`` of the global cache."""
-        def ins(big, small):
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnums=(1,))
+    def _insert_fn(self, big, small, row, slot):
+        """Insert row ``row`` of a prefill cache into slot ``slot`` of the
+        donated global cache — in-place aliasing instead of a full-store
+        copy per admitted request; row/slot are device scalars so every
+        slot shares one executable."""
+        def ins(b, s):
             # rank-generic: k/v stores are 4-d (B, nkv, S, hd), the INT8
             # scale planes are 3-d (B, nkv, S) — see kv_cache.init
+            s1 = jax.lax.dynamic_slice(
+                s, (row,) + (0,) * (s.ndim - 1), (1,) + s.shape[1:]
+            )
             return jax.lax.dynamic_update_slice(
-                big, small, (slot,) + (0,) * (big.ndim - 1)
+                b, s1, (slot,) + (0,) * (b.ndim - 1)
             )
 
-        self.caches = jax.tree.map(ins, self.caches, caches1)
+        return jax.tree.map(ins, big, small)
+
+    def _insert_cache(self, caches1, slot: int, row: int = 0):
+        self.caches = self._insert_fn(
+            self.caches, caches1, jnp.int32(row), jnp.int32(slot)
+        )
 
     def add_request(self, req: Request) -> None:
         self._pending.append(req)
+
+    def _admit_batch(self, reqs: List[Request], slots: List[int],
+                     bucket: int) -> None:
+        """Prefill ``reqs`` together (B = len(reqs)) and install each row's
+        KV into its slot."""
+        pb = len(reqs)
+        toks = np.zeros((pb, bucket), np.int32)
+        lens = np.zeros((pb,), np.int32)
+        for i, r in enumerate(reqs):
+            n = len(r.prompt_tokens)
+            toks[i, :n] = r.prompt_tokens
+            lens[i] = n
+        caches1 = kv_cache.init(
+            self.config, pb, self.max_len,
+            quantized=self.kv_quantized, dtype=self.dtype,
+        )
+        self.key, k = jax.random.split(self.key)
+        tok, caches1 = self._get_prefill_fn(bucket)(
+            self.params, jnp.asarray(toks), jnp.asarray(lens), caches1, k,
+            *sampling_arrays([r.sampling for r in reqs]),
+        )
+        firsts = np.asarray(tok)  # ONE host sync for the whole group
+        for i, (req, slot) in enumerate(zip(reqs, slots)):
+            self._insert_cache(caches1, slot, row=i)
+            first = int(firsts[i])
+            req.output_tokens.append(first)
+            self.slot_req[slot] = req
+            self.slot_len[slot] = int(lens[i])
+            self.slot_last_tok[slot] = first
+            self.stats["prefills"] += 1
+            self.stats["prefill_tokens"] += int(lens[i])
+            self._maybe_finish(slot)
+            self._emit(req)
 
     def run(self, requests: List[Request]) -> List[Request]:
         """Run until every request completes (continuous batching loop)."""
         self._pending.extend(requests)
         while self._pending or any(r is not None for r in self.slot_req):
-            # admit pending requests into free slots
+            # admit pending requests into free slots; same-bucket requests
+            # prefill TOGETHER (one dispatch + one host sync for up to
+            # _PREFILL_BATCH of them — the prefill program is already
+            # batch-generic).  Groups may admit slightly out of FIFO order
+            # (a later same-bucket request jumps an earlier different-bucket
+            # one within one admission round).
             while self._pending and None in self.slot_req:
-                slot = self.slot_req.index(None)
-                req = self._pending.pop(0)
-                n = len(req.prompt_tokens)
-                bucket = _bucket(n, self.prefill_buckets)
-                toks = np.zeros((1, bucket), np.int32)
-                toks[0, :n] = req.prompt_tokens
-                caches1 = kv_cache.init(
-                    self.config, 1, self.max_len,
-                    quantized=self.kv_quantized, dtype=self.dtype,
+                free = [i for i, r in enumerate(self.slot_req) if r is None]
+                bucket = _bucket(
+                    len(self._pending[0].prompt_tokens), self.prefill_buckets
                 )
-                self.key, k = jax.random.split(self.key)
-                tok, caches1 = self._get_prefill_fn(bucket)(
-                    self.params, jnp.asarray(toks),
-                    jnp.asarray([n], jnp.int32), caches1, k,
-                    *sampling_arrays([req.sampling]),
-                )
-                self._insert_cache(caches1, slot)
-                first = int(tok[0])
-                req.output_tokens.append(first)
-                self.slot_req[slot] = req
-                self.slot_len[slot] = n
-                self.slot_last_tok[slot] = first
-                self.stats["prefills"] += 1
-                self.stats["prefill_tokens"] += n
-                self._maybe_finish(slot)
-                self._emit(req)
+                group, rest = [], []
+                for r in self._pending:
+                    if (
+                        len(group) < len(free)
+                        and _bucket(len(r.prompt_tokens),
+                                    self.prefill_buckets) == bucket
+                    ):
+                        group.append(r)
+                    else:
+                        rest.append(r)
+                self._pending = rest
+                while group:
+                    pb = min(self.prefill_batch,
+                             1 << (len(group).bit_length() - 1))
+                    self._admit_batch(group[:pb], free[:pb], bucket)
+                    group, free = group[pb:], free[pb:]
 
             active = np.array(
                 [r is not None for r in self.slot_req], bool

@@ -325,3 +325,21 @@ def test_generate_qwen2_config(rng):
     )
     for p, o in zip(prompts, outs):
         assert o == naive(p, 5), (p, o)
+
+
+def test_batched_prefill_admission_matches(rng, params):
+    """4 same-bucket requests on 4 slots admit via ONE batched prefill
+    (pb=4) and must match per-request greedy decoding."""
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)]
+               for n in (5, 9, 13, 7)]
+    eng = Engine(
+        params, CFG, max_batch=4, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,),
+    )
+    reqs = [Request(prompt_tokens=p,
+                    sampling=SamplingParams(max_new_tokens=6))
+            for p in prompts]
+    eng.run(reqs)
+    assert eng.stats["prefills"] == 4
+    for p, r in zip(prompts, reqs):
+        assert r.output_tokens == _naive_greedy(params, p, 6), p
