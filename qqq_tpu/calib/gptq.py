@@ -73,7 +73,10 @@ def _cholesky_inv_chain(H: jax.Array, percdamp: float) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "blocksize", "percdamp", "actorder")
+    jax.jit,
+    static_argnames=(
+        "spec", "blocksize", "percdamp", "actorder", "scale_store_dtype"
+    ),
 )
 def gptq_quantize_matrix(
     W: jax.Array,  # (K, N) fp32
@@ -83,6 +86,8 @@ def gptq_quantize_matrix(
     blocksize: int = 128,
     percdamp: float = 0.01,
     actorder: bool = True,
+    scale_store_dtype=None,  # e.g. jnp.bfloat16: round group scales to the
+                             # storage dtype before code selection
 ) -> GPTQResult:
     W = W.astype(jnp.float32)
     K, N = W.shape
@@ -97,6 +102,14 @@ def gptq_quantize_matrix(
 
     # static group params on original weights (gptq.py:91-100)
     scale_g, zero_g = find_params_weight(W, spec)  # (G, N)
+    if scale_store_dtype is not None and not spec.per_channel:
+        # Per-group scales are STORED narrow (bf16 by default from the
+        # pipeline — the TPU analogue of the reference's fp16 s_group
+        # buffer, qlinear_marlin.py:110-122).  Round here, BEFORE code
+        # selection, so the column loop's error feedback compensates for
+        # the storage rounding — the packed checkpoint then dequantizes
+        # with exactly the scale GPTQ used.
+        scale_g = scale_g.astype(scale_store_dtype).astype(jnp.float32)
 
     if actorder:
         perm = jnp.argsort(-jnp.diag(H))

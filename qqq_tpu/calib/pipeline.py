@@ -112,7 +112,11 @@ def quantize_result_to_linear(
     if spec.per_channel:
         p["s_channel"] = res.scale[0].astype(jnp.float32)
     else:
-        p["s_group"] = res.scale.astype(jnp.float32)
+        # bf16 storage — the TPU analogue of the reference's fp16 s_group
+        # buffer (qlinear_marlin.py:110-122); halves the scale HBM stream at
+        # decode.  apply_gptq rounds scales to bf16 BEFORE code selection,
+        # so this cast is lossless for pipeline-produced results.
+        p["s_group"] = res.scale.astype(jnp.bfloat16)
     if bias is not None:
         p["b"] = bias
     return p
@@ -186,6 +190,7 @@ def apply_gptq(
     stream_from_host: bool = False,
     quantize_lm_head: bool = False,
     quantizers_path: Optional[str] = None,
+    scale_store_dtype=jnp.bfloat16,  # per-group scale storage rounding
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Quantize all decoder-layer linears of ``params`` in place (functionally).
 
@@ -250,6 +255,7 @@ def apply_gptq(
                 blocksize=blocksize,
                 percdamp=percdamp,
                 actorder=actorder,
+                scale_store_dtype=scale_store_dtype,
             )
             losses[name] = float(res.loss)
             if quantizers_path:
@@ -301,6 +307,7 @@ def apply_gptq(
         res = gptq_quantize_matrix(
             head["w"].astype(jnp.float32), Hh, spec,
             blocksize=blocksize, percdamp=percdamp, actorder=actorder,
+            scale_store_dtype=scale_store_dtype,
         )
         stats["lm_head_loss"] = float(res.loss)
         if quantizers_path:

@@ -27,9 +27,12 @@ the HF importer transposes.)  Per-channel scales have shape ``(N,)``; per-group
 scales ``(K // group_size, N)``.
 
 Deviations from the reference (deliberate, TPU-first):
-* All scale math in fp32/fp64 instead of fp16; ``s_group`` is stored fp32
-  (it is tiny — ``K/128 × N``) instead of fp16, removing the reference's
-  fp16-requant rounding hazard.
+* All scale math in fp32/fp64 instead of fp16; no fp16-requant step.
+  ``s_group`` is STORED bf16 (the TPU-native analogue of the reference's
+  fp16 s_group buffer, qlinear_marlin.py:110-122 — halves the scale HBM
+  stream at decode); the pipeline rounds scales to bf16 *before* GPTQ code
+  selection so the storage rounding is error-feedback-compensated, and the
+  kernel upcasts to fp32 in-register before scaling exact int32 group dots.
 * No "weight << 4, scale / 16" trick (qlinear_marlin.py:221-226) — that exists
   only for CUDA nibble extraction; TPU sign-extends nibbles with shifts.
 """

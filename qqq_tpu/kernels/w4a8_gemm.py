@@ -94,7 +94,7 @@ def _w4a8_channel_kernel(
 def _w4a8_group_kernel(
     a_ref,      # (bm, bk) int8
     w_ref,      # (bk//8, bn) int32 packed
-    s_g_ref,    # (Gp ≥ bk//128, bn) f32 full group scales (sublane-padded)
+    s_g_ref,    # (Gp ≥ bk//128, bn) f32/bf16 full group scales (sublane-padded)
     bsum_ref,   # (1, bm, Gp) int32: this tile's per-group rowsums of a
     s_tok_ref,  # (bm, 1) f32
     out_ref,    # (bm, bn) out_dtype
@@ -107,7 +107,12 @@ def _w4a8_group_kernel(
     ``dot(a, u) − 8·rowsum(a) = dot(a, q4)`` *before* the fp32 scale — the
     int32 subtraction is exact, whereas hoisting the correction to the
     epilogue (Σ s_g·dot(a,u) − 8·Σ s_g·rowsum) cancels two ~100× larger fp32
-    sums and loses ~1% of the output at K ≈ 11008."""
+    sums and loses ~1% of the output at K ≈ 11008.
+
+    ``s_g_ref`` is read in its STORED dtype (bf16 from the pipeline, f32
+    from Marlin-imported checkpoints) and upcast in-register — the HBM
+    stream carries the narrow type, mirroring the reference's fp16
+    ``s_group`` storage (qlinear_marlin.py:110-122)."""
     k = pl.program_id(2)
     n_groups = block_k // PACK_BLOCK
 
@@ -124,7 +129,8 @@ def _w4a8_group_kernel(
             preferred_element_type=jnp.int32,
         )
         bs = bsum_ref[0, :, b : b + 1]  # (bm, 1) int32, static lane index
-        facc_ref[:] += (d - 8 * bs).astype(jnp.float32) * s_g_ref[b, :][None, :]
+        s_g = s_g_ref[b, :].astype(jnp.float32)
+        facc_ref[:] += (d - 8 * bs).astype(jnp.float32) * s_g[None, :]
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -166,7 +172,7 @@ def _w4a8_fused_channel_kernel(
 def _w4a8_fused_group_kernel(
     x_ref,      # (bm, K) bf16
     w_ref,      # (K//8, bn) int32 packed
-    s_g_ref,    # (K//128, bn) f32 full group scales
+    s_g_ref,    # (K//128, bn) f32/bf16 full group scales
     out_ref,    # (bm, bn) out_dtype
     *,
     block_k: int,
@@ -187,7 +193,8 @@ def _w4a8_fused_group_kernel(
             preferred_element_type=jnp.int32,
         )
         bsum = jnp.sum(a_b.astype(jnp.int32), axis=1, keepdims=True)
-        facc = facc + (d - 8 * bsum).astype(jnp.float32) * s_g_ref[b, :][None, :]
+        s_g = s_g_ref[b, :].astype(jnp.float32)
+        facc = facc + (d - 8 * bsum).astype(jnp.float32) * s_g[None, :]
     out_ref[:] = (facc * s_tok).astype(out_dtype)
 
 
@@ -252,7 +259,7 @@ def _w4a8_channel_glu_kernel(
 def _w4a8_group_glu_kernel(
     a_ref,      # (bm, bk) int8
     w_ref,      # (bk//8, 2·bn) int32 packed
-    s_g_ref,    # (Gp, 2·bn) f32
+    s_g_ref,    # (Gp, 2·bn) f32/bf16, upcast in-register
     bsum_ref,   # (1, bm, Gp) int32
     s_tok_ref,  # (bm, 1) f32
     out_ref,    # (bm, bn) out_dtype
@@ -276,7 +283,8 @@ def _w4a8_group_glu_kernel(
             preferred_element_type=jnp.int32,
         )
         bs = bsum_ref[0, :, b : b + 1]
-        facc_ref[:] += (d - 8 * bs).astype(jnp.float32) * s_g_ref[b, :][None, :]
+        s_g = s_g_ref[b, :].astype(jnp.float32)
+        facc_ref[:] += (d - 8 * bs).astype(jnp.float32) * s_g[None, :]
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -362,7 +370,9 @@ def w4a8_gemm(
       s_token: (M, 1) fp32 per-token scales.
       w_packed: (K//8, N) int32 nibble-packed INT4 weights (core/packing.py).
       s_channel: (N,) fp32 per-channel scales — per-channel path only.
-      s_group: (K//128, N) fp32 full group scales — per-group path only.
+      s_group: (K//128, N) full group scales, f32 or bf16 (the HBM stream
+        carries the stored dtype; the kernel upcasts in-register) —
+        per-group path only.
       group_size: -1 (per-channel) or 128.
     Returns:
       (M, N) array of ``out_dtype``.
@@ -454,7 +464,7 @@ def w4a8_gemm(
         bsum = jnp.sum(  # (Mp, K//128) per-128-block rowsums of a
             a32.reshape(Mp, K // PACK_BLOCK, PACK_BLOCK), axis=-1
         )
-        s_group = s_group.astype(jnp.float32)
+        # s_group stays in its stored dtype (bf16/f32) — upcast in-kernel
         # Mosaic needs the s_group tile's sublane count 8-divisible: pad each
         # k-tile's group rows from Gt = bk/128 up to Gp (K=11008 → Gt=43,
         # Gp=48); the kernel only reads the first Gt rows of each tile.
@@ -591,7 +601,7 @@ def w4a8_gemm_fused(
                              memory_space=pltpu.VMEM),
             ],
             **common,
-        )(x, w_packed, s_group.astype(jnp.float32))
+        )(x, w_packed, s_group)  # stored dtype; upcast in-kernel
     if Mp != M or Np != N:
         out = out[:M, :N]
     return out
@@ -722,7 +732,7 @@ def w4a8_glu_gemm(
     else:
         assert group_size == PACK_BLOCK
         assert s_group is not None and s_group.shape == (K // PACK_BLOCK, 2 * I)
-        s_group = s_group.astype(jnp.float32)
+        # s_group stays in its stored dtype (bf16/f32) — upcast in-kernel
         bsum = jnp.sum(a32.reshape(Mp, K // PACK_BLOCK, PACK_BLOCK), axis=-1)
         Gt = bk // PACK_BLOCK
         Gp = _round_up(Gt, 8)

@@ -72,6 +72,27 @@ def _assert_matches(got, expected, group_size):
         )
 
 
+@pytest.mark.parametrize("M,K,N", [(1, 256, 256), (40, 1024, 512)])
+def test_w4a8_gemm_bf16_sgroup_storage(rng, M, K, N):
+    """s_group is stored bf16 (pipeline.quantize_result_to_linear) and the
+    kernel upcasts in-register: output must equal the oracle fed the SAME
+    bf16-rounded scales upcast to f32 — storage dtype changes the HBM
+    stream, never the math."""
+    q4, _, s_group = _make_quantized(rng, K, N, 128)
+    s_bf16 = s_group.astype(jnp.bfloat16)
+    x = rng.normal(size=(M, K)).astype(np.float32) * 2.0
+    a_q, s_tok = quantize_activations_per_token(jnp.asarray(x))
+    expected = w4a8_matmul_reference(
+        a_q, s_tok, q4, None, s_bf16.astype(jnp.float32),
+        group_size=128, out_dtype=jnp.float32,
+    )
+    got = w4a8_gemm(
+        a_q, s_tok, pack_int4(q4), None, s_bf16,
+        group_size=128, out_dtype=jnp.float32, interpret=True,
+    )
+    _assert_matches(got, expected, 128)
+
+
 @pytest.mark.parametrize("group_size", [-1, 128])
 def test_w4a8_gemm_custom_blocks(rng, group_size):
     M, K, N = 16, 512, 256

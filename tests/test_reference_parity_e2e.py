@@ -198,9 +198,14 @@ def test_e2e_rotate_smooth_gptq_parity(ref, group_size, rng):
         )
 
     params = export_smoothed_model(params, OUR_CFG, scale_list_ours)
+    # scale_store_dtype=None: the parity contract is "same math as the
+    # reference", whose fasterquant selects codes with UN-rounded scales
+    # (fp16 rounding happens only at pack time, qlinear_marlin.py:209-210).
+    # The default bf16 pre-rounding is a deliberate TPU deviation tested in
+    # test_kernels.py::test_w4a8_gemm_bf16_sgroup_storage.
     qparams, _ = apply_gptq(
         params, OUR_CFG, calib_j, w_spec, sample_batch=B, pack=False,
-        dtype=jnp.float32, actorder=True,
+        dtype=jnp.float32, actorder=True, scale_store_dtype=None,
     )
     logits_ours, _ = forward(
         qparams, OUR_CFG, jnp.asarray(eval_ids.numpy().astype(np.int32))
