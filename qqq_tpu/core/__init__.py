@@ -8,6 +8,7 @@ from qqq_tpu.core.quant import (
     double_scale,
     dequantize_weight_int,
     requantize_group_weights_int8,
+    s_extra_from_group_scales,
     w4a8_matmul_reference,
 )
 from qqq_tpu.core.packing import (

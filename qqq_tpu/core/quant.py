@@ -270,6 +270,26 @@ def double_scale(scale: jax.Array, s_extra: jax.Array) -> jax.Array:
     return (scale / s_extra[None, :]).astype(jnp.float32)
 
 
+def s_extra_from_group_scales(s_group: jax.Array) -> jax.Array:
+    """Derive the reference's ``scale_extra`` from FULL group scales alone:
+    ``7 · max_g s_group[g, n] / 127``.
+
+    Equal to :func:`int8_channel_scale` over the dequantized weights for any
+    ``find_params_weight``-produced quantization: symmetric int4 scales are
+    ``absmax/7`` (or MSE-shrunk with codes clipped to ±7), so the group with
+    the largest scale always attains a ±7 code and the channel's dequantized
+    absmax is exactly ``7 · max_g s_group``.  Lets the GEMM launcher build the
+    double scale from the packed checkpoint's ``s_group`` buffer without an
+    extra stored tensor (reference stores s_channel separately,
+    qlinear_marlin.py:103-122).
+
+    ``s_group``: (G, N) full group scales (any float dtype).  Returns (N,) f32.
+    """
+    s = jnp.max(s_group.astype(jnp.float32), axis=0)
+    s = jnp.where(s == 0, 1.0, s)
+    return s * (7.0 / 127.0)
+
+
 def requantize_group_weights_int8(
     q4: jax.Array, s_group: jax.Array, group_size: int
 ) -> jax.Array:

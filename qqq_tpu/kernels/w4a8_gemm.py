@@ -33,7 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qqq_tpu.core.packing import PACK_BLOCK
-from qqq_tpu.core.quant import quantize_activations_per_token
+from qqq_tpu.core.quant import (
+    quantize_activations_per_token,
+    s_extra_from_group_scales,
+)
 
 _NIBBLE_MASK = 0x0F0F0F0F  # python int: avoids a captured traced constant
 
@@ -52,6 +55,70 @@ def _unpack_u8(w32, block_k: int):
     for b in range(block_k // PACK_BLOCK):
         blocks.append((lo8[b * 64 : b * 64 + 64], hi8[b * 64 : b * 64 + 64]))
     return blocks
+
+
+def _requant_w8(w32, s_frac_ref, block_k: int):
+    """In-kernel INT4 → INT8 requantization through the double scale
+    ``s_frac = s_group / s_extra`` (jnp oracle:
+    core.quant.requantize_group_weights_int8; reference analogue:
+    csrc/qqq_gemm.cu:166-210's dequant_per_group, minus the fp16 detour).
+
+    The subtraction ``u − 8`` happens BEFORE the scale multiply so the f32
+    product rounds once, exactly like the oracle's ``q · s`` — folding the
+    offset into an FMA (``u·s − 8s``) would round twice and drift by an ulp
+    on ties.  Codes stay in [-8, 7] ⇒ |w8| ≤ 127·8/7 < 146; the clamp covers
+    the (never-produced-by-sym) −8 code."""
+    pieces = []
+    for b, (lo_b, hi_b) in enumerate(_unpack_u8(w32, block_k)):
+        s = s_frac_ref[b, :][None, :].astype(jnp.float32)  # (1, n)
+        for half in (lo_b, hi_b):
+            qf = half.astype(jnp.float32) - 8.0  # exact small ints
+            w8 = jnp.round(qf * s)               # single rounding
+            pieces.append(jnp.clip(w8, -127.0, 127.0).astype(jnp.int8))
+    return jnp.concatenate(pieces, axis=0)       # (block_k, n) int8
+
+
+def _w4a8_requant_group_kernel(
+    a_ref,      # (bm, bk) int8
+    w_ref,      # (bk//8, bn) int32 packed
+    s_frac_ref, # (Gp ≥ bk//128, bn) f32 double scales (sublane-padded)
+    s_tok_ref,  # (bm, 1) f32
+    s_ex_ref,   # (1, bn) f32 scale_extra
+    out_ref,    # (bm, bn) out_dtype
+    acc_ref,    # (bm, bn) int32 scratch
+    *,
+    block_k: int,
+    out_dtype,
+):
+    """Per-group GEMM, requant variant for the compute-bound prefill regime.
+
+    The exact per-group kernel pays ``Gt`` fp32 scale-accumulate passes over
+    the (bm, bn) tile per k-tile (VPU work ∝ Gt·bm·bn — about half the g128
+    prefill time at bm=512).  Here the weights are requantized INT4 → INT8
+    in-register (VPU work ∝ bk·bn, independent of bm) and the whole k-tile
+    takes ONE int32 MXU dot with a single per-channel epilogue — the
+    reference's double-scale scheme (gptq.py:204-217, qqq_gemm.cu:166-210),
+    reached for the same reason it exists there: one int8 operand for the
+    whole K reduction keeps the matrix unit busy.  Decode stays on the exact
+    kernel (requant costs ~½ bit of weight precision; at small M the exact
+    path is HBM-bound anyway)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w8 = _requant_w8(w_ref[:], s_frac_ref, block_k)
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:], w8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        out = acc_ref[:].astype(jnp.float32) * s_ex_ref[:] * s_tok_ref[:]
+        out_ref[:] = out.astype(out_dtype)
 
 
 def _w4a8_channel_kernel(
@@ -256,6 +323,42 @@ def _w4a8_channel_glu_kernel(
         out_ref[:] = (g * jax.lax.logistic(g) * u).astype(out_dtype)
 
 
+def _w4a8_requant_group_glu_kernel(
+    a_ref,      # (bm, bk) int8
+    w_ref,      # (bk//8, 2·bn) int32 packed [gate_j | up_j] interleave
+    s_frac_ref, # (Gp, 2·bn) f32 double scales (sublane-padded)
+    s_tok_ref,  # (bm, 1) f32
+    s_ex_ref,   # (1, 2·bn) f32 scale_extra
+    out_ref,    # (bm, bn) out_dtype — silu(gate)·up
+    acc_ref,    # (bm, 2·bn) int32 scratch
+    *,
+    block_k: int,
+    out_dtype,
+):
+    """GLU epilogue over the requant per-group path (see
+    _w4a8_requant_group_kernel for the requant rationale)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w8 = _requant_w8(w_ref[:], s_frac_ref, block_k)
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:], w8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        bn = out_ref.shape[1]
+        scaled = acc_ref[:].astype(jnp.float32) * s_ex_ref[:] * s_tok_ref[:]
+        g = scaled[:, :bn]
+        u = scaled[:, bn:]
+        out_ref[:] = (g * jax.lax.logistic(g) * u).astype(out_dtype)
+
+
 def _w4a8_group_glu_kernel(
     a_ref,      # (bm, bk) int8
     w_ref,      # (bk//8, 2·bn) int32 packed
@@ -295,7 +398,7 @@ def _w4a8_group_glu_kernel(
         out_ref[:] = (g * jax.lax.logistic(g) * u).astype(out_dtype)
 
 
-def _pick_blocks(M: int, K: int, N: int, per_group: bool):
+def _pick_blocks(M: int, K: int, N: int, per_group: bool, requant: bool = False):
     """Block-shape heuristic (replaces csrc/qqq_gemm.cu:847-916's thread
     config tables).  Swept on v5e in two regimes:
 
@@ -316,6 +419,20 @@ def _pick_blocks(M: int, K: int, N: int, per_group: bool):
     per-channel-optimal bn=256/bk=11008).  Its s_group tiles are
     sublane-padded in the dispatcher, so no divisibility constraint here."""
     if M >= 512:
+        if requant:
+            # requant VPU cost (unpack + round + clip, ∝ bk·bn per k-tile) is
+            # amortized over bm rows: prefer bm=512 FIRST (cap bk so the
+            # 512·bk int8 A-tile fits the ~3 MB budget), then the widest bn.
+            # Swept on v5e @M=1024: K=11008 (512,512,5504) 340 TOPS vs 264 at
+            # the full-K bm=256 pick; K=4096 (512,512,4096) 335 TOPS.
+            bn = 512
+            d_max = K // PACK_BLOCK
+            bk = max(
+                PACK_BLOCK * d
+                for d in range(1, d_max + 1)
+                if d_max % d == 0 and 512 * PACK_BLOCK * d <= 3 * 1024 * 1024
+            )
+            return 512, bn, bk
         if per_group:
             bn, bk = max(
                 ((b, _max_bk(K, b)) for b in (512, 256, 128)),
@@ -347,7 +464,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "out_dtype", "block_m", "block_n", "block_k",
-                     "interpret"),
+                     "interpret", "requant"),
 )
 def w4a8_gemm(
     a_q: jax.Array,
@@ -362,6 +479,7 @@ def w4a8_gemm(
     block_n: int = 0,
     block_k: int = 0,
     interpret: Optional[bool] = None,
+    requant: Optional[bool] = None,
 ):
     """W4A8 GEMM host entry (replaces the qqq_gemm launcher, cu:828-1046).
 
@@ -374,6 +492,11 @@ def w4a8_gemm(
         carries the stored dtype; the kernel upcasts in-register) —
         per-group path only.
       group_size: -1 (per-channel) or 128.
+      requant: per-group only.  None (default) = auto: the compute-bound
+        prefill regime (M ≥ 512) requantizes INT4 → INT8 in-kernel through
+        the double scale (reference numerics, gptq.py:204-217) for a single
+        MXU dot per k-tile; small M keeps the exact per-group-dot path.
+        True/False forces the choice.
     Returns:
       (M, N) array of ``out_dtype``.
     """
@@ -385,8 +508,12 @@ def w4a8_gemm(
     else:
         assert group_size == PACK_BLOCK, "only g=128 supported (like reference)"
         assert s_group is not None and s_group.shape == (K // group_size, N)
+    do_requant = group_size != -1 and (
+        requant if requant is not None else M >= 512
+    )
 
-    bm0, bn0, bk0 = _pick_blocks(M, K, N, group_size != -1)
+    # requant path takes one dot per k-tile like per-channel — use its picks
+    bm0, bn0, bk0 = _pick_blocks(M, K, N, group_size != -1 and not do_requant)
     bm = block_m or bm0
     bn = block_n or bn0
     bk = block_k or bk0
@@ -459,6 +586,45 @@ def w4a8_gemm(
             asum,
             s_token,
             s_channel.reshape(1, Np).astype(jnp.float32),
+        )
+    elif do_requant:
+        # Mosaic needs the scale tile's sublane count 8-divisible (see the
+        # exact path below for the padding rationale)
+        Gt = bk // PACK_BLOCK
+        Gp = _round_up(Gt, 8)
+        n_t = K // bk
+        s_g32 = s_group.astype(jnp.float32)
+        s_extra = s_extra_from_group_scales(s_g32)  # (Np,) f32
+        s_frac = s_g32 / s_extra[None, :]
+        if Gp != Gt:
+            sf_tiles = s_frac.reshape(n_t, Gt, Np)
+            sf_tiles = jnp.pad(sf_tiles, ((0, 0), (0, Gp - Gt), (0, 0)))
+            s_frac = sf_tiles.reshape(n_t * Gp, Np)
+        out = pl.pallas_call(
+            functools.partial(
+                _w4a8_requant_group_kernel, block_k=bk, out_dtype=out_dtype
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk // 8, bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Gp, bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            **common,
+        )(
+            a_q,
+            w_packed,
+            s_frac,
+            s_token,
+            s_extra.reshape(1, Np),
         )
     else:
         bsum = jnp.sum(  # (Mp, K//128) per-128-block rowsums of a
@@ -647,7 +813,7 @@ def fuse_glu_layout(gate: dict, up: dict) -> Optional[dict]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "out_dtype", "interpret")
+    jax.jit, static_argnames=("group_size", "out_dtype", "interpret", "requant")
 )
 def w4a8_glu_gemm(
     a_q: jax.Array,
@@ -659,6 +825,7 @@ def w4a8_glu_gemm(
     group_size: int = -1,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    requant: Optional[bool] = None,  # see w4a8_gemm — auto at M ≥ 512
 ):
     """GLU-fused W4A8 GEMM: returns silu(a·W_gate)·(a·W_up) of shape (M, I)
     without materializing either (M, I) intermediate in HBM."""
@@ -729,6 +896,37 @@ def w4a8_glu_gemm(
             a_q, w_glu, asum, s_token,
             s_channel.reshape(1, 2 * I).astype(jnp.float32),
         )
+    elif group_size != -1 and (requant if requant is not None else M >= 512):
+        assert group_size == PACK_BLOCK
+        assert s_group is not None and s_group.shape == (K // PACK_BLOCK, 2 * I)
+        Gt = bk // PACK_BLOCK
+        Gp = _round_up(Gt, 8)
+        n_t = K // bk
+        s_g32 = s_group.astype(jnp.float32)
+        s_extra = s_extra_from_group_scales(s_g32)  # (2I,) f32
+        s_frac = s_g32 / s_extra[None, :]
+        if Gp != Gt:
+            sf_tiles = s_frac.reshape(n_t, Gt, 2 * I)
+            sf_tiles = jnp.pad(sf_tiles, ((0, 0), (0, Gp - Gt), (0, 0)))
+            s_frac = sf_tiles.reshape(n_t * Gp, 2 * I)
+        out = pl.pallas_call(
+            functools.partial(
+                _w4a8_requant_group_glu_kernel, block_k=bk,
+                out_dtype=out_dtype,
+            ),
+            grid=grid,
+            in_specs=[
+                a_spec,
+                w_spec,
+                pl.BlockSpec((Gp, 2 * bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                stok_spec,
+                pl.BlockSpec((1, 2 * bn), lambda i, j, k: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((bm, 2 * bn), jnp.int32)],
+            **common,
+        )(a_q, w_glu, s_frac, s_token, s_extra.reshape(1, 2 * I))
     else:
         assert group_size == PACK_BLOCK
         assert s_group is not None and s_group.shape == (K // PACK_BLOCK, 2 * I)
@@ -774,6 +972,7 @@ def w4a8_glu_linear(
     *,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    requant: Optional[bool] = None,
 ) -> jax.Array:
     """silu(x·W_gate)·(x·W_up) through the GLU-fused kernel.  ``glu`` comes
     from :func:`fuse_glu_layout`."""
@@ -784,7 +983,7 @@ def w4a8_glu_linear(
     out = w4a8_glu_gemm(
         a_q, s_tok, glu["w_packed"], glu.get("s_channel"),
         glu.get("s_group"), group_size=group_size, out_dtype=out_dtype,
-        interpret=interpret,
+        interpret=interpret, requant=requant,
     )
     return out.reshape(*lead, -1)
 
@@ -799,6 +998,7 @@ def w4a8_linear(
     group_size: int = -1,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    requant: Optional[bool] = None,
 ) -> jax.Array:
     """Quantized linear layer: dynamic per-token act quant + W4A8 GEMM + bias.
 
@@ -826,6 +1026,7 @@ def w4a8_linear(
         out = w4a8_gemm(
             a_q, s_tok, w_packed, s_channel, s_group,
             group_size=group_size, out_dtype=out_dtype, interpret=interpret,
+            requant=requant,
         )
     if bias is not None:
         out = out + bias.astype(out.dtype)

@@ -93,6 +93,89 @@ def test_w4a8_gemm_bf16_sgroup_storage(rng, M, K, N):
     _assert_matches(got, expected, 128)
 
 
+def _requant_oracle(a_q, s_tok, q4, s_group, group_size=128):
+    """The requant-path golden model: int4 → int8 through the double scale
+    (core.quant.requantize_group_weights_int8), one int32 dot, per-channel
+    epilogue — reference numerics (gptq.py:204-217, qqq_gemm.cu:166-210)."""
+    from qqq_tpu.core import (
+        requantize_group_weights_int8,
+        s_extra_from_group_scales,
+    )
+
+    s_g32 = jnp.asarray(s_group).astype(jnp.float32)
+    s_extra = s_extra_from_group_scales(s_g32)
+    s_frac = s_g32 / s_extra[None, :]
+    w8 = requantize_group_weights_int8(q4, s_frac, group_size)
+    acc = jnp.dot(
+        a_q.astype(jnp.int32), w8.astype(jnp.int32),
+        preferred_element_type=jnp.int32,
+    )
+    return (
+        acc.astype(jnp.float32)
+        * s_extra[None, :]
+        * s_tok.astype(jnp.float32)
+    )
+
+
+@pytest.mark.parametrize("sg_dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("M,K,N", [(8, 512, 256), (130, 1024, 384)])
+def test_w4a8_gemm_requant_matches_oracle(rng, M, K, N, sg_dtype):
+    """Forced requant path is BIT-exact vs the jnp requant oracle: both
+    round the same f32 products and take one exact int32 dot chain."""
+    q4, _, s_group = _make_quantized(rng, K, N, 128)
+    s_group = s_group.astype(sg_dtype)
+    x = rng.normal(size=(M, K)).astype(np.float32) * 2.0
+    a_q, s_tok = quantize_activations_per_token(jnp.asarray(x))
+    expected = _requant_oracle(a_q, s_tok, q4, s_group)
+    got = w4a8_gemm(
+        a_q, s_tok, pack_int4(q4), None, s_group,
+        group_size=128, out_dtype=jnp.float32, interpret=True, requant=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_w4a8_gemm_requant_auto_policy_and_accuracy(rng):
+    """Auto policy: M ≥ 512 takes the requant path (equals the requant
+    oracle), small M stays exact.  Requant noise vs the exact path is
+    bounded by the int8 regrid (~0.5%, same as the reference kernel's)."""
+    K, N = 512, 256
+    q4, _, s_group = _make_quantized(rng, K, N, 128)
+    x = rng.normal(size=(512, K)).astype(np.float32) * 2.0
+    a_q, s_tok = quantize_activations_per_token(jnp.asarray(x))
+    auto = w4a8_gemm(
+        a_q, s_tok, pack_int4(q4), None, s_group,
+        group_size=128, out_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(auto),
+        np.asarray(_requant_oracle(a_q, s_tok, q4, s_group)),
+    )
+    exact = w4a8_gemm(
+        a_q, s_tok, pack_int4(q4), None, s_group,
+        group_size=128, out_dtype=jnp.float32, interpret=True, requant=False,
+    )
+    exact, auto = np.asarray(exact), np.asarray(auto)
+    rel = np.abs(auto - exact).max() / np.abs(exact).max()
+    # intrinsic int8-regrid noise of the double-scale scheme — measured to
+    # equal the per-weight regrid rms exactly (~1.6-2.8% of weight std on
+    # random weights, no clamp saturation).  The reference kernel carries the
+    # same noise on EVERY matmul (qqq_gemm.cu:166-210); here only prefill
+    # does, decode stays on the exact path.
+    assert rel < 0.06, rel
+    rms = np.sqrt(((auto - exact) ** 2).mean()) / np.abs(exact).std()
+    assert rms < 0.04, rms
+    # small M: auto == exact path (bit-identical shapes of the same math)
+    small = w4a8_gemm(
+        a_q[:8], s_tok[:8], pack_int4(q4), None, s_group,
+        group_size=128, out_dtype=jnp.float32, interpret=True,
+    )
+    small_exact = w4a8_gemm(
+        a_q[:8], s_tok[:8], pack_int4(q4), None, s_group,
+        group_size=128, out_dtype=jnp.float32, interpret=True, requant=False,
+    )
+    np.testing.assert_array_equal(np.asarray(small), np.asarray(small_exact))
+
+
 @pytest.mark.parametrize("group_size", [-1, 128])
 def test_w4a8_gemm_custom_blocks(rng, group_size):
     M, K, N = 16, 512, 256
