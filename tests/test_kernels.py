@@ -292,6 +292,39 @@ def test_glu_gemm_matches_unfused(rng, M, K, I, group_size):
     )
 
 
+def test_glu_gemm_requant_matches_oracle(rng):
+    """Forced requant GLU path == silu(g)·u of the per-matrix requant
+    oracles (the fused interleave only tiles columns, never reorders the
+    output; s_extra is per output column so fusion cannot change it)."""
+    import jax
+
+    from qqq_tpu.kernels import fuse_glu_layout, w4a8_glu_gemm
+
+    M, K, I = 16, 512, 256
+    qg, _, sgg = _make_quantized(rng, K, I, 128)
+    qu, _, sgu = _make_quantized(rng, K, I, 128)
+    fused = fuse_glu_layout(
+        {"w_packed": pack_int4(qg), "s_group": sgg},
+        {"w_packed": pack_int4(qu), "s_group": sgu},
+    )
+    assert fused is not None
+
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    a_q, s_tok = quantize_activations_per_token(jnp.asarray(x))
+    g = jnp.asarray(_requant_oracle(a_q, s_tok, qg, sgg))
+    u = jnp.asarray(_requant_oracle(a_q, s_tok, qu, sgu))
+    expected = np.asarray(g * jax.lax.logistic(g) * u)
+
+    got = w4a8_glu_gemm(
+        a_q, s_tok, fused["w_packed"], None, fused.get("s_group"),
+        group_size=128, out_dtype=jnp.float32, interpret=True, requant=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), expected, rtol=1e-6,
+        atol=1e-6 * (np.abs(expected).max() + 1e-6),
+    )
+
+
 def test_fuse_inference_params_forward_parity(rng):
     """Fused qkv + GLU forward matches the unfused quantized forward."""
     import jax
