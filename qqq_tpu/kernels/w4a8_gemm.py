@@ -513,7 +513,9 @@ def w4a8_gemm(
     )
 
     # requant path takes one dot per k-tile like per-channel — use its picks
-    bm0, bn0, bk0 = _pick_blocks(M, K, N, group_size != -1 and not do_requant)
+    bm0, bn0, bk0 = _pick_blocks(
+        M, K, N, group_size != -1 and not do_requant, requant=do_requant
+    )
     bm = block_m or bm0
     bn = block_n or bn0
     bk = block_k or bk0

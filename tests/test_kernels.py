@@ -292,6 +292,18 @@ def test_glu_gemm_matches_unfused(rng, M, K, I, group_size):
     )
 
 
+def test_requant_block_picks():
+    """The requant regime prefers bm=512 first (its VPU cost amortizes over
+    rows) — swept winners on v5e @M=1024 (kernel docstring): K=11008 must
+    NOT take the full-K bm=256 pick the exact per-channel regime uses."""
+    from qqq_tpu.kernels.w4a8_gemm import _pick_blocks
+
+    assert _pick_blocks(1024, 11008, 4096, True, requant=True) == (512, 512, 5504)
+    assert _pick_blocks(1024, 4096, 12288, True, requant=True) == (512, 512, 4096)
+    # exact per-group regime unchanged
+    assert _pick_blocks(1024, 11008, 4096, True)[0] in (256, 512)
+
+
 def test_glu_gemm_requant_matches_oracle(rng):
     """Forced requant GLU path == silu(g)·u of the per-matrix requant
     oracles (the fused interleave only tiles columns, never reorders the
