@@ -160,3 +160,36 @@ def test_chunked_prefill_int8_cache_matches_full(rng):
     want = np.asarray(full_logits[:, 5:12])
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=5e-2 * scale)
+
+
+def test_requant_prefill_regime_prefix_consistency(rng):
+    """At T ≥ 512 the g128 model auto-switches every linear to the requant
+    GEMM (kernels/w4a8_gemm.py auto policy).  The logits over a shared
+    prefix must stay within int8-regrid noise of the exact-path forward
+    (T=256 run), and greedy argmax must agree almost everywhere — guards
+    the prefill/decode numerics split at the model level."""
+    import jax
+    from __graft_entry__ import _quantize_params
+
+    config = ModelConfig(
+        vocab_size=97,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=1024,
+    )
+    params = init_params(config, jax.random.PRNGKey(3), dtype=jnp.float32)
+    qparams = _quantize_params(params, config, group_size=128)
+    tokens = jnp.asarray(rng.integers(0, 97, size=(1, 512)).astype(np.int32))
+
+    big, _ = forward(qparams, config, tokens)          # M=512 → requant
+    small, _ = forward(qparams, config, tokens[:, :256])  # M=256 → exact
+
+    got = np.asarray(big[:, :256], dtype=np.float32)
+    want = np.asarray(small, dtype=np.float32)
+    rms = np.sqrt(((got - want) ** 2).mean()) / want.std()
+    assert rms < 0.08, rms
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree > 0.9, agree
