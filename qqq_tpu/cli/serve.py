@@ -8,8 +8,12 @@ batching, INT8 KV cache, bucketed prefill).
 
 Endpoints:
   POST /generate   {"prompt": str | "prompt_tokens": [int], "max_new_tokens",
-                    "temperature", "top_k", "top_p"}  →
-                   {"output_tokens": [int], "text": str?, "num_generated": int}
+                    "temperature", "top_k", "top_p",
+                    "stop": str | [str],       # stop strings (needs tokenizer)
+                    "stop_token_ids": [int],   # extra EOS-like token ids
+                    "logprobs": bool}  →
+                   {"output_tokens": [int], "text": str?, "num_generated": int,
+                    "token_logprobs": [float]?}
   GET  /health     {"status": "ok", "active": n, "pending": n}
 
 Usage:
@@ -52,12 +56,15 @@ class EngineWorker:
     is picked up by the next loop iteration.
     """
 
-    def __init__(self, engine: Engine):
+    def __init__(self, engine: Engine, tokenizer=None):
         self.engine = engine
+        self.tokenizer = tokenizer
         self._wake: "queue.Queue[Optional[object]]" = queue.Queue()
         self._shutdown = False
         self.error: Optional[BaseException] = None
         self._streams: Dict[int, "queue.Queue[int]"] = {}
+        self._stops: Dict[int, list] = {}       # id(req) → stop strings
+        self._stop_text: Dict[int, str] = {}    # id(req) → truncated text
         engine.on_token = self._on_token
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -67,6 +74,21 @@ class EngineWorker:
             raise RuntimeError(f"engine worker died: {self.error!r}")
         self.engine.add_request(req)
         self._wake.put(None)
+
+    # -- stop strings ---------------------------------------------------------
+
+    def set_stops(self, req: Request, stops: list) -> None:
+        """Register stop strings BEFORE submit (requires a tokenizer).  The
+        on_token watcher re-decodes the output so far each token — O(n²) in
+        generation length, negligible next to a decode step — and cancels
+        the request the moment any stop string appears; the final text is
+        truncated just before it (vLLM stop-string semantics)."""
+        if stops:
+            self._stops[id(req)] = list(stops)
+
+    def take_stop_text(self, req: Request) -> Optional[str]:
+        self._stops.pop(id(req), None)
+        return self._stop_text.pop(id(req), None)
 
     # -- streaming ----------------------------------------------------------
 
@@ -80,6 +102,17 @@ class EngineWorker:
         self._streams.pop(id(req), None)
 
     def _on_token(self, req: Request, tok: int) -> None:
+        stops = self._stops.get(id(req))
+        if stops and self.tokenizer is not None:
+            text = self.tokenizer.decode(req.output_tokens[: req._emitted])
+            cut = min(
+                (i for i in (text.find(s) for s in stops) if i >= 0),
+                default=-1,
+            )
+            if cut >= 0:
+                self._stop_text[id(req)] = text[:cut]
+                self.engine.cancel(req)
+                return  # don't stream the token that completed the stop
         q = self._streams.get(id(req))
         if q is not None:
             q.put(tok)
@@ -185,16 +218,27 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                              f"prefill bucket {max_prompt}"
                 })
 
+            stops = body.get("stop", [])
+            if isinstance(stops, str):
+                stops = [stops]
+            if stops and tokenizer is None:
+                return self._reply(
+                    400, {"error": "stop strings need a tokenizer; "
+                                   "use stop_token_ids"}
+                )
             sampling = SamplingParams(
                 temperature=float(body.get("temperature", 0.0)),
                 top_k=int(body.get("top_k", 0)),
                 top_p=float(body.get("top_p", 1.0)),
                 max_new_tokens=int(body.get("max_new_tokens", 128)),
                 eos_token_id=body.get("eos_token_id", default_eos),
+                stop_token_ids=tuple(body.get("stop_token_ids", ())),
             )
             req = Request(prompt_tokens=list(toks), sampling=sampling)
+            worker.set_stops(req, stops)
+            want_logprobs = bool(body.get("logprobs"))
             if body.get("stream"):
-                return self._stream(req)
+                return self._stream(req, want_logprobs)
             try:
                 worker.submit(req)
                 worker.wait(req)
@@ -204,11 +248,17 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 "output_tokens": req.output_tokens,
                 "num_generated": len(req.output_tokens),
             }
+            if want_logprobs:
+                out["token_logprobs"] = req.token_logprobs
+            stop_text = worker.take_stop_text(req)
             if tokenizer is not None:
-                out["text"] = tokenizer.decode(req.output_tokens)
+                out["text"] = (
+                    stop_text if stop_text is not None
+                    else tokenizer.decode(req.output_tokens)
+                )
             self._reply(200, out)
 
-        def _stream(self, req: Request) -> None:
+        def _stream(self, req: Request, want_logprobs: bool = False) -> None:
             """Chunked NDJSON: one {"token": t} line per generated token,
             then a final {"done": true, ...} line."""
             q = worker.open_stream(req)
@@ -251,11 +301,17 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 # done is set just before the final emit — drain stragglers
                 while not q.empty():
                     chunk({"token": q.get_nowait()})
-                chunk({
+                final: Dict[str, Any] = {
                     "done": True,
                     "output_tokens": req.output_tokens,
                     "num_generated": len(req.output_tokens),
-                })
+                }
+                if want_logprobs:
+                    final["token_logprobs"] = req.token_logprobs
+                stop_text = worker.take_stop_text(req)
+                if stop_text is not None:
+                    final["text"] = stop_text
+                chunk(final)
                 self.wfile.write(b"0\r\n\r\n")
             except BrokenPipeError:
                 pass  # client went away; engine finishes the slot anyway
@@ -274,7 +330,7 @@ def make_server(
 ):
     """Build (server, worker); call ``server.serve_forever()`` to run.
     Factored out of ``main`` so tests can serve a tiny in-memory model."""
-    worker = EngineWorker(engine)
+    worker = EngineWorker(engine, tokenizer)
     server = ThreadingHTTPServer(
         (host, port), _make_handler(worker, tokenizer, default_eos)
     )

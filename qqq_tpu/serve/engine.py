@@ -35,7 +35,8 @@ from qqq_tpu.models.config import ModelConfig
 from qqq_tpu.models import llama as M
 from qqq_tpu.serve import kv_cache
 from qqq_tpu.serve.sampling import (
-    SamplingParams, sample_batched, sample_batched_sharded, sampling_arrays,
+    SamplingParams, chosen_logprob, chosen_logprob_sharded, sample_batched,
+    sample_batched_sharded, sampling_arrays,
 )
 
 
@@ -45,7 +46,13 @@ class Request:
     sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
     # filled by the engine:
     output_tokens: List[int] = dataclasses.field(default_factory=list)
+    #: raw-model log P(token | prefix) for each entry of ``output_tokens``
+    #: (pre-temperature, like vLLM's logprobs report) — same length
+    token_logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
+    #: set via Engine.cancel (or an ``on_token`` hook returning from a stop
+    #: condition): the request finishes at the last emitted token
+    cancelled: bool = False
     _emitted: int = 0  # tokens already delivered through Engine.on_token
 
 
@@ -166,18 +173,21 @@ class Engine:
                     p, self.config, t, positions=pos, caches=c,
                     cache_len=cl, tp_axis="model", gather_logits=False,
                 )
+                last = local_logits[:, -1, :]
                 nxt = sample_batched_sharded(
-                    local_logits[:, -1, :], key, temp, "model",
-                    self.config.vocab_size,
+                    last, key, temp, "model", self.config.vocab_size,
                 )
-                return jnp.where(active, nxt, 0), c
+                lp = chosen_logprob_sharded(
+                    last, nxt, "model", self.config.vocab_size
+                )
+                return jnp.where(active, nxt, 0), lp, c
 
             self._fwd_decode_sample = shard_map(
                 local_decode_sample,
                 mesh=mesh,
                 in_specs=(pspec, P(None, None), self._cspec, P(None),
                           P(None, None), P(None), P(None), P(None)),
-                out_specs=(P(None), self._cspec),
+                out_specs=(P(None), P(None), self._cspec),
                 check_vma=False,
             )
         else:
@@ -206,7 +216,7 @@ class Engine:
         next_tok = jnp.where(
             active, sample_batched(last, key, temp, topk, topp), 0
         )
-        return next_tok, caches
+        return next_tok, chosen_logprob(last, next_tok), caches
 
     def _decode_step_sharded(self, params, tokens, caches, cache_len, key,
                              active, temp):
@@ -223,15 +233,15 @@ class Engine:
         def body(carry, _):
             tok, caches, clen, key = carry
             key, sub = jax.random.split(key)
-            nxt, caches = self._decode_step_sharded(
+            nxt, lp, caches = self._decode_step_sharded(
                 params, tok[:, None], caches, clen, sub, active, temp
             )
-            return (nxt, caches, clen + 1, key), nxt
+            return (nxt, caches, clen + 1, key), (nxt, lp)
 
-        (_, caches, _, _), toks = jax.lax.scan(
+        (_, caches, _, _), (toks, lps) = jax.lax.scan(
             body, (tokens[:, 0], caches, cache_len, key), None, length=n_steps
         )
-        return toks.T, caches  # (B, n_steps)
+        return toks.T, lps.T, caches  # (B, n_steps) each
 
     @functools.partial(
         jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3,)
@@ -244,16 +254,16 @@ class Engine:
         def body(carry, _):
             tok, caches, clen, key = carry
             key, sub = jax.random.split(key)
-            nxt, caches = self._decode_step(
+            nxt, lp, caches = self._decode_step(
                 params, tok[:, None], caches, clen, sub, active,
                 temp, topk, topp,
             )
-            return (nxt, caches, clen + 1, key), nxt
+            return (nxt, caches, clen + 1, key), (nxt, lp)
 
-        (_, caches, _, _), toks = jax.lax.scan(
+        (_, caches, _, _), (toks, lps) = jax.lax.scan(
             body, (tokens[:, 0], caches, cache_len, key), None, length=n_steps
         )
-        return toks.T, caches  # (B, n_steps)
+        return toks.T, lps.T, caches  # (B, n_steps) each
 
     def _prefill(self, params, tokens, true_len, caches1, key,
                  temp, topk, topp):
@@ -267,7 +277,8 @@ class Engine:
         last = jnp.take_along_axis(
             logits, (true_len - 1)[:, None, None], axis=1
         )[:, 0, :]
-        return sample_batched(last, key, temp, topk, topp), caches1
+        tok = sample_batched(last, key, temp, topk, topp)
+        return tok, chosen_logprob(last, tok), caches1
 
     # -- host-side scheduling ----------------------------------------------
 
@@ -319,15 +330,17 @@ class Engine:
             quantized=self.kv_quantized, dtype=self.dtype,
         )
         self.key, k = jax.random.split(self.key)
-        tok, caches1 = self._get_prefill_fn(bucket)(
+        tok, lp, caches1 = self._get_prefill_fn(bucket)(
             self.params, jnp.asarray(toks), jnp.asarray(lens), caches1, k,
             *sampling_arrays([r.sampling for r in reqs]),
         )
         firsts = np.asarray(tok)  # ONE host sync for the whole group
+        lps = np.asarray(lp)
         for i, (req, slot) in enumerate(zip(reqs, slots)):
             self._insert_cache(caches1, slot, row=i)
             first = int(firsts[i])
             req.output_tokens.append(first)
+            req.token_logprobs.append(float(lps[i]))
             self.slot_req[slot] = req
             self.slot_len[slot] = int(lens[i])
             self.slot_last_tok[slot] = first
@@ -335,11 +348,24 @@ class Engine:
             self.stats["prefill_tokens"] += int(lens[i])
             self._maybe_finish(slot)
             self._emit(req)
+            self._release_if_cancelled(slot)
+
+    def cancel(self, req: Request) -> None:
+        """Finish ``req`` early: no tokens beyond the last emitted one are
+        delivered, its slot frees at the next tick boundary (pending
+        requests are dropped before prefill).  Safe to call from another
+        thread (e.g. a stop-string watcher in an ``on_token`` hook — the
+        hook may simply call this)."""
+        req.cancelled = True
 
     def run(self, requests: List[Request]) -> List[Request]:
         """Run until every request completes (continuous batching loop)."""
         self._pending.extend(requests)
         while self._pending or any(r is not None for r in self.slot_req):
+            for r in self._pending:
+                if r.cancelled:
+                    r.done = True
+            self._pending = [r for r in self._pending if not r.cancelled]
             # admit pending requests into free slots; same-bucket requests
             # prefill TOGETHER (one dispatch + one host sync for up to
             # _PREFILL_BATCH of them — the prefill program is already
@@ -396,29 +422,33 @@ class Engine:
                 for r in self.slot_req
             )
             if chunk == 1 and sharded:
-                next_tok, self.caches = self._decode_fn_sharded(
+                next_tok, lp, self.caches = self._decode_fn_sharded(
                     self.params, tokens, self.caches, cache_len, k,
                     jnp.asarray(active), samp[0],
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
+                lp_np = np.asarray(lp)[:, None]
             elif chunk == 1:
-                next_tok, self.caches = self._decode_fn(
+                next_tok, lp, self.caches = self._decode_fn(
                     self.params, tokens, self.caches, cache_len, k,
                     jnp.asarray(active), *samp,
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
+                lp_np = np.asarray(lp)[:, None]
             elif sharded:
-                toks, self.caches = self._decode_multi_sharded(
+                toks, lps, self.caches = self._decode_multi_sharded(
                     self.params, tokens, self.caches, cache_len, k,
                     jnp.asarray(active), samp[0], n_steps=chunk,
                 )
                 chunk_np = np.asarray(toks)
+                lp_np = np.asarray(lps)
             else:
-                toks, self.caches = self._decode_multi(
+                toks, lps, self.caches = self._decode_multi(
                     self.params, tokens, self.caches, cache_len, k,
                     jnp.asarray(active), *samp, n_steps=chunk,
                 )
                 chunk_np = np.asarray(toks)
+                lp_np = np.asarray(lps)
             self.stats["decode_ticks"] += 1
             for slot, req in enumerate(self.slot_req):
                 if req is None:
@@ -428,37 +458,53 @@ class Engine:
                         break  # finished mid-chunk (EOS) — drop overshoot
                     tok = int(chunk_np[slot, t])
                     req.output_tokens.append(tok)
+                    req.token_logprobs.append(float(lp_np[slot, t]))
                     self.slot_len[slot] += 1
                     self.slot_last_tok[slot] = tok
                     self._maybe_finish(slot)
                 self._emit(req)
+                self._release_if_cancelled(slot)
         return requests
 
     def _emit(self, req: Request) -> None:
         """Deliver not-yet-emitted surviving tokens (and completion) to the
-        ``on_token`` hook; a token popped as EOS is never delivered."""
-        self.stats["generated_tokens"] += max(
-            0, len(req.output_tokens) - req._emitted
-        )
-        if self.on_token is not None:
-            for tok in req.output_tokens[req._emitted:]:
+        ``on_token`` hook; a token popped as EOS is never delivered.  If the
+        hook cancels the request mid-emit (e.g. a stop string completed),
+        tokens past the cancellation point are dropped — the request's
+        output ends at the token the hook last saw."""
+        while req._emitted < len(req.output_tokens):
+            tok = req.output_tokens[req._emitted]
+            req._emitted += 1
+            self.stats["generated_tokens"] += 1
+            if self.on_token is not None:
                 self.on_token(req, tok)
-        req._emitted = len(req.output_tokens)
+            if req.cancelled:
+                del req.output_tokens[req._emitted:]
+                del req.token_logprobs[req._emitted:]
+                return
+
+    def _release_if_cancelled(self, slot: int) -> None:
+        req = self.slot_req[slot]
+        if req is not None and req.cancelled:
+            req.done = True
+            self.slot_req[slot] = None
+            self.slot_len[slot] = 0
 
     def _maybe_finish(self, slot: int) -> None:
         req = self.slot_req[slot]
         sp = req.sampling
-        hit_eos = (
-            sp.eos_token_id is not None
-            and req.output_tokens
-            and req.output_tokens[-1] == sp.eos_token_id
+        hit_stop = req.output_tokens and (
+            (sp.eos_token_id is not None
+             and req.output_tokens[-1] == sp.eos_token_id)
+            or req.output_tokens[-1] in sp.stop_token_ids
         )
         out_of_room = (
             self.slot_len[slot] + 1 >= self.max_len
         )
-        if hit_eos or out_of_room or len(req.output_tokens) >= sp.max_new_tokens:
-            if hit_eos:
-                req.output_tokens.pop()  # don't emit the EOS itself
+        if hit_stop or out_of_room or len(req.output_tokens) >= sp.max_new_tokens:
+            if hit_stop:
+                req.output_tokens.pop()  # don't emit the EOS/stop token
+                req.token_logprobs.pop()
             req.done = True
             self.slot_req[slot] = None
             self.slot_len[slot] = 0

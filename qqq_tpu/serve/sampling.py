@@ -27,6 +27,9 @@ class SamplingParams:
     top_p: float = 1.0        # 1 → disabled
     max_new_tokens: int = 128
     eos_token_id: Optional[int] = None
+    #: extra token ids that end generation exactly like EOS (the stopped
+    #: token is not emitted) — the vLLM ``stop_token_ids`` analogue
+    stop_token_ids: tuple = ()
 
 
 def _topk_topp_filter(
@@ -129,6 +132,45 @@ def sample_batched_sharded(
     best = jax.lax.pmax(local_best, axis_name)
     cand = jnp.where(local_best == best, local_arg, vocab_size)
     return jax.lax.pmin(cand, axis_name).astype(jnp.int32)
+
+
+def chosen_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
+    """Raw-model log-probability of each row's chosen token: (B, V), (B,) →
+    (B,) f32.  Pre-temperature (the model's distribution, like vLLM's
+    ``logprobs`` report), so greedy and sampled rows read the same scale."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, tok[:, None], axis=-1)[:, 0]
+
+
+def chosen_logprob_sharded(
+    local_logits: jax.Array,  # (B, V_local) f32 — this shard's vocab slice
+    tok: jax.Array,           # (B,) int32 GLOBAL token ids
+    axis_name: str,
+    vocab_size: int,
+) -> jax.Array:
+    """:func:`chosen_logprob` over vocab-sharded logits without gathering
+    them: a distributed logsumexp (pmax of the row max, psum of the shifted
+    exp-sums) plus a pmax to fetch the chosen token's logit from whichever
+    shard owns it — 3 collectives over (B,) scalars instead of a (B, V)
+    all_gather."""
+    B, Vl = local_logits.shape
+    if Vl == vocab_size:  # replicated logits (tied embeddings)
+        return chosen_logprob(local_logits, tok)
+    z = local_logits.astype(jnp.float32)
+    m = jax.lax.pmax(jnp.max(z, axis=-1), axis_name)
+    lse = (
+        jnp.log(jax.lax.psum(jnp.sum(jnp.exp(z - m[:, None]), axis=-1),
+                             axis_name))
+        + m
+    )
+    v_start = jax.lax.axis_index(axis_name) * Vl
+    idx = jnp.clip(tok - v_start, 0, Vl - 1)
+    mine = (tok >= v_start) & (tok < v_start + Vl)
+    local_val = jnp.take_along_axis(z, idx[:, None], axis=-1)[:, 0]
+    logit_tok = jax.lax.pmax(
+        jnp.where(mine, local_val, -jnp.inf), axis_name
+    )
+    return logit_tok - lse
 
 
 def sampling_arrays(params_list, n: Optional[int] = None):

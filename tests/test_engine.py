@@ -343,3 +343,94 @@ def test_batched_prefill_admission_matches(rng, params):
     assert eng.stats["prefills"] == 4
     for p, r in zip(prompts, reqs):
         assert r.output_tokens == _naive_greedy(params, p, 6), p
+
+
+def test_token_logprobs_match_naive(rng, params):
+    """Greedy decode's per-token logprobs equal log_softmax of the naive
+    forward at each step (raw-model distribution, pre-temperature)."""
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    eng = Engine(
+        params, CFG, max_batch=1, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,),
+    )
+    req = Request(prompt_tokens=prompt,
+                  sampling=SamplingParams(max_new_tokens=4))
+    eng.run([req])
+    assert len(req.token_logprobs) == len(req.output_tokens) == 4
+
+    toks = list(prompt)
+    for tok, lp in zip(req.output_tokens, req.token_logprobs):
+        logits, _ = forward(params, CFG, jnp.asarray([toks], jnp.int32))
+        want_tok = int(jnp.argmax(logits[0, -1]))
+        assert tok == want_tok
+        want_lp = float(jax.nn.log_softmax(
+            logits[0, -1].astype(jnp.float32))[tok])
+        assert abs(lp - want_lp) < 1e-3, (lp, want_lp)
+        toks.append(tok)
+
+
+def test_stop_token_ids(rng, params):
+    """A token in stop_token_ids ends the request exactly like EOS: the
+    stop token itself is not emitted, logprobs stay aligned."""
+    prompt = [int(t) for t in rng.integers(0, 128, size=5)]
+    ref = _naive_greedy(params, prompt, 8)
+    stop = ref[3]  # stop at the 4th generated token
+    outs = generate(
+        params, CFG, [prompt],
+        SamplingParams(max_new_tokens=8, stop_token_ids=(stop,)),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )
+    assert outs[0] == ref[:3]
+
+
+def test_cancel_via_on_token_hook(rng, params):
+    """An on_token hook cancelling after 3 tokens truncates the request at
+    exactly 3 while a batchmate runs to completion."""
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)] for n in (5, 9)]
+    eng = Engine(
+        params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,), steps_per_tick=2,
+    )
+    reqs = [Request(prompt_tokens=p,
+                    sampling=SamplingParams(max_new_tokens=8))
+            for p in prompts]
+
+    def hook(req, tok):
+        if req is reqs[0] and len(req.output_tokens[:req._emitted]) >= 3:
+            eng.cancel(req)
+
+    eng.on_token = hook
+    eng.run(reqs)
+    assert reqs[0].done and reqs[0].cancelled
+    assert len(reqs[0].output_tokens) == 3
+    assert len(reqs[0].token_logprobs) == 3
+    assert reqs[0].output_tokens == _naive_greedy(params, prompts[0], 3)
+    assert reqs[1].output_tokens == _naive_greedy(params, prompts[1], 8)
+
+
+def test_tp_sharded_logprobs_match_single_device(rng, params):
+    """The vocab-sharded chosen_logprob (distributed logsumexp + owner pmax)
+    must match the single-device logprobs for the same greedy stream."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+
+    def run(mesh):
+        eng = Engine(
+            params, CFG, max_batch=1, max_len=64, kv_quantized=False,
+            dtype=jnp.float32, prefill_buckets=(16,), mesh=mesh,
+        )
+        req = Request(prompt_tokens=prompt,
+                      sampling=SamplingParams(max_new_tokens=5))
+        eng.run([req])
+        return req
+
+    single = run(None)
+    tp = run(make_mesh(data=1, model=2))
+    assert tp.output_tokens == single.output_tokens
+    np.testing.assert_allclose(
+        tp.token_logprobs, single.token_logprobs, atol=1e-3
+    )

@@ -144,3 +144,70 @@ def test_stats_endpoint(served):
     assert out["prefills"] >= 1
     assert out["generated_tokens"] >= 1
     assert out["max_batch"] == 2
+
+
+class _ToyTokenizer:
+    """Token ids ↔ text for stop-string tests: token t decodes to ' t'."""
+
+    eos_token_id = None
+
+    def decode(self, toks):
+        return "".join(f" {t}" for t in toks)
+
+    def __call__(self, text):
+        class R:
+            input_ids = [int(t) for t in text.split()]
+        return R()
+
+
+@pytest.fixture(scope="module")
+def served_tok():
+    from qqq_tpu.cli.serve import make_server
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    engine = Engine(
+        params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,),
+    )
+    server, worker = make_server(engine, port=0, tokenizer=_ToyTokenizer())
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, params
+    server.shutdown()
+    worker.stop()
+
+
+def test_logprobs_and_stop_token_ids_http(served_tok, rng):
+    base, params = served_tok
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    want = generate(
+        params, CFG, [prompt], SamplingParams(max_new_tokens=8),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )[0]
+    res = _post(base, {
+        "prompt_tokens": prompt, "max_new_tokens": 8, "logprobs": True,
+        "stop_token_ids": [want[4]],
+    })
+    assert res["output_tokens"] == want[:4]
+    assert len(res["token_logprobs"]) == 4
+    assert all(lp <= 0.0 for lp in res["token_logprobs"])
+
+
+def test_stop_string_truncates_text(served_tok, rng):
+    base, params = served_tok
+    prompt = [int(t) for t in rng.integers(0, 128, size=5)]
+    want = generate(
+        params, CFG, [prompt], SamplingParams(max_new_tokens=8),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )[0]
+    stop = f" {want[3]} "  # completes once the 5th token's space arrives
+    res = _post(base, {
+        "prompt_tokens": prompt, "max_new_tokens": 8, "stop": stop,
+    })
+    tk = _ToyTokenizer()
+    full = tk.decode(want)
+    assert res["text"] == full[: full.find(stop)]
+    assert res["num_generated"] <= 5
