@@ -14,6 +14,11 @@ Endpoints:
                     "logprobs": bool}  →
                    {"output_tokens": [int], "text": str?, "num_generated": int,
                     "token_logprobs": [float]?}
+  POST /v1/completions   OpenAI-compatible completions (prompt / max_tokens /
+                   temperature / top_p / stop / logprobs / stream-as-SSE) —
+                   drop-in for clients pointed at the reference's vLLM
+                   deployment (QQQ README.md:15, 77-79)
+  GET  /v1/models  OpenAI-compatible model listing
   GET  /health     {"status": "ok", "active": n, "pending": n}
 
 Usage:
@@ -30,6 +35,7 @@ batch as soon as a slot frees (no generation-wide barriers).
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import logging
 import queue
@@ -150,8 +156,10 @@ class EngineWorker:
 
 
 def _make_handler(worker: EngineWorker, tokenizer=None,
-                  default_eos: Optional[int] = None):
+                  default_eos: Optional[int] = None,
+                  model_name: str = "qqq-tpu"):
     max_prompt = worker.engine.prefill_buckets[-1]
+    counter = itertools.count()
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -183,16 +191,24 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     "max_batch": eng.max_batch,
                     "max_len": eng.max_len,
                 })
+            if self.path == "/v1/models":
+                return self._reply(200, {
+                    "object": "list",
+                    "data": [{"id": model_name, "object": "model",
+                              "owned_by": "qqq-tpu"}],
+                })
             self._reply(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802 — http.server API
-            if self.path != "/generate":
-                return self._reply(404, {"error": "not found"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 return self._reply(400, {"error": f"bad JSON: {e}"})
+            if self.path == "/v1/completions":
+                return self._completions(body)
+            if self.path != "/generate":
+                return self._reply(404, {"error": "not found"})
 
             if "prompt_tokens" in body:
                 toks = body["prompt_tokens"]
@@ -318,6 +334,157 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
             finally:
                 worker.close_stream(req)
 
+        # -- OpenAI-compatible surface ------------------------------------
+
+        def _completions(self, body: Dict[str, Any]) -> None:
+            """OpenAI /v1/completions (the API the reference's recommended
+            vLLM deployment serves): prompt as a string or a token-id list,
+            OpenAI defaults (max_tokens=16, temperature=1.0), SSE streaming.
+            ``n``/``best_of``/``echo`` are not supported (400)."""
+            for unsupported in ("n", "best_of", "echo"):
+                if body.get(unsupported) not in (None, 1, False):
+                    return self._reply(
+                        400, {"error": f"'{unsupported}' is not supported"}
+                    )
+            prompt = body.get("prompt")
+            if isinstance(prompt, list) and prompt and all(
+                isinstance(t, int) for t in prompt
+            ):
+                toks = prompt
+            elif isinstance(prompt, str):
+                if tokenizer is None:
+                    return self._reply(
+                        400, {"error": "no tokenizer loaded; send the "
+                                       "prompt as a token-id list"}
+                    )
+                toks = tokenizer(prompt).input_ids
+            else:
+                return self._reply(
+                    400, {"error": "prompt: string or [int] required"}
+                )
+            if len(toks) > max_prompt:
+                return self._reply(400, {
+                    "error": f"prompt length {len(toks)} exceeds the "
+                             f"largest prefill bucket {max_prompt}"
+                })
+            stops = body.get("stop") or []
+            if isinstance(stops, str):
+                stops = [stops]
+            if stops and tokenizer is None:
+                return self._reply(
+                    400, {"error": "stop strings need a tokenizer"}
+                )
+            sampling = SamplingParams(
+                temperature=float(body.get("temperature", 1.0)),
+                top_k=int(body.get("top_k", 0)),  # vLLM extension
+                top_p=float(body.get("top_p", 1.0)),
+                max_new_tokens=int(body.get("max_tokens", 16)),
+                eos_token_id=default_eos,
+                stop_token_ids=tuple(body.get("stop_token_ids", ())),
+            )
+            req = Request(prompt_tokens=list(toks), sampling=sampling)
+            worker.set_stops(req, stops)
+            want_logprobs = body.get("logprobs") not in (None, 0, False)
+            cid = f"cmpl-{next(counter)}"
+            if body.get("stream"):
+                return self._completions_stream(req, cid, want_logprobs)
+            try:
+                worker.submit(req)
+                worker.wait(req)
+            except (RuntimeError, TimeoutError) as e:
+                return self._reply(500, {"error": str(e)})
+            stop_text = worker.take_stop_text(req)
+            if tokenizer is not None:
+                text = (stop_text if stop_text is not None
+                        else tokenizer.decode(req.output_tokens))
+            else:
+                text = ""
+            choice: Dict[str, Any] = {
+                "text": text,
+                "index": 0,
+                "finish_reason": req.finish_reason or "stop",
+                "logprobs": (
+                    {"token_logprobs": req.token_logprobs,
+                     "tokens": req.output_tokens}
+                    if want_logprobs else None
+                ),
+            }
+            self._reply(200, {
+                "id": cid,
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": body.get("model", model_name),
+                "choices": [choice],
+                "usage": {
+                    "prompt_tokens": len(toks),
+                    "completion_tokens": len(req.output_tokens),
+                    "total_tokens": len(toks) + len(req.output_tokens),
+                },
+            })
+
+        def _completions_stream(self, req: Request, cid: str,
+                                want_logprobs: bool) -> None:
+            """SSE: ``data: {chunk}`` per token, then a finish_reason chunk
+            and ``data: [DONE]`` (OpenAI stream framing)."""
+            q = worker.open_stream(req)
+            try:
+                worker.submit(req)
+            except RuntimeError as e:
+                worker.close_stream(req)
+                return self._reply(500, {"error": str(e)})
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def sse(payload) -> None:
+                data = (
+                    "data: "
+                    + (payload if isinstance(payload, str)
+                       else json.dumps(payload))
+                    + "\n\n"
+                ).encode()
+                self.wfile.write(
+                    f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                )
+                self.wfile.flush()
+
+            def tok_chunk(tok: int, finish: Optional[str] = None):
+                return {
+                    "id": cid, "object": "text_completion",
+                    "created": int(time.time()), "model": model_name,
+                    "choices": [{
+                        "text": (tokenizer.decode([tok])
+                                 if tokenizer is not None and tok >= 0
+                                 else ""),
+                        "index": 0, "finish_reason": finish,
+                    }],
+                }
+
+            try:
+                while True:
+                    try:
+                        tok = q.get(timeout=0.05)
+                    except queue.Empty:
+                        if worker.error is not None:
+                            sse({"error": f"engine died: {worker.error!r}"})
+                            break
+                        if (req.done and q.empty()
+                                and req._emitted >= len(req.output_tokens)):
+                            break
+                        continue
+                    sse(tok_chunk(tok))
+                while not q.empty():
+                    sse(tok_chunk(q.get_nowait()))
+                worker.take_stop_text(req)
+                sse(tok_chunk(-1, finish=req.finish_reason or "stop"))
+                sse("[DONE]")
+                self.wfile.write(b"0\r\n\r\n")
+            except BrokenPipeError:
+                pass
+            finally:
+                worker.close_stream(req)
+
     return Handler
 
 
@@ -327,12 +494,14 @@ def make_server(
     port: int = 8000,
     tokenizer=None,
     default_eos: Optional[int] = None,
+    model_name: str = "qqq-tpu",
 ):
     """Build (server, worker); call ``server.serve_forever()`` to run.
     Factored out of ``main`` so tests can serve a tiny in-memory model."""
     worker = EngineWorker(engine, tokenizer)
     server = ThreadingHTTPServer(
-        (host, port), _make_handler(worker, tokenizer, default_eos)
+        (host, port), _make_handler(worker, tokenizer, default_eos,
+                                    model_name)
     )
     return server, worker
 
@@ -378,8 +547,11 @@ def main():
         kv_quantized=args.kv_int8, steps_per_tick=args.steps_per_tick,
         dtype=dtype,
     )
+    import os
+
     server, worker = make_server(
-        engine, args.host, args.port, tokenizer, eos
+        engine, args.host, args.port, tokenizer, eos,
+        model_name=os.path.basename(args.model_path.rstrip("/")) or "qqq-tpu",
     )
     log.info("serving on http://%s:%d (max_batch=%d, max_len=%d)",
              args.host, args.port, args.max_batch, args.max_length)

@@ -50,6 +50,9 @@ class Request:
     #: (pre-temperature, like vLLM's logprobs report) — same length
     token_logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
+    #: "stop" (EOS / stop token / cancel) or "length" (max_new_tokens or
+    #: out of cache room) once ``done`` — OpenAI finish_reason semantics
+    finish_reason: Optional[str] = None
     #: set via Engine.cancel (or an ``on_token`` hook returning from a stop
     #: condition): the request finishes at the last emitted token
     cancelled: bool = False
@@ -365,6 +368,7 @@ class Engine:
             for r in self._pending:
                 if r.cancelled:
                     r.done = True
+                    r.finish_reason = "stop"
             self._pending = [r for r in self._pending if not r.cancelled]
             # admit pending requests into free slots; same-bucket requests
             # prefill TOGETHER (one dispatch + one host sync for up to
@@ -487,6 +491,7 @@ class Engine:
         req = self.slot_req[slot]
         if req is not None and req.cancelled:
             req.done = True
+            req.finish_reason = "stop"
             self.slot_req[slot] = None
             self.slot_len[slot] = 0
 
@@ -506,6 +511,7 @@ class Engine:
                 req.output_tokens.pop()  # don't emit the EOS/stop token
                 req.token_logprobs.pop()
             req.done = True
+            req.finish_reason = "stop" if hit_stop else "length"
             self.slot_req[slot] = None
             self.slot_len[slot] = 0
 

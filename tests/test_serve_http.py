@@ -211,3 +211,79 @@ def test_stop_string_truncates_text(served_tok, rng):
     full = tk.decode(want)
     assert res["text"] == full[: full.find(stop)]
     assert res["num_generated"] <= 5
+
+
+def test_openai_completions_endpoint(served_tok, rng):
+    """OpenAI /v1/completions: greedy (temperature=0) output matches direct
+    generation; response carries OpenAI framing + usage accounting."""
+    base, params = served_tok
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    want = generate(
+        params, CFG, [prompt], SamplingParams(max_new_tokens=5),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )[0]
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({
+            "prompt": prompt, "max_tokens": 5, "temperature": 0.0,
+            "logprobs": 1,
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        res = json.loads(r.read())
+    assert res["object"] == "text_completion"
+    choice = res["choices"][0]
+    assert choice["logprobs"]["tokens"] == want
+    assert len(choice["logprobs"]["token_logprobs"]) == 5
+    assert choice["finish_reason"] == "length"
+    assert choice["text"] == _ToyTokenizer().decode(want)
+    assert res["usage"] == {
+        "prompt_tokens": 6, "completion_tokens": 5, "total_tokens": 11,
+    }
+
+
+def test_openai_models_and_sse_stream(served_tok, rng):
+    base, params = served_tok
+    with urllib.request.urlopen(base + "/v1/models", timeout=30) as r:
+        models = json.loads(r.read())
+    assert models["data"][0]["id"] == "qqq-tpu"
+
+    prompt = [int(t) for t in rng.integers(0, 128, size=4)]
+    want = generate(
+        params, CFG, [prompt], SamplingParams(max_new_tokens=4),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )[0]
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({
+            "prompt": prompt, "max_tokens": 4, "temperature": 0.0,
+            "stream": True,
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    texts = [c["choices"][0]["text"] for c in chunks[:-1]]
+    assert "".join(texts) == _ToyTokenizer().decode(want)
+    assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+
+
+def test_openai_completions_rejects_n(served_tok):
+    base, _ = served_tok
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({"prompt": [1, 2], "n": 3}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
