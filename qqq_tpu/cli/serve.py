@@ -517,6 +517,10 @@ def parse_args():
     p.add_argument("--steps_per_tick", type=int, default=1,
                    help=">1 fuses that many decode steps per device call "
                         "(higher throughput, chunked EOS checks)")
+    p.add_argument("--prefill_chunk", type=int, default=0,
+                   help=">0 enables chunked prefill: prompts prefill this "
+                        "many tokens per tick interleaved with decode "
+                        "(bounds batchmates' decode latency under load)")
     p.add_argument("--kv_int8", action="store_true", default=True)
     p.add_argument("--dtype", default="bfloat16")
     return p.parse_args()
@@ -545,7 +549,7 @@ def main():
     engine = Engine(
         params, config, max_batch=args.max_batch, max_len=args.max_length,
         kv_quantized=args.kv_int8, steps_per_tick=args.steps_per_tick,
-        dtype=dtype,
+        prefill_chunk=args.prefill_chunk, dtype=dtype,
     )
     import os
 

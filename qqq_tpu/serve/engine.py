@@ -86,6 +86,7 @@ class Engine:
         mesh=None,
         fuse: bool = True,
         prefill_batch: int = _PREFILL_BATCH,
+        prefill_chunk: int = 0,
     ):
         """``steps_per_tick > 1`` decodes that many tokens per device call
         (fused scan) — higher throughput, at the cost of EOS/admission checks
@@ -97,7 +98,16 @@ class Engine:
 
         ``fuse``: apply the single-device GEMM fusions (GLU-fused gate/up
         kernel) to packed params — no-op for dense params or under a TP
-        mesh (models/llama.py:fuse_inference_params)."""
+        mesh (models/llama.py:fuse_inference_params).
+
+        ``prefill_chunk > 0`` switches admission to CHUNKED prefill (the
+        vLLM chunked-prefill scheduler idea): a prompt enters its slot
+        immediately and prefills ``prefill_chunk`` tokens per tick,
+        interleaved with the other slots' decode steps — a 2048-token
+        prompt no longer stalls every batchmate's decode for a full-bucket
+        prefill.  One (1, chunk) program compiles total (vs one per
+        bucket×sub-batch); whole-bucket mode usually wins single-request
+        TTFT, chunked mode wins tail decode latency under load."""
         if fuse and mesh is None:
             from qqq_tpu.models.llama import fuse_inference_params
 
@@ -120,6 +130,10 @@ class Engine:
         self.slot_last_tok = np.zeros(max_batch, np.int32)
         self.steps_per_tick = steps_per_tick
         self.prefill_batch = max(1, prefill_batch)
+        self.prefill_chunk = prefill_chunk
+        #: slot → prompt tokens not yet prefilled (chunked mode only);
+        #: a slot present here is mid-prefill and excluded from decode
+        self.slot_prefill: Dict[int, List[int]] = {}
         self.key = jax.random.PRNGKey(0)
         self._pending: List[Request] = []
         # optional per-token hook: on_token(req, token) fires for every
@@ -127,7 +141,7 @@ class Engine:
         # — the streaming-generation feed for serve CLI clients
         self.on_token = None
         self.stats = {
-            "prefills": 0, "prefill_tokens": 0,
+            "prefills": 0, "prefill_tokens": 0, "prefill_chunks": 0,
             "generated_tokens": 0, "decode_ticks": 0,
         }
 
@@ -201,6 +215,9 @@ class Engine:
         # donate the cache buffers: the update aliases in place instead of
         # copying the whole (B, nkv, S, hd) store every step
         self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2,))
+        self._prefill_chunk_fn = jax.jit(
+            self._prefill_chunk_step, donate_argnums=(2,)
+        )
         if mesh is not None:
             self._decode_fn_sharded = jax.jit(
                 self._decode_step_sharded, donate_argnums=(2,)
@@ -267,6 +284,41 @@ class Engine:
             body, (tokens[:, 0], caches, cache_len, key), None, length=n_steps
         )
         return toks.T, lps.T, caches  # (B, n_steps) each
+
+    def _prefill_chunk_step(self, params, tokens, caches, k, true_n, slot,
+                            key, temp, topk, topp):
+        """One chunked-prefill step for ONE slot of the GLOBAL cache:
+        slice the slot's rows out, run a (1, C) prefill-with-cache forward
+        starting at position ``k``, write the rows back (the cache is
+        donated, so this aliases in place).  Padded tail positions write
+        garbage KV past the prompt — harmless: every such position is
+        rewritten by the next chunk or by the decode step that later owns
+        it, before anything attends to it.
+
+        Also samples a token at chunk index ``true_n - 1`` — the host uses
+        it (and its logprob) only on the FINAL chunk."""
+
+        def sl(b):
+            return jax.lax.dynamic_slice(
+                b, (slot,) + (0,) * (b.ndim - 1), (1,) + b.shape[1:]
+            )
+
+        c1 = jax.tree.map(sl, caches)
+        clen = jnp.broadcast_to(k, (1,))
+        pos = (k + jnp.arange(tokens.shape[1], dtype=jnp.int32))[None, :]
+        logits, c1 = self._fwd(params, tokens, c1, clen, pos)
+        last = jnp.take_along_axis(
+            logits, (true_n - 1)[None, None, None], axis=1
+        )[:, 0, :]
+        tok = sample_batched(last, key, temp, topk, topp)
+        lp = chosen_logprob(last, tok)
+
+        def ins(b, s):
+            return jax.lax.dynamic_update_slice(
+                b, s, (slot,) + (0,) * (b.ndim - 1)
+            )
+
+        return tok, lp, jax.tree.map(ins, caches, c1)
 
     def _prefill(self, params, tokens, true_len, caches1, key,
                  temp, topk, topp):
@@ -353,6 +405,44 @@ class Engine:
             self._emit(req)
             self._release_if_cancelled(slot)
 
+    def _progress_chunk_prefills(self) -> None:
+        """Advance every mid-prefill slot by one ``prefill_chunk``-token
+        chunk (one dispatch per slot per tick); the final chunk samples the
+        request's first token and hands the slot to decode."""
+        C = self.prefill_chunk
+        for slot in list(self.slot_prefill):
+            req = self.slot_req[slot]
+            if req.cancelled:
+                del self.slot_prefill[slot]
+                self._release_if_cancelled(slot)
+                continue
+            remaining = self.slot_prefill[slot]
+            part = remaining[:C]
+            toks = np.zeros((1, C), np.int32)
+            toks[0, : len(part)] = part
+            k = int(self.slot_len[slot])
+            self.key, kk = jax.random.split(self.key)
+            tok, lp, self.caches = self._prefill_chunk_fn(
+                self.params, jnp.asarray(toks), self.caches,
+                jnp.int32(k), jnp.int32(len(part)), jnp.int32(slot), kk,
+                *sampling_arrays([req.sampling]),
+            )
+            self.slot_len[slot] = k + len(part)
+            self.slot_prefill[slot] = remaining[C:]
+            self.stats["prefill_chunks"] += 1
+            self.stats["prefill_tokens"] += len(part)
+            if not self.slot_prefill[slot]:  # prompt fully cached
+                del self.slot_prefill[slot]
+                firsts, lps = np.asarray(tok), np.asarray(lp)
+                first = int(firsts[0])
+                req.output_tokens.append(first)
+                req.token_logprobs.append(float(lps[0]))
+                self.slot_last_tok[slot] = first
+                self.stats["prefills"] += 1
+                self._maybe_finish(slot)
+                self._emit(req)
+                self._release_if_cancelled(slot)
+
     def cancel(self, req: Request) -> None:
         """Finish ``req`` early: no tokens beyond the last emitted one are
         delivered, its slot frees at the next tick boundary (pending
@@ -370,13 +460,30 @@ class Engine:
                     r.done = True
                     r.finish_reason = "stop"
             self._pending = [r for r in self._pending if not r.cancelled]
+            if self.prefill_chunk:
+                # chunked mode: a request claims its slot immediately and
+                # prefills prefill_chunk tokens per tick (below), so decode
+                # never stalls behind a whole-bucket prefill
+                while self._pending and None in self.slot_req:
+                    req = self._pending.pop(0)
+                    if len(req.prompt_tokens) + 1 > self.max_len:
+                        raise ValueError(
+                            f"prompt length {len(req.prompt_tokens)} "
+                            f"exceeds max_len {self.max_len}"
+                        )
+                    slot = self.slot_req.index(None)
+                    self.slot_req[slot] = req
+                    self.slot_len[slot] = 0
+                    self.slot_prefill[slot] = list(req.prompt_tokens)
+                self._progress_chunk_prefills()
             # admit pending requests into free slots; same-bucket requests
             # prefill TOGETHER (one dispatch + one host sync for up to
             # _PREFILL_BATCH of them — the prefill program is already
             # batch-generic).  Groups may admit slightly out of FIFO order
             # (a later same-bucket request jumps an earlier different-bucket
             # one within one admission round).
-            while self._pending and None in self.slot_req:
+            while not self.prefill_chunk and self._pending \
+                    and None in self.slot_req:
                 free = [i for i, r in enumerate(self.slot_req) if r is None]
                 bucket = _bucket(
                     len(self._pending[0].prompt_tokens), self.prefill_buckets
@@ -399,14 +506,15 @@ class Engine:
                     group, free = group[pb:], free[pb:]
 
             active = np.array(
-                [r is not None for r in self.slot_req], bool
+                [r is not None and i not in self.slot_prefill
+                 for i, r in enumerate(self.slot_req)], bool
             )
             if not active.any():
                 continue
             # one decode tick across all slots (chunk of ≥1 fused steps)
             chunk = self.steps_per_tick
             for slot, req in enumerate(self.slot_req):
-                if req is None:
+                if not active[slot]:
                     continue
                 room = self.max_len - int(self.slot_len[slot]) - 1
                 budget = req.sampling.max_new_tokens - len(req.output_tokens)
@@ -455,7 +563,7 @@ class Engine:
                 lp_np = np.asarray(lps)
             self.stats["decode_ticks"] += 1
             for slot, req in enumerate(self.slot_req):
-                if req is None:
+                if req is None or not active[slot]:
                     continue
                 for t in range(chunk):
                     if self.slot_req[slot] is None:

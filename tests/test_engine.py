@@ -434,3 +434,54 @@ def test_tp_sharded_logprobs_match_single_device(rng, params):
     np.testing.assert_allclose(
         tp.token_logprobs, single.token_logprobs, atol=1e-3
     )
+
+
+def test_chunked_prefill_matches_naive(rng, params):
+    """Chunked-prefill admission (prefill_chunk tokens/tick, interleaved
+    with decode) must reproduce naive greedy exactly — prompts deliberately
+    ragged vs the chunk size, plus one shorter than a single chunk."""
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)]
+               for n in (13, 21, 3)]
+    eng = Engine(
+        params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_chunk=8,
+    )
+    reqs = [Request(prompt_tokens=p,
+                    sampling=SamplingParams(max_new_tokens=5))
+            for p in prompts]
+    eng.run(reqs)
+    for p, r in zip(prompts, reqs):
+        assert r.output_tokens == _naive_greedy(params, p, 5), p
+    # 13→2 chunks, 21→3, 3→1; all prompts also counted as full prefills
+    assert eng.stats["prefill_chunks"] == 6
+    assert eng.stats["prefills"] == 3
+    assert eng.stats["prefill_tokens"] == 13 + 21 + 3
+
+
+def test_chunked_prefill_interleaves_decode(rng, params):
+    """While a long prompt chunk-prefills, an already-admitted request
+    keeps decoding: its tokens must be produced across MULTIPLE decode
+    ticks interleaved with the newcomer's chunks (not stalled until the
+    prefill completes), and both outputs stay exact."""
+    short = [int(t) for t in rng.integers(0, 128, size=4)]
+    long = [int(t) for t in rng.integers(0, 128, size=40)]
+    eng = Engine(
+        params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_chunk=8,
+    )
+    r_short = Request(prompt_tokens=short,
+                      sampling=SamplingParams(max_new_tokens=8))
+    r_long = Request(prompt_tokens=long,
+                     sampling=SamplingParams(max_new_tokens=3))
+
+    order = []
+    eng.on_token = lambda req, tok: order.append(req is r_short)
+    eng.add_request(r_short)
+    eng.add_request(r_long)
+    eng.run([])
+    assert r_short.output_tokens == _naive_greedy(params, short, 8)
+    assert r_long.output_tokens == _naive_greedy(params, long, 3)
+    # the long prompt needs 5 chunks; short tokens must appear BEFORE the
+    # long request's first token (decode ran during the chunked prefill)
+    first_long = order.index(False)
+    assert first_long >= 4, order
