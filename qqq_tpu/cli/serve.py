@@ -521,6 +521,12 @@ def parse_args():
                    help=">0 enables chunked prefill: prompts prefill this "
                         "many tokens per tick interleaved with decode "
                         "(bounds batchmates' decode latency under load)")
+    p.add_argument("--spec_ngram", type=int, default=0,
+                   help=">0 enables prompt-lookup speculative decoding "
+                        "(exact for greedy rows): draft by matching the "
+                        "last N generated tokens in the request's history")
+    p.add_argument("--spec_k", type=int, default=4,
+                   help="max draft tokens verified per speculative tick")
     p.add_argument("--kv_int8", action="store_true", default=True)
     p.add_argument("--dtype", default="bfloat16")
     return p.parse_args()
@@ -549,7 +555,8 @@ def main():
     engine = Engine(
         params, config, max_batch=args.max_batch, max_len=args.max_length,
         kv_quantized=args.kv_int8, steps_per_tick=args.steps_per_tick,
-        prefill_chunk=args.prefill_chunk, dtype=dtype,
+        prefill_chunk=args.prefill_chunk, spec_ngram=args.spec_ngram,
+        spec_k=args.spec_k, dtype=dtype,
     )
     import os
 

@@ -87,6 +87,8 @@ class Engine:
         fuse: bool = True,
         prefill_batch: int = _PREFILL_BATCH,
         prefill_chunk: int = 0,
+        spec_ngram: int = 0,
+        spec_k: int = 4,
     ):
         """``steps_per_tick > 1`` decodes that many tokens per device call
         (fused scan) — higher throughput, at the cost of EOS/admission checks
@@ -107,7 +109,18 @@ class Engine:
         prompt no longer stalls every batchmate's decode for a full-bucket
         prefill.  One (1, chunk) program compiles total (vs one per
         bucket×sub-batch); whole-bucket mode usually wins single-request
-        TTFT, chunked mode wins tail decode latency under load."""
+        TTFT, chunked mode wins tail decode latency under load.
+
+        ``spec_ngram > 0`` enables prompt-lookup SPECULATIVE decoding (the
+        vLLM "[ngram]" drafter): each tick drafts up to ``spec_k`` tokens
+        by matching the last ``spec_ngram`` generated tokens against the
+        request's own prompt+output history, then verifies the whole draft
+        in ONE (B, 1+spec_k) forward — greedy rows emit every draft token
+        that matches the model's argmax plus one bonus token, so outputs
+        are EXACTLY the plain-greedy stream but cost one weight pass per
+        accepted run.  Sampled rows (temperature > 0) ignore drafts and
+        behave as plain decode.  Decode-bound W4A8 serving reads ~3.6 GB of
+        weights per step at 7B; verification's extra FLOPs are ~free."""
         if fuse and mesh is None:
             from qqq_tpu.models.llama import fuse_inference_params
 
@@ -131,6 +144,18 @@ class Engine:
         self.steps_per_tick = steps_per_tick
         self.prefill_batch = max(1, prefill_batch)
         self.prefill_chunk = prefill_chunk
+        if prefill_chunk:
+            # keeps every C-wide chunk write inside the store: prompts are
+            # ≤ max_len-1, so ceil(n/C)·C ≤ max_len ⇒ no dynamic_update
+            # start-index clamping (which would silently overwrite valid KV)
+            assert max_len % prefill_chunk == 0, \
+                "max_len must be a multiple of prefill_chunk"
+        self.spec_ngram = spec_ngram
+        self.spec_k = spec_k
+        if spec_ngram:
+            assert steps_per_tick == 1, \
+                "speculative decoding replaces multi-step fusion"
+            assert mesh is None, "speculative decoding is single-device"
         #: slot → prompt tokens not yet prefilled (chunked mode only);
         #: a slot present here is mid-prefill and excluded from decode
         self.slot_prefill: Dict[int, List[int]] = {}
@@ -143,6 +168,7 @@ class Engine:
         self.stats = {
             "prefills": 0, "prefill_tokens": 0, "prefill_chunks": 0,
             "generated_tokens": 0, "decode_ticks": 0,
+            "spec_drafted": 0, "spec_accepted": 0,
         }
 
         self.mesh = mesh
@@ -218,6 +244,7 @@ class Engine:
         self._prefill_chunk_fn = jax.jit(
             self._prefill_chunk_step, donate_argnums=(2,)
         )
+        self._spec_fn = jax.jit(self._spec_verify_step, donate_argnums=(2,))
         if mesh is not None:
             self._decode_fn_sharded = jax.jit(
                 self._decode_step_sharded, donate_argnums=(2,)
@@ -284,6 +311,28 @@ class Engine:
             body, (tokens[:, 0], caches, cache_len, key), None, length=n_steps
         )
         return toks.T, lps.T, caches  # (B, n_steps) each
+
+    def _spec_verify_step(self, params, tokens, caches, cache_len, key,
+                          active, temp, topk, topp):
+        """Verify a (B, 1+k) [last_token, draft…] batch in one forward.
+        Returns the model's greedy continuation at every position (+ its
+        logprobs) for draft acceptance, and the position-0 sampled token
+        (honoring per-row sampling params) that non-greedy / draftless rows
+        use — for greedy rows it equals ``greedy[:, 0]``.  KV for rejected
+        draft positions is garbage past the accepted point; the next tick
+        rewrites those positions before anything attends to them (same
+        argument as chunked prefill)."""
+        B, T = tokens.shape
+        pos = cache_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        logits, caches = self._fwd(params, tokens, caches, cache_len, pos)
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
+        glp = jnp.take_along_axis(lsm, greedy[..., None], axis=-1)[..., 0]
+        samp0 = jnp.where(
+            active, sample_batched(logits[:, 0], key, temp, topk, topp), 0
+        )
+        slp0 = jnp.take_along_axis(lsm[:, 0], samp0[:, None], axis=-1)[:, 0]
+        return greedy, glp, samp0, slp0, caches
 
     def _prefill_chunk_step(self, params, tokens, caches, k, true_n, slot,
                             key, temp, topk, topp):
@@ -405,6 +454,74 @@ class Engine:
             self._emit(req)
             self._release_if_cancelled(slot)
 
+    def _propose_draft(self, req: Request) -> List[int]:
+        """Prompt-lookup drafting (vLLM's "[ngram]" speculative model): find
+        the most recent earlier occurrence of the last ``spec_ngram`` tokens
+        in the request's own prompt+output stream and draft its
+        continuation (up to ``spec_k`` tokens)."""
+        n, k = self.spec_ngram, self.spec_k
+        ctx = req.prompt_tokens + req.output_tokens
+        if len(ctx) <= n:
+            return []
+        tail = ctx[-n:]
+        for i in range(len(ctx) - n - 1, -1, -1):
+            if ctx[i : i + n] == tail:
+                return ctx[i + n : i + n + k]
+        return []
+
+    def _spec_tick(self, active) -> None:
+        """One speculative decode tick: draft per slot (host), verify all
+        drafts in one (B, 1+spec_k) forward, accept the longest prefix
+        matching the model's greedy stream + one bonus token per row."""
+        k = self.spec_k
+        B = self.max_batch
+        toks = np.zeros((B, 1 + k), np.int32)
+        drafts: List[List[int]] = [[] for _ in range(B)]
+        for slot, req in enumerate(self.slot_req):
+            if not active[slot]:
+                continue
+            toks[slot, 0] = self.slot_last_tok[slot]
+            if req.sampling.temperature <= 0.0:  # greedy rows only
+                d = self._propose_draft(req)
+                drafts[slot] = d
+                toks[slot, 1 : 1 + len(d)] = d
+        cache_len = jnp.asarray(self.slot_len)
+        self.key, kk = jax.random.split(self.key)
+        samp = sampling_arrays(
+            [r.sampling if r is not None else None for r in self.slot_req],
+            B,
+        )
+        greedy, glp, s0, slp0, self.caches = self._spec_fn(
+            self.params, jnp.asarray(toks), self.caches, cache_len, kk,
+            jnp.asarray(active), *samp,
+        )
+        g, glp_np = np.asarray(greedy), np.asarray(glp)
+        s0_np, slp0_np = np.asarray(s0), np.asarray(slp0)
+        self.stats["decode_ticks"] += 1
+        for slot, req in enumerate(self.slot_req):
+            if req is None or not active[slot]:
+                continue
+            emitted = [(int(s0_np[slot]), float(slp0_np[slot]))]
+            d = drafts[slot]
+            self.stats["spec_drafted"] += len(d)
+            j = 0
+            while j < len(d) and d[j] == emitted[-1][0]:
+                emitted.append(
+                    (int(g[slot, j + 1]), float(glp_np[slot, j + 1]))
+                )
+                j += 1
+            self.stats["spec_accepted"] += j
+            for tok, lp in emitted:
+                if self.slot_req[slot] is None:
+                    break  # finished mid-run (EOS/budget) — drop overshoot
+                req.output_tokens.append(tok)
+                req.token_logprobs.append(lp)
+                self.slot_len[slot] += 1
+                self.slot_last_tok[slot] = tok
+                self._maybe_finish(slot)
+            self._emit(req)
+            self._release_if_cancelled(slot)
+
     def _progress_chunk_prefills(self) -> None:
         """Advance every mid-prefill slot by one ``prefill_chunk``-token
         chunk (one dispatch per slot per tick); the final chunk samples the
@@ -510,6 +627,12 @@ class Engine:
                  for i, r in enumerate(self.slot_req)], bool
             )
             if not active.any():
+                continue
+            if self.spec_ngram and all(
+                int(self.slot_len[i]) + self.spec_k < self.max_len
+                for i in range(self.max_batch) if active[i]
+            ):  # verify writes clen..clen+k — plain decode near the end
+                self._spec_tick(active)
                 continue
             # one decode tick across all slots (chunk of ≥1 fused steps)
             chunk = self.steps_per_tick

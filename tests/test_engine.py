@@ -485,3 +485,48 @@ def test_chunked_prefill_interleaves_decode(rng, params):
     # long request's first token (decode ran during the chunked prefill)
     first_long = order.index(False)
     assert first_long >= 4, order
+
+
+def test_speculative_decode_exact_greedy(rng, params):
+    """Prompt-lookup speculative decoding must reproduce plain greedy
+    EXACTLY (greedy acceptance is lossless) while accepting drafts —
+    tiny random models fall into argmax cycles, so the lookup drafter
+    gets real acceptance within a 32-token budget."""
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)]
+               for n in (6, 11)]
+    eng = Engine(
+        params, CFG, max_batch=2, max_len=128, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,), spec_ngram=2, spec_k=4,
+    )
+    reqs = [Request(prompt_tokens=p,
+                    sampling=SamplingParams(max_new_tokens=32))
+            for p in prompts]
+    eng.run(reqs)
+    for p, r in zip(prompts, reqs):
+        assert r.output_tokens == _naive_greedy(params, p, 32), p
+        assert len(r.token_logprobs) == 32
+    assert eng.stats["spec_accepted"] > 0, eng.stats
+    # every tick advanced every active row ≥1 token: with acceptances the
+    # tick count must come in under one-token-per-tick
+    assert eng.stats["decode_ticks"] < 2 * 32
+
+
+def test_speculative_decode_mixed_sampling_and_eos(rng, params):
+    """A sampled row ignores drafts but decodes correctly next to a greedy
+    row; EOS inside an accepted run trims exactly like plain decode."""
+    p1 = [int(t) for t in rng.integers(0, 128, size=5)]
+    p2 = [int(t) for t in rng.integers(0, 128, size=8)]
+    ref = _naive_greedy(params, p1, 24)
+    eos = ref[15]  # EOS deep enough that acceptance runs likely crossed it
+    eng = Engine(
+        params, CFG, max_batch=2, max_len=128, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,), spec_ngram=2, spec_k=4,
+    )
+    r1 = Request(prompt_tokens=p1, sampling=SamplingParams(
+        max_new_tokens=24, eos_token_id=eos))
+    r2 = Request(prompt_tokens=p2, sampling=SamplingParams(
+        max_new_tokens=10, temperature=0.9, top_k=20))
+    eng.run([r1, r2])
+    assert r1.output_tokens == ref[:15]
+    assert len(r2.output_tokens) == 10
+    assert all(0 <= t < CFG.vocab_size for t in r2.output_tokens)
