@@ -521,6 +521,10 @@ def parse_args():
                    help=">0 enables chunked prefill: prompts prefill this "
                         "many tokens per tick interleaved with decode "
                         "(bounds batchmates' decode latency under load)")
+    p.add_argument("--prefix_cache", action="store_true",
+                   help="with --prefill_chunk: freed slots keep their KV "
+                        "and new prompts sharing a prefix skip re-prefilling "
+                        "it (multi-turn chat / shared system prompts)")
     p.add_argument("--spec_ngram", type=int, default=0,
                    help=">0 enables prompt-lookup speculative decoding "
                         "(exact for greedy rows): draft by matching the "
@@ -556,7 +560,7 @@ def main():
         params, config, max_batch=args.max_batch, max_len=args.max_length,
         kv_quantized=args.kv_int8, steps_per_tick=args.steps_per_tick,
         prefill_chunk=args.prefill_chunk, spec_ngram=args.spec_ngram,
-        spec_k=args.spec_k, dtype=dtype,
+        spec_k=args.spec_k, prefix_cache=args.prefix_cache, dtype=dtype,
     )
     import os
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +89,7 @@ class Engine:
         prefill_chunk: int = 0,
         spec_ngram: int = 0,
         spec_k: int = 4,
+        prefix_cache: bool = False,
     ):
         """``steps_per_tick > 1`` decodes that many tokens per device call
         (fused scan) — higher throughput, at the cost of EOS/admission checks
@@ -110,6 +111,14 @@ class Engine:
         prefill.  One (1, chunk) program compiles total (vs one per
         bucket×sub-batch); whole-bucket mode usually wins single-request
         TTFT, chunked mode wins tail decode latency under load.
+
+        ``prefix_cache=True`` (chunked mode only) keeps a freed slot's KV
+        intact and records which tokens it holds; a new prompt sharing a
+        prefix with a freed slot is admitted INTO that slot with
+        ``slot_len`` pre-advanced, so only the tail prefills — the vLLM
+        automatic-prefix-caching idea at slot granularity (multi-turn chat
+        and shared-system-prompt traffic skip most of their prefill).  KV
+        depends only on (token, position), so reuse is exact.
 
         ``spec_ngram > 0`` enables prompt-lookup SPECULATIVE decoding (the
         vLLM "[ngram]" drafter): each tick drafts up to ``spec_k`` tokens
@@ -156,6 +165,16 @@ class Engine:
             assert steps_per_tick == 1, \
                 "speculative decoding replaces multi-step fusion"
             assert mesh is None, "speculative decoding is single-device"
+        self.prefix_cache = prefix_cache
+        if prefix_cache:
+            assert prefill_chunk > 0, \
+                "prefix_cache needs chunked prefill (tail-only prefill)"
+        #: tokens whose KV a FREED slot still holds (prefix_cache mode);
+        #: freed slots keep slot_len = len(slot_tokens) so the masked
+        #: decode rows' garbage KV writes land just PAST the preserved
+        #: prefix — _free_margin keeps even multi-position writes in-bounds
+        self.slot_tokens: List[List[int]] = [[] for _ in range(max_batch)]
+        self._free_margin = max(steps_per_tick, spec_k + 1 if spec_ngram else 1)
         #: slot → prompt tokens not yet prefilled (chunked mode only);
         #: a slot present here is mid-prefill and excluded from decode
         self.slot_prefill: Dict[int, List[int]] = {}
@@ -169,6 +188,7 @@ class Engine:
             "prefills": 0, "prefill_tokens": 0, "prefill_chunks": 0,
             "generated_tokens": 0, "decode_ticks": 0,
             "spec_drafted": 0, "spec_accepted": 0,
+            "prefix_hits": 0, "prefix_tokens_reused": 0,
         }
 
         self.mesh = mesh
@@ -447,12 +467,37 @@ class Engine:
             req.token_logprobs.append(float(lps[i]))
             self.slot_req[slot] = req
             self.slot_len[slot] = int(lens[i])
+            self.slot_tokens[slot] = []
             self.slot_last_tok[slot] = first
             self.stats["prefills"] += 1
             self.stats["prefill_tokens"] += int(lens[i])
             self._maybe_finish(slot)
             self._emit(req)
             self._release_if_cancelled(slot)
+
+    def _pick_slot(self, prompt: List[int]) -> Tuple[int, int]:
+        """Choose a free slot for ``prompt``; with ``prefix_cache``, prefer
+        the free slot whose preserved KV shares the longest common prefix
+        with it.  The reused length is (a) capped at len(prompt)-1 — at
+        least one token must run to produce logits — and (b) rounded DOWN
+        to a prefill_chunk multiple so every subsequent chunk write stays
+        inside the store (same no-clamp invariant as fresh chunked
+        prefill).  Returns (slot, reused_tokens)."""
+        free = [i for i, r in enumerate(self.slot_req) if r is None]
+        if not self.prefix_cache:
+            return free[0], 0
+        best, best_m = free[0], 0
+        for i in free:
+            m = 0
+            for a, b in zip(self.slot_tokens[i], prompt):
+                if a != b:
+                    break
+                m += 1
+            m = min(m, len(prompt) - 1)
+            m = (m // self.prefill_chunk) * self.prefill_chunk
+            if m > best_m:
+                best, best_m = i, m
+        return best, best_m
 
     def _propose_draft(self, req: Request) -> List[int]:
         """Prompt-lookup drafting (vLLM's "[ngram]" speculative model): find
@@ -588,10 +633,14 @@ class Engine:
                             f"prompt length {len(req.prompt_tokens)} "
                             f"exceeds max_len {self.max_len}"
                         )
-                    slot = self.slot_req.index(None)
+                    slot, reuse = self._pick_slot(req.prompt_tokens)
                     self.slot_req[slot] = req
-                    self.slot_len[slot] = 0
-                    self.slot_prefill[slot] = list(req.prompt_tokens)
+                    self.slot_len[slot] = reuse
+                    self.slot_prefill[slot] = list(req.prompt_tokens[reuse:])
+                    self.slot_tokens[slot] = []
+                    if reuse:
+                        self.stats["prefix_hits"] += 1
+                        self.stats["prefix_tokens_reused"] += reuse
                 self._progress_chunk_prefills()
             # admit pending requests into free slots; same-bucket requests
             # prefill TOGETHER (one dispatch + one host sync for up to
@@ -718,13 +767,32 @@ class Engine:
                 del req.token_logprobs[req._emitted:]
                 return
 
+    def _free_slot(self, slot: int) -> None:
+        """Release a finished request's slot.  With ``prefix_cache`` the
+        slot's KV is preserved and its token content recorded: the cache
+        holds exactly ``(prompt + appended)[:slot_len]`` (every appended
+        token's KV is written when it becomes the next input; the final
+        appended token's never is — hence slot_len lags appends by one),
+        clamped below ``max_len - _free_margin`` so masked decode rows'
+        garbage writes (at slot_len, +1, … per tick) stay past the
+        preserved prefix and in-bounds."""
+        req = self.slot_req[slot]
+        if self.prefix_cache:
+            seq = req.prompt_tokens + req.output_tokens
+            keep = max(0, min(int(self.slot_len[slot]), len(seq),
+                              self.max_len - self._free_margin))
+            self.slot_tokens[slot] = seq[:keep]
+            self.slot_len[slot] = keep
+        else:
+            self.slot_len[slot] = 0
+        self.slot_req[slot] = None
+
     def _release_if_cancelled(self, slot: int) -> None:
         req = self.slot_req[slot]
         if req is not None and req.cancelled:
             req.done = True
             req.finish_reason = "stop"
-            self.slot_req[slot] = None
-            self.slot_len[slot] = 0
+            self._free_slot(slot)
 
     def _maybe_finish(self, slot: int) -> None:
         req = self.slot_req[slot]
@@ -743,8 +811,7 @@ class Engine:
                 req.token_logprobs.pop()
             req.done = True
             req.finish_reason = "stop" if hit_stop else "length"
-            self.slot_req[slot] = None
-            self.slot_len[slot] = 0
+            self._free_slot(slot)
 
 
 def generate(

@@ -530,3 +530,62 @@ def test_speculative_decode_mixed_sampling_and_eos(rng, params):
     assert r1.output_tokens == ref[:15]
     assert len(r2.output_tokens) == 10
     assert all(0 <= t < CFG.vocab_size for t in r2.output_tokens)
+
+
+def test_prefix_cache_multiturn_exact(rng, params):
+    """Slot-level automatic prefix caching: a follow-up prompt extending a
+    finished request's (prompt + output) reuses the preserved KV — only
+    the tail prefills, and the output is exactly the no-reuse output."""
+    turn1 = [int(t) for t in rng.integers(0, 128, size=18)]
+    eng = Engine(
+        params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_chunk=8, prefix_cache=True,
+    )
+    r1 = Request(prompt_tokens=turn1,
+                 sampling=SamplingParams(max_new_tokens=6))
+    eng.run([r1])
+    assert r1.output_tokens == _naive_greedy(params, turn1, 6)
+
+    # follow-up: prior turn + its reply + new user tokens (chat shape)
+    turn2 = turn1 + r1.output_tokens + \
+        [int(t) for t in rng.integers(0, 128, size=5)]
+    before = dict(eng.stats)
+    r2 = Request(prompt_tokens=turn2,
+                 sampling=SamplingParams(max_new_tokens=6))
+    eng.run([r2])
+    assert r2.output_tokens == _naive_greedy(params, turn2, 6)
+    assert eng.stats["prefix_hits"] == before["prefix_hits"] + 1
+    reused = eng.stats["prefix_tokens_reused"] - before["prefix_tokens_reused"]
+    # cache held turn1 + outputs[:-1] = 23 tokens → 16 after chunk rounding
+    assert reused == 16, reused
+    tail = eng.stats["prefill_tokens"] - before["prefill_tokens"]
+    assert tail == len(turn2) - 16, tail
+
+
+def test_prefix_cache_divergent_prompt_exact(rng, params):
+    """A second prompt sharing only PART of a freed slot's content must
+    reuse just the common prefix and still decode exactly; an unrelated
+    prompt reuses nothing."""
+    base = [int(t) for t in rng.integers(0, 128, size=24)]
+    eng = Engine(
+        params, CFG, max_batch=1, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_chunk=8, prefix_cache=True,
+    )
+    r1 = Request(prompt_tokens=base, sampling=SamplingParams(max_new_tokens=4))
+    eng.run([r1])
+
+    # diverges at token 10 → common prefix 10 → 8 after chunk rounding
+    div = base[:10] + [(t + 1) % 128 for t in base[10:]] + base[:4]
+    before = dict(eng.stats)
+    r2 = Request(prompt_tokens=div, sampling=SamplingParams(max_new_tokens=4))
+    eng.run([r2])
+    assert r2.output_tokens == _naive_greedy(params, div, 4)
+    assert (eng.stats["prefix_tokens_reused"]
+            - before["prefix_tokens_reused"]) == 8
+
+    other = [int(t) for t in rng.integers(0, 128, size=9)]
+    before = dict(eng.stats)
+    r3 = Request(prompt_tokens=other, sampling=SamplingParams(max_new_tokens=4))
+    eng.run([r3])
+    assert r3.output_tokens == _naive_greedy(params, other, 4)
+    assert eng.stats["prefix_hits"] == before["prefix_hits"]
