@@ -129,7 +129,8 @@ def run_once(eng, config, bs, in_len, out_len, seed=1):
 
 
 def bench_config(config, *, quantize, group_size, bs, in_len, out_len,
-                 steps_per_tick, params=None):
+                 steps_per_tick, params=None, prefill_chunk=0,
+                 prefix_cache=False, spec_ngram=0, spec_k=4):
     from qqq_tpu.serve.engine import Engine
 
     if params is None:
@@ -137,17 +138,23 @@ def bench_config(config, *, quantize, group_size, bs, in_len, out_len,
             config, quantize=quantize, group_size=group_size
         )
     max_len = ((in_len + out_len + 127) // 128 + 1) * 128
+    if prefill_chunk:
+        max_len = ((max_len + prefill_chunk - 1)
+                   // prefill_chunk) * prefill_chunk
     eng = Engine(
         params, config, max_batch=bs, max_len=max_len,
         kv_quantized=quantize, prefill_buckets=(in_len,),
-        steps_per_tick=steps_per_tick,
+        steps_per_tick=1 if spec_ngram else steps_per_tick,
+        prefill_chunk=prefill_chunk, prefix_cache=prefix_cache,
+        spec_ngram=spec_ngram, spec_k=spec_k,
     )
     run_once(eng, config, bs, in_len, min(out_len, 2 * steps_per_tick))
     dt = min(run_once(eng, config, bs, in_len, out_len, seed=s)
              for s in (2, 3))
+    stats = dict(eng.stats)
     del eng
     jax.clear_caches()
-    return dt, params
+    return dt, params, stats
 
 
 def main():
@@ -160,6 +167,16 @@ def main():
     ap.add_argument("--layers", type=int, default=0,
                     help="override layer count (0 = geometry default)")
     ap.add_argument("--steps-per-tick", type=int, default=16)
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help=">0: chunked prefill (tokens/tick, interleaved "
+                         "with decode)")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="slot-level prefix caching (needs --prefill-chunk)")
+    ap.add_argument("--spec-ngram", type=int, default=0,
+                    help=">0: prompt-lookup speculative decoding (forces "
+                         "steps-per-tick=1; acceptance on random weights "
+                         "comes from argmax cycles — see spec_accepted)")
+    ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--mode", default="w4a8", choices=("w4a8", "bf16"),
                     help="run ONE precision per process — HBM from a "
                          "released engine is not reliably reclaimed by the "
@@ -176,10 +193,13 @@ def main():
 
     params = None
     for bs in batches:
-        dt, params = bench_config(
+        dt, params, stats = bench_config(
             config, quantize=quantize, group_size=args.group_size, bs=bs,
             in_len=args.in_len, out_len=args.out_len,
             steps_per_tick=args.steps_per_tick, params=params,
+            prefill_chunk=args.prefill_chunk,
+            prefix_cache=args.prefix_cache,
+            spec_ngram=args.spec_ngram, spec_k=args.spec_k,
         )
         out_tps = bs * args.out_len / dt
         total_tps = bs * (args.in_len + args.out_len) / dt
@@ -192,6 +212,12 @@ def main():
             "out_tok_s": round(out_tps, 1),
             "total_tok_s": round(total_tps, 1),
         }
+        if args.spec_ngram:
+            rec["spec_accepted"] = stats["spec_accepted"]
+            rec["spec_drafted"] = stats["spec_drafted"]
+            rec["decode_ticks"] = stats["decode_ticks"]
+        if args.prefix_cache:
+            rec["prefix_tokens_reused"] = stats["prefix_tokens_reused"]
         print(json.dumps(rec), flush=True)
 
 
