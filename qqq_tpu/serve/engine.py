@@ -678,15 +678,24 @@ class Engine:
             if not active.any():
                 continue
             if self.spec_ngram and all(
+                # EVERY row's verify writes clen..clen+k (masked rows write
+                # garbage) — any row near max_len would clamp the update
+                # start index and corrupt earlier KV, so the whole tick
+                # falls back to plain decode
                 int(self.slot_len[i]) + self.spec_k < self.max_len
-                for i in range(self.max_batch) if active[i]
-            ):  # verify writes clen..clen+k — plain decode near the end
+                for i in range(self.max_batch)
+            ):
                 self._spec_tick(active)
                 continue
             # one decode tick across all slots (chunk of ≥1 fused steps)
             chunk = self.steps_per_tick
             for slot, req in enumerate(self.slot_req):
                 if not active[slot]:
+                    # masked rows still WRITE at clen..clen+chunk-1: keep a
+                    # mid-prefill slot's garbage inside the store
+                    chunk = max(1, min(
+                        chunk, self.max_len - int(self.slot_len[slot])
+                    ))
                     continue
                 room = self.max_len - int(self.slot_len[slot]) - 1
                 budget = req.sampling.max_new_tokens - len(req.output_tokens)

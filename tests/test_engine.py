@@ -589,3 +589,23 @@ def test_prefix_cache_divergent_prompt_exact(rng, params):
     eng.run([r3])
     assert r3.output_tokens == _naive_greedy(params, other, 4)
     assert eng.stats["prefix_hits"] == before["prefix_hits"]
+
+
+def test_spec_with_chunked_prefill_near_maxlen(rng, params):
+    """Speculative ticks + chunked prefill with a prompt near max_len: the
+    verify write window (clen..clen+k) of a MID-PREFILL slot would clamp at
+    the store boundary, so those ticks must fall back to plain decode — and
+    everything stays exact."""
+    short = [int(t) for t in rng.integers(0, 128, size=4)]
+    long = [int(t) for t in rng.integers(0, 128, size=31)]
+    eng = Engine(
+        params, CFG, max_batch=2, max_len=32, kv_quantized=False,
+        dtype=jnp.float32, prefill_chunk=8, spec_ngram=2, spec_k=8,
+    )
+    r_short = Request(prompt_tokens=short,
+                      sampling=SamplingParams(max_new_tokens=12))
+    r_long = Request(prompt_tokens=long,
+                     sampling=SamplingParams(max_new_tokens=1))
+    eng.run([r_short, r_long])
+    assert r_short.output_tokens == _naive_greedy(params, short, 12)
+    assert r_long.output_tokens == _naive_greedy(params, long, 1)
