@@ -609,3 +609,35 @@ def test_spec_with_chunked_prefill_near_maxlen(rng, params):
     eng.run([r_short, r_long])
     assert r_short.output_tokens == _naive_greedy(params, short, 12)
     assert r_long.output_tokens == _naive_greedy(params, long, 1)
+
+
+def test_chunked_prefill_int8_kv_default_config(rng, params):
+    """Chunked prefill with the DEFAULT engine cache (INT8 KV): greedy
+    parity vs the naive loop (tiny-model INT8 KV noise doesn't flip
+    argmax — same bar as the whole-bucket default-config test)."""
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)]
+               for n in (19, 6)]
+    outs = generate(
+        params, CFG, prompts, SamplingParams(max_new_tokens=5),
+        max_batch=2, max_len=64, kv_quantized=True, dtype=jnp.float32,
+        prefill_chunk=8,
+    )
+    for p, o in zip(prompts, outs):
+        assert o == _naive_greedy(params, p, 5), p
+
+
+def test_chunked_prefill_under_tp_mesh(rng, params):
+    """Chunked prefill slices/reinserts rows of the SHARDED cache through
+    the shard_map forward — must reproduce single-device greedy."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    prompt = [int(t) for t in rng.integers(0, 128, size=21)]
+    want = _naive_greedy(params, prompt, 5)
+    outs = generate(
+        params, CFG, [prompt], SamplingParams(max_new_tokens=5),
+        max_batch=2, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_chunk=8, mesh=make_mesh(data=1, model=2),
+    )
+    assert outs[0] == want
