@@ -186,6 +186,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
             if self.path == "/stats":
                 return self._reply(200, {
                     **eng.stats,
+                    **eng.latency_summary(),
                     "active": sum(r is not None for r in eng.slot_req),
                     "pending": len(eng._pending),
                     "max_batch": eng.max_batch,

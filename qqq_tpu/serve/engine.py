@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -57,6 +58,26 @@ class Request:
     #: condition): the request finishes at the last emitted token
     cancelled: bool = False
     _emitted: int = 0  # tokens already delivered through Engine.on_token
+    # latency bookkeeping (monotonic seconds, filled by the engine)
+    t_enqueue: Optional[float] = None
+    t_first_token: Optional[float] = None
+    t_done: Optional[float] = None
+
+    @property
+    def ttft(self) -> Optional[float]:
+        """Seconds from enqueue to first generated token."""
+        if self.t_enqueue is None or self.t_first_token is None:
+            return None
+        return self.t_first_token - self.t_enqueue
+
+    @property
+    def tpot(self) -> Optional[float]:
+        """Mean seconds per output token after the first (time-per-output-
+        token, the serving decode-latency metric)."""
+        if (self.t_first_token is None or self.t_done is None
+                or len(self.output_tokens) < 2):
+            return None
+        return (self.t_done - self.t_first_token) / (len(self.output_tokens) - 1)
 
 
 #: max requests prefilled in one dispatch (per power-of-two sub-batch, so at
@@ -180,6 +201,8 @@ class Engine:
         self.slot_prefill: Dict[int, List[int]] = {}
         self.key = jax.random.PRNGKey(0)
         self._pending: List[Request] = []
+        #: (ttft, tpot) of the last ≤1000 completed requests
+        self._latency: List[Tuple[float, Optional[float]]] = []
         # optional per-token hook: on_token(req, token) fires for every
         # SURVIVING token (EOS is never emitted) as the host loop accepts it
         # — the streaming-generation feed for serve CLI clients
@@ -436,6 +459,8 @@ class Engine:
         )
 
     def add_request(self, req: Request) -> None:
+        if req.t_enqueue is None:
+            req.t_enqueue = time.monotonic()
         self._pending.append(req)
 
     def _admit_batch(self, reqs: List[Request], slots: List[int],
@@ -605,6 +630,23 @@ class Engine:
                 self._emit(req)
                 self._release_if_cancelled(slot)
 
+    def latency_summary(self) -> Dict[str, Optional[float]]:
+        """p50/p95 TTFT and TPOT (seconds) over the last ≤1000 completed
+        requests — the standard serving latency report."""
+        def pct(vals, q):
+            vals = sorted(v for v in vals if v is not None)
+            if not vals:
+                return None
+            return vals[min(len(vals) - 1, int(q * len(vals)))]
+
+        ttfts = [t for t, _ in self._latency]
+        tpots = [p for _, p in self._latency]
+        return {
+            "requests": len(self._latency),
+            "ttft_p50_s": pct(ttfts, 0.50), "ttft_p95_s": pct(ttfts, 0.95),
+            "tpot_p50_s": pct(tpots, 0.50), "tpot_p95_s": pct(tpots, 0.95),
+        }
+
     def cancel(self, req: Request) -> None:
         """Finish ``req`` early: no tokens beyond the last emitted one are
         delivered, its slot frees at the next tick boundary (pending
@@ -615,6 +657,10 @@ class Engine:
 
     def run(self, requests: List[Request]) -> List[Request]:
         """Run until every request completes (continuous batching loop)."""
+        now = time.monotonic()
+        for r in requests:
+            if r.t_enqueue is None:
+                r.t_enqueue = now
         self._pending.extend(requests)
         while self._pending or any(r is not None for r in self.slot_req):
             for r in self._pending:
@@ -769,6 +815,8 @@ class Engine:
             tok = req.output_tokens[req._emitted]
             req._emitted += 1
             self.stats["generated_tokens"] += 1
+            if req.t_first_token is None:
+                req.t_first_token = time.monotonic()
             if self.on_token is not None:
                 self.on_token(req, tok)
             if req.cancelled:
@@ -786,6 +834,10 @@ class Engine:
         garbage writes (at slot_len, +1, … per tick) stay past the
         preserved prefix and in-bounds."""
         req = self.slot_req[slot]
+        req.t_done = time.monotonic()
+        if req.ttft is not None:
+            self._latency.append((req.ttft, req.tpot))
+            del self._latency[:-1000]  # bounded window
         if self.prefix_cache:
             seq = req.prompt_tokens + req.output_tokens
             keep = max(0, min(int(self.slot_len[slot]), len(seq),

@@ -287,3 +287,16 @@ def test_openai_completions_rejects_n(served_tok):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400
+
+
+def test_latency_metrics_in_stats(served, rng):
+    base, _ = served
+    _post(base, {
+        "prompt_tokens": [int(t) for t in rng.integers(0, 128, size=5)],
+        "max_new_tokens": 4,
+    })
+    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+        st = json.loads(r.read())
+    assert st["requests"] >= 1
+    assert st["ttft_p50_s"] is not None and st["ttft_p50_s"] > 0
+    assert st["tpot_p50_s"] is not None and st["tpot_p50_s"] > 0
