@@ -96,6 +96,13 @@ class EngineWorker:
         self._stops.pop(id(req), None)
         return self._stop_text.pop(id(req), None)
 
+    def clear_stops(self, req: Request) -> None:
+        """Drop stop-watcher state unconditionally — MUST run on every
+        error/disconnect path too: entries are keyed by id(req), and CPython
+        reuses ids, so a leaked entry could truncate a future request."""
+        self._stops.pop(id(req), None)
+        self._stop_text.pop(id(req), None)
+
     # -- streaming ----------------------------------------------------------
 
     def open_stream(self, req: Request) -> "queue.Queue[int]":
@@ -155,10 +162,19 @@ class EngineWorker:
             time.sleep(0.002)
 
 
+def _num(body: Dict[str, Any], key: str, default, cast):
+    """body[key] with OpenAI-client semantics: an explicit JSON null means
+    'use the default', and a bad type must 400, not kill the connection."""
+    v = body.get(key)
+    return default if v is None else cast(v)
+
+
 def _make_handler(worker: EngineWorker, tokenizer=None,
                   default_eos: Optional[int] = None,
                   model_name: str = "qqq-tpu"):
-    max_prompt = worker.engine.prefill_buckets[-1]
+    max_prompt = worker.engine.max_len - 1
+    if not worker.engine.prefill_chunk:
+        max_prompt = min(max_prompt, worker.engine.prefill_buckets[-1])
     counter = itertools.count()
 
     class Handler(BaseHTTPRequestHandler):
@@ -243,14 +259,17 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     400, {"error": "stop strings need a tokenizer; "
                                    "use stop_token_ids"}
                 )
-            sampling = SamplingParams(
-                temperature=float(body.get("temperature", 0.0)),
-                top_k=int(body.get("top_k", 0)),
-                top_p=float(body.get("top_p", 1.0)),
-                max_new_tokens=int(body.get("max_new_tokens", 128)),
-                eos_token_id=body.get("eos_token_id", default_eos),
-                stop_token_ids=tuple(body.get("stop_token_ids", ())),
-            )
+            try:
+                sampling = SamplingParams(
+                    temperature=_num(body, "temperature", 0.0, float),
+                    top_k=_num(body, "top_k", 0, int),
+                    top_p=_num(body, "top_p", 1.0, float),
+                    max_new_tokens=_num(body, "max_new_tokens", 128, int),
+                    eos_token_id=body.get("eos_token_id", default_eos),
+                    stop_token_ids=tuple(body.get("stop_token_ids") or ()),
+                )
+            except (TypeError, ValueError) as e:
+                return self._reply(400, {"error": f"bad parameter: {e}"})
             req = Request(prompt_tokens=list(toks), sampling=sampling)
             worker.set_stops(req, stops)
             want_logprobs = bool(body.get("logprobs"))
@@ -260,6 +279,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 worker.submit(req)
                 worker.wait(req)
             except (RuntimeError, TimeoutError) as e:
+                worker.clear_stops(req)
                 return self._reply(500, {"error": str(e)})
             out: Dict[str, Any] = {
                 "output_tokens": req.output_tokens,
@@ -283,6 +303,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 worker.submit(req)
             except RuntimeError as e:
                 worker.close_stream(req)
+                worker.clear_stops(req)
                 return self._reply(500, {"error": str(e)})
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
@@ -295,6 +316,21 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     f"{len(data):X}\r\n".encode() + data + b"\r\n"
                 )
                 self.wfile.flush()
+
+            # incremental detokenization: decode the RUNNING sequence and
+            # emit the suffix — per-token decode drops SentencePiece word
+            # boundaries and mangles multi-token UTF-8 sequences
+            acc: list = []
+            prev = ""
+
+            def tok_out(tok: int) -> Dict[str, Any]:
+                nonlocal prev
+                out: Dict[str, Any] = {"token": tok}
+                if tokenizer is not None:
+                    acc.append(tok)
+                    full = tokenizer.decode(acc)
+                    out["text"], prev = full[len(prev):], full
+                return out
 
             try:
                 while True:
@@ -311,13 +347,10 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                                 and req._emitted >= len(req.output_tokens)):
                             break
                         continue
-                    out: Dict[str, Any] = {"token": tok}
-                    if tokenizer is not None:
-                        out["text"] = tokenizer.decode([tok])
-                    chunk(out)
+                    chunk(tok_out(tok))
                 # done is set just before the final emit — drain stragglers
                 while not q.empty():
-                    chunk({"token": q.get_nowait()})
+                    chunk(tok_out(q.get_nowait()))
                 final: Dict[str, Any] = {
                     "done": True,
                     "output_tokens": req.output_tokens,
@@ -334,6 +367,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 pass  # client went away; engine finishes the slot anyway
             finally:
                 worker.close_stream(req)
+                worker.clear_stops(req)
 
         # -- OpenAI-compatible surface ------------------------------------
 
@@ -375,14 +409,17 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 return self._reply(
                     400, {"error": "stop strings need a tokenizer"}
                 )
-            sampling = SamplingParams(
-                temperature=float(body.get("temperature", 1.0)),
-                top_k=int(body.get("top_k", 0)),  # vLLM extension
-                top_p=float(body.get("top_p", 1.0)),
-                max_new_tokens=int(body.get("max_tokens", 16)),
-                eos_token_id=default_eos,
-                stop_token_ids=tuple(body.get("stop_token_ids", ())),
-            )
+            try:
+                sampling = SamplingParams(
+                    temperature=_num(body, "temperature", 1.0, float),
+                    top_k=_num(body, "top_k", 0, int),  # vLLM extension
+                    top_p=_num(body, "top_p", 1.0, float),
+                    max_new_tokens=_num(body, "max_tokens", 16, int),
+                    eos_token_id=default_eos,
+                    stop_token_ids=tuple(body.get("stop_token_ids") or ()),
+                )
+            except (TypeError, ValueError) as e:
+                return self._reply(400, {"error": f"bad parameter: {e}"})
             req = Request(prompt_tokens=list(toks), sampling=sampling)
             worker.set_stops(req, stops)
             want_logprobs = body.get("logprobs") not in (None, 0, False)
@@ -393,6 +430,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 worker.submit(req)
                 worker.wait(req)
             except (RuntimeError, TimeoutError) as e:
+                worker.clear_stops(req)
                 return self._reply(500, {"error": str(e)})
             stop_text = worker.take_stop_text(req)
             if tokenizer is not None:
@@ -432,6 +470,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 worker.submit(req)
             except RuntimeError as e:
                 worker.close_stream(req)
+                worker.clear_stops(req)
                 return self._reply(500, {"error": str(e)})
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
@@ -450,14 +489,23 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 )
                 self.wfile.flush()
 
+            acc: list = []
+            prev = ""
+
             def tok_chunk(tok: int, finish: Optional[str] = None):
+                # incremental detokenization (see _stream): decode the
+                # running sequence, emit the suffix
+                nonlocal prev
+                text = ""
+                if tokenizer is not None and tok >= 0:
+                    acc.append(tok)
+                    full = tokenizer.decode(acc)
+                    text, prev = full[len(prev):], full
                 return {
                     "id": cid, "object": "text_completion",
                     "created": int(time.time()), "model": model_name,
                     "choices": [{
-                        "text": (tokenizer.decode([tok])
-                                 if tokenizer is not None and tok >= 0
-                                 else ""),
+                        "text": text,
                         "index": 0, "finish_reason": finish,
                     }],
                 }
@@ -485,6 +533,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 pass
             finally:
                 worker.close_stream(req)
+                worker.clear_stops(req)
 
     return Handler
 

@@ -49,6 +49,19 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (x * weight.astype(jnp.float32)).astype(dtype)
 
 
+def _requant_policy(x: jax.Array):
+    """Per-group GEMM path selector (trace-time, see w4a8_gemm ``requant``).
+
+    The kernel's own auto rule keys on total rows M = B·T, but a DECODE-like
+    call (T small, batch large — plain bs ≥ 512 decode, or speculative
+    verify at B·(1+k) ≥ 512) must stay on the exact per-group path: decode
+    is HBM-bound so requant buys nothing there, and the engine documents
+    speculative/plain greedy streams as bit-identical.  Short sequence dim
+    ⇒ force exact; long ⇒ defer to the kernel's M ≥ 512 rule (prefill and
+    full-sequence scoring take the reference-numerics requant path)."""
+    return False if x.ndim >= 3 and x.shape[-2] < 64 else None
+
+
 def linear_apply(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     """Dense or W4A8 linear, dispatched on the param structure."""
     if "w_packed" in p:
@@ -61,6 +74,7 @@ def linear_apply(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
             bias=p.get("b"),
             group_size=group_size,
             out_dtype=x.dtype,
+            requant=_requant_policy(x),
         )
     out = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:
@@ -282,7 +296,10 @@ def mlp(
         assert tp_axis is None, "fused gate/up is a single-device optimization"
         from qqq_tpu.kernels.w4a8_gemm import w4a8_glu_linear
 
-        h = w4a8_glu_linear(x, layer["gate_up_glu"], out_dtype=x.dtype)
+        h = w4a8_glu_linear(
+            x, layer["gate_up_glu"], out_dtype=x.dtype,
+            requant=_requant_policy(x),
+        )
     else:
         gate = linear_apply(layer["gate_proj"], x)
         up = linear_apply(layer["up_proj"], x)

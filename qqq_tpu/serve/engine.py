@@ -663,22 +663,28 @@ class Engine:
                 r.t_enqueue = now
         self._pending.extend(requests)
         while self._pending or any(r is not None for r in self.slot_req):
+            keep = []
             for r in self._pending:
                 if r.cancelled:
                     r.done = True
                     r.finish_reason = "stop"
-            self._pending = [r for r in self._pending if not r.cancelled]
+                elif len(r.prompt_tokens) + 1 > self.max_len or (
+                    not self.prefill_chunk
+                    and len(r.prompt_tokens) > self.prefill_buckets[-1]
+                ):
+                    # reject oversized prompts here; raising in the shared
+                    # loop would kill the serving worker thread for everyone
+                    r.done = True
+                    r.finish_reason = "error"
+                else:
+                    keep.append(r)
+            self._pending = keep
             if self.prefill_chunk:
                 # chunked mode: a request claims its slot immediately and
                 # prefills prefill_chunk tokens per tick (below), so decode
                 # never stalls behind a whole-bucket prefill
                 while self._pending and None in self.slot_req:
                     req = self._pending.pop(0)
-                    if len(req.prompt_tokens) + 1 > self.max_len:
-                        raise ValueError(
-                            f"prompt length {len(req.prompt_tokens)} "
-                            f"exceeds max_len {self.max_len}"
-                        )
                     slot, reuse = self._pick_slot(req.prompt_tokens)
                     self.slot_req[slot] = req
                     self.slot_len[slot] = reuse
@@ -835,6 +841,10 @@ class Engine:
         preserved prefix and in-bounds."""
         req = self.slot_req[slot]
         req.t_done = time.monotonic()
+        if req.t_first_token is None and req.output_tokens:
+            # finished on its very first token (max_new_tokens=1, instant
+            # EOS): the _emit that stamps t_first_token runs after this
+            req.t_first_token = req.t_done
         if req.ttft is not None:
             self._latency.append((req.ttft, req.tpot))
             del self._latency[:-1000]  # bounded window

@@ -370,3 +370,30 @@ def test_fuse_inference_params_forward_parity(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=0.05, atol=0.05
     )
+
+
+def test_requant_policy_decode_shape_stays_exact(rng):
+    """A decode-shaped call (T=1, batch ≥ 512 — plain large-batch decode or
+    speculative verify) must stay on the EXACT per-group path even though
+    total rows cross the kernel's M ≥ 512 auto threshold: the engine
+    documents spec/plain greedy streams as bit-identical."""
+    from qqq_tpu.models.llama import linear_apply
+
+    K, N = 512, 256
+    q4, _, s_group = _make_quantized(rng, K, N, 128)
+    p = {"w_packed": pack_int4(q4), "s_group": s_group}
+    x = jnp.asarray(rng.normal(size=(520, 1, K)).astype(np.float32))
+
+    got = linear_apply(p, x)
+    from qqq_tpu.kernels import w4a8_linear
+
+    exact = w4a8_linear(
+        x, p["w_packed"], None, s_group, group_size=128,
+        out_dtype=x.dtype, requant=False,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(exact))
+    requant = w4a8_linear(
+        x, p["w_packed"], None, s_group, group_size=128,
+        out_dtype=x.dtype, requant=True,
+    )
+    assert np.abs(np.asarray(requant) - np.asarray(exact)).max() > 0
