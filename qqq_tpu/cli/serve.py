@@ -224,6 +224,8 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 return self._reply(400, {"error": f"bad JSON: {e}"})
             if self.path == "/v1/completions":
                 return self._completions(body)
+            if self.path == "/v1/chat/completions":
+                return self._chat_completions(body)
             if self.path != "/generate":
                 return self._reply(404, {"error": "not found"})
 
@@ -461,10 +463,94 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 },
             })
 
+        def _chat_completions(self, body: Dict[str, Any]) -> None:
+            """OpenAI /v1/chat/completions: ``messages`` are rendered
+            through the tokenizer's chat template (``apply_chat_template``,
+            add_generation_prompt=True), generation flows through the same
+            engine path as completions, and the response/stream use chat
+            framing (message / delta chunks)."""
+            if tokenizer is None or not hasattr(
+                tokenizer, "apply_chat_template"
+            ):
+                return self._reply(
+                    400, {"error": "chat completions need a tokenizer with "
+                                   "a chat template"}
+                )
+            messages = body.get("messages")
+            if not (isinstance(messages, list) and messages and all(
+                isinstance(m, dict) and "role" in m and "content" in m
+                for m in messages
+            )):
+                return self._reply(
+                    400, {"error": "messages: [{role, content}, …] required"}
+                )
+            for unsupported in ("n", "tools", "tool_choice"):
+                if body.get(unsupported) not in (None, 1):
+                    return self._reply(
+                        400, {"error": f"'{unsupported}' is not supported"}
+                    )
+            try:
+                toks = tokenizer.apply_chat_template(
+                    messages, add_generation_prompt=True
+                )
+            except Exception as e:  # template errors are client errors
+                return self._reply(400, {"error": f"chat template: {e}"})
+            if len(toks) > max_prompt:
+                return self._reply(400, {
+                    "error": f"rendered prompt length {len(toks)} exceeds "
+                             f"{max_prompt}"
+                })
+            stops = body.get("stop") or []
+            if isinstance(stops, str):
+                stops = [stops]
+            try:
+                sampling = SamplingParams(
+                    temperature=_num(body, "temperature", 1.0, float),
+                    top_k=_num(body, "top_k", 0, int),
+                    top_p=_num(body, "top_p", 1.0, float),
+                    max_new_tokens=_num(body, "max_tokens", 128, int),
+                    eos_token_id=default_eos,
+                    stop_token_ids=tuple(body.get("stop_token_ids") or ()),
+                )
+            except (TypeError, ValueError) as e:
+                return self._reply(400, {"error": f"bad parameter: {e}"})
+            req = Request(prompt_tokens=list(toks), sampling=sampling)
+            worker.set_stops(req, stops)
+            cid = f"chatcmpl-{next(counter)}"
+            if body.get("stream"):
+                return self._completions_stream(req, cid, False, chat=True)
+            try:
+                worker.submit(req)
+                worker.wait(req)
+            except (RuntimeError, TimeoutError) as e:
+                worker.clear_stops(req)
+                return self._reply(500, {"error": str(e)})
+            stop_text = worker.take_stop_text(req)
+            text = (stop_text if stop_text is not None
+                    else tokenizer.decode(req.output_tokens))
+            self._reply(200, {
+                "id": cid,
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": body.get("model", model_name),
+                "choices": [{
+                    "index": 0,
+                    "message": {"role": "assistant", "content": text},
+                    "finish_reason": req.finish_reason or "stop",
+                }],
+                "usage": {
+                    "prompt_tokens": len(toks),
+                    "completion_tokens": len(req.output_tokens),
+                    "total_tokens": len(toks) + len(req.output_tokens),
+                },
+            })
+
         def _completions_stream(self, req: Request, cid: str,
-                                want_logprobs: bool) -> None:
+                                want_logprobs: bool,
+                                chat: bool = False) -> None:
             """SSE: ``data: {chunk}`` per token, then a finish_reason chunk
-            and ``data: [DONE]`` (OpenAI stream framing)."""
+            and ``data: [DONE]`` (OpenAI stream framing; chat mode uses
+            chat.completion.chunk delta framing)."""
             q = worker.open_stream(req)
             try:
                 worker.submit(req)
@@ -501,6 +587,18 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     acc.append(tok)
                     full = tokenizer.decode(acc)
                     text, prev = full[len(prev):], full
+                if chat:
+                    delta = {"content": text} if tok >= 0 else {}
+                    if len(acc) == 1 and tok >= 0:  # first content chunk
+                        delta["role"] = "assistant"
+                    return {
+                        "id": cid, "object": "chat.completion.chunk",
+                        "created": int(time.time()), "model": model_name,
+                        "choices": [{
+                            "index": 0, "delta": delta,
+                            "finish_reason": finish,
+                        }],
+                    }
                 return {
                     "id": cid, "object": "text_completion",
                     "created": int(time.time()), "model": model_name,

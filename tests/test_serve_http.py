@@ -300,3 +300,99 @@ def test_latency_metrics_in_stats(served, rng):
     assert st["requests"] >= 1
     assert st["ttft_p50_s"] is not None and st["ttft_p50_s"] > 0
     assert st["tpot_p50_s"] is not None and st["tpot_p50_s"] > 0
+
+
+class _ChatToyTokenizer(_ToyTokenizer):
+    """Adds a trivial chat template: roles become marker tokens."""
+
+    def apply_chat_template(self, messages, add_generation_prompt=True):
+        toks = []
+        for m in messages:
+            toks.append(1 if m["role"] == "user" else 2)
+            toks.extend(int(t) for t in str(m["content"]).split())
+        if add_generation_prompt:
+            toks.append(3)
+        return toks
+
+
+@pytest.fixture(scope="module")
+def served_chat():
+    from qqq_tpu.cli.serve import make_server
+
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    engine = Engine(
+        params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,),
+    )
+    server, worker = make_server(engine, port=0,
+                                 tokenizer=_ChatToyTokenizer())
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, params
+    server.shutdown()
+    worker.stop()
+
+
+def test_openai_chat_completions(served_chat, rng):
+    base, params = served_chat
+    content = " ".join(str(int(t)) for t in rng.integers(4, 128, size=6))
+    prompt = _ChatToyTokenizer().apply_chat_template(
+        [{"role": "user", "content": content}]
+    )
+    want = generate(
+        params, CFG, [prompt], SamplingParams(max_new_tokens=5),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )[0]
+    req = urllib.request.Request(
+        base + "/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": content}],
+            "max_tokens": 5, "temperature": 0.0,
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        res = json.loads(r.read())
+    assert res["object"] == "chat.completion"
+    msg = res["choices"][0]["message"]
+    assert msg["role"] == "assistant"
+    assert msg["content"] == _ToyTokenizer().decode(want)
+    assert res["usage"]["prompt_tokens"] == len(prompt)
+
+
+def test_openai_chat_stream(served_chat, rng):
+    base, params = served_chat
+    content = " ".join(str(int(t)) for t in rng.integers(4, 128, size=4))
+    prompt = _ChatToyTokenizer().apply_chat_template(
+        [{"role": "user", "content": content}]
+    )
+    want = generate(
+        params, CFG, [prompt], SamplingParams(max_new_tokens=4),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )[0]
+    req = urllib.request.Request(
+        base + "/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": content}],
+            "max_tokens": 4, "temperature": 0.0, "stream": True,
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    text = "".join(
+        c["choices"][0]["delta"].get("content", "") for c in chunks
+    )
+    assert text == _ToyTokenizer().decode(want)
+    assert chunks[-1]["choices"][0]["finish_reason"] == "length"
