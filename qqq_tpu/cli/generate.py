@@ -28,6 +28,10 @@ def parse_args():
     p.add_argument("--max_length", type=int, default=2048)
     p.add_argument("--kv_int8", action="store_true", default=True)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--spec_ngram", type=int, default=0,
+                   help=">0: prompt-lookup speculative decoding (exact "
+                        "for greedy; faster on repetitive continuations)")
+    p.add_argument("--spec_k", type=int, default=4)
     return p.parse_args()
 
 
@@ -59,6 +63,8 @@ def main():
         max_len=args.max_length,
         kv_quantized=args.kv_int8,
         dtype=dtype,
+        spec_ngram=args.spec_ngram,
+        spec_k=args.spec_k,
     )
     for prompt, out in zip(args.prompt, outs):
         print(f"=== {prompt!r}")
