@@ -641,3 +641,56 @@ def test_chunked_prefill_under_tp_mesh(rng, params):
         prefill_chunk=8, mesh=make_mesh(data=1, model=2),
     )
     assert outs[0] == want
+
+
+def test_engine_packed_quantized_full_config(rng):
+    """PRODUCTION-config integration: the engine over a PACKED g128 model
+    (GLU/qkv fusions applied, INT8 KV cache) with chunked prefill, prefix
+    caching, and speculative decoding all on — greedy parity vs a naive
+    loop over the same fused params (identical forward → identical math;
+    decode-shaped calls stay on the exact kernel by policy)."""
+    from __graft_entry__ import _quantize_params
+    from qqq_tpu.models.llama import fuse_inference_params
+
+    cfg = ModelConfig(
+        vocab_size=97,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(11), dtype=jnp.float32)
+    qparams = fuse_inference_params(
+        _quantize_params(params, cfg, group_size=128), cfg
+    )
+
+    def naive(prompt, n_new):
+        toks = list(prompt)
+        for _ in range(n_new):
+            logits, _ = forward(qparams, cfg, jnp.asarray([toks], jnp.int32))
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        return toks[len(prompt):]
+
+    prompts = [[int(t) for t in rng.integers(0, 97, size=n)]
+               for n in (11, 19)]
+    eng = Engine(
+        qparams, cfg, max_batch=2, max_len=64, kv_quantized=True,
+        dtype=jnp.float32, prefill_chunk=8, prefix_cache=True,
+        spec_ngram=2, spec_k=4, fuse=False,  # already fused above
+    )
+    reqs = [Request(prompt_tokens=p,
+                    sampling=SamplingParams(max_new_tokens=6))
+            for p in prompts]
+    eng.run(reqs)
+    for p, r in zip(prompts, reqs):
+        assert r.output_tokens == naive(p, 6), p
+
+    # follow-up turn exercises prefix reuse on the packed path
+    turn2 = prompts[0] + reqs[0].output_tokens + [5, 9]
+    r2 = Request(prompt_tokens=turn2,
+                 sampling=SamplingParams(max_new_tokens=4))
+    eng.run([r2])
+    assert r2.output_tokens == naive(turn2, 4)
+    assert eng.stats["prefix_hits"] >= 1
