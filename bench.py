@@ -272,6 +272,26 @@ def main():
                              "layers (16x2 for bf16)")
     args = parser.parse_args()
 
+    # First-contact watchdog: the tunneled runtime can wedge for hours (a
+    # killed mid-dispatch client leaves the far side hung); if the device
+    # never answers a trivial fetch, fail LOUDLY instead of hanging the
+    # driver forever.  Cleared the moment the probe returns.
+    import os
+    import sys
+    import threading
+
+    probe_ok = threading.Event()
+
+    def _watchdog():
+        if not probe_ok.wait(timeout=900):
+            print("bench: TPU device unresponsive for 15 min — tunnel "
+                  "wedged; aborting", file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8))))  # fetch = fence
+    probe_ok.set()
+
     from qqq_tpu.models import ModelConfig
     from qqq_tpu.models.llama import decoder_layer, rope_inv_freq, rms_norm
     from qqq_tpu.serve import kv_cache
