@@ -694,3 +694,53 @@ def test_engine_packed_quantized_full_config(rng):
     eng.run([r2])
     assert r2.output_tokens == naive(turn2, 4)
     assert eng.stats["prefix_hits"] >= 1
+
+
+def test_scheduler_fuzz_mixed_features(rng, params):
+    """Randomized scheduler soak: staggered arrivals (via add_request mid-
+    run through on_token), mixed greedy/sampled rows, ragged prompt
+    lengths, EOS and budget finishes — with chunked prefill + prefix cache
+    + speculative decoding all enabled.  Every greedy request must match
+    naive greedy exactly; sampled requests must respect their budgets."""
+    eng = Engine(
+        params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_chunk=8, prefix_cache=True,
+        spec_ngram=2, spec_k=3,
+    )
+    reqs = []
+    for i in range(8):
+        n = int(rng.integers(2, 30))
+        prompt = [int(t) for t in rng.integers(0, 128, size=n)]
+        greedy = bool(rng.integers(0, 2))
+        budget = int(rng.integers(1, 9))
+        sp = SamplingParams(
+            max_new_tokens=budget,
+            temperature=0.0 if greedy else 0.8,
+            top_k=0 if greedy else int(rng.integers(0, 12)),
+        )
+        reqs.append(Request(prompt_tokens=prompt, sampling=sp))
+
+    # feed three up front; trickle the rest in as tokens are produced
+    feed = list(reqs[3:])
+
+    def hook(req, tok):
+        if feed and rng.integers(0, 3) == 0:
+            eng.add_request(feed.pop(0))
+
+    eng.on_token = hook
+    eng.run(reqs[:3])
+    while feed:  # any stragglers the hook never admitted
+        eng.add_request(feed.pop(0))
+    eng.run([])
+
+    for r in reqs:
+        assert r.done
+        assert len(r.output_tokens) <= r.sampling.max_new_tokens
+        assert len(r.token_logprobs) == len(r.output_tokens)
+        if r.sampling.temperature == 0.0:
+            want = _naive_greedy(
+                params, r.prompt_tokens, r.sampling.max_new_tokens
+            )
+            assert r.output_tokens == want, (r.prompt_tokens, r.output_tokens)
+        else:
+            assert len(r.output_tokens) == r.sampling.max_new_tokens
