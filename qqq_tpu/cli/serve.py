@@ -269,6 +269,9 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     max_new_tokens=_num(body, "max_new_tokens", 128, int),
                     eos_token_id=body.get("eos_token_id", default_eos),
                     stop_token_ids=tuple(body.get("stop_token_ids") or ()),
+                    presence_penalty=_num(body, "presence_penalty", 0.0, float),
+                    frequency_penalty=_num(body, "frequency_penalty", 0.0, float),
+                    repetition_penalty=_num(body, "repetition_penalty", 1.0, float),
                 )
             except (TypeError, ValueError) as e:
                 return self._reply(400, {"error": f"bad parameter: {e}"})
@@ -419,6 +422,9 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     max_new_tokens=_num(body, "max_tokens", 16, int),
                     eos_token_id=default_eos,
                     stop_token_ids=tuple(body.get("stop_token_ids") or ()),
+                    presence_penalty=_num(body, "presence_penalty", 0.0, float),
+                    frequency_penalty=_num(body, "frequency_penalty", 0.0, float),
+                    repetition_penalty=_num(body, "repetition_penalty", 1.0, float),
                 )
             except (TypeError, ValueError) as e:
                 return self._reply(400, {"error": f"bad parameter: {e}"})
@@ -511,6 +517,9 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     max_new_tokens=_num(body, "max_tokens", 128, int),
                     eos_token_id=default_eos,
                     stop_token_ids=tuple(body.get("stop_token_ids") or ()),
+                    presence_penalty=_num(body, "presence_penalty", 0.0, float),
+                    frequency_penalty=_num(body, "frequency_penalty", 0.0, float),
+                    repetition_penalty=_num(body, "repetition_penalty", 1.0, float),
                 )
             except (TypeError, ValueError) as e:
                 return self._reply(400, {"error": f"bad parameter: {e}"})

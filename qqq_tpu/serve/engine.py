@@ -36,8 +36,8 @@ from qqq_tpu.models.config import ModelConfig
 from qqq_tpu.models import llama as M
 from qqq_tpu.serve import kv_cache
 from qqq_tpu.serve.sampling import (
-    SamplingParams, chosen_logprob, chosen_logprob_sharded, sample_batched,
-    sample_batched_sharded, sampling_arrays,
+    SamplingParams, apply_penalties, chosen_logprob, chosen_logprob_sharded,
+    penalty_arrays, sample_batched, sample_batched_sharded, sampling_arrays,
 )
 
 
@@ -203,6 +203,12 @@ class Engine:
         self._pending: List[Request] = []
         #: (ttft, tpot) of the last ≤1000 completed requests
         self._latency: List[Tuple[float, Optional[float]]] = []
+        #: per-slot GENERATED-token counts (B, V) — drives the OpenAI
+        #: presence/frequency and HF repetition penalties on device; each
+        #: decode step scatters its own sampled token, the host adds
+        #: prefill first-tokens and accepted speculative drafts (only for
+        #: rows that actually use penalties), and admission resets the row
+        self.counts = jnp.zeros((max_batch, config.vocab_size), jnp.int32)
         # optional per-token hook: on_token(req, token) fires for every
         # SURVIVING token (EOS is never emitted) as the host loop accepts it
         # — the streaming-generation feed for serve CLI clients
@@ -282,12 +288,19 @@ class Engine:
             )
 
         # donate the cache buffers: the update aliases in place instead of
-        # copying the whole (B, nkv, S, hd) store every step
-        self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2,))
+        # copying the whole (B, nkv, S, hd) store every step; counts
+        # (arg 9) alias the same way
+        self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2, 9))
         self._prefill_chunk_fn = jax.jit(
             self._prefill_chunk_step, donate_argnums=(2,)
         )
-        self._spec_fn = jax.jit(self._spec_verify_step, donate_argnums=(2,))
+        self._spec_fn = jax.jit(self._spec_verify_step, donate_argnums=(2, 9))
+        self._count_fn = jax.jit(
+            lambda c, slot, tok: c.at[slot, tok].add(1), donate_argnums=(0,)
+        )
+        self._reset_count_fn = jax.jit(
+            lambda c, slot: c.at[slot].set(0), donate_argnums=(0,)
+        )
         if mesh is not None:
             self._decode_fn_sharded = jax.jit(
                 self._decode_step_sharded, donate_argnums=(2,)
@@ -297,16 +310,22 @@ class Engine:
     # -- jitted programs ----------------------------------------------------
 
     def _decode_step(self, params, tokens, caches, cache_len, key, active,
-                     temp, topk, topp):
+                     temp, topk, topp, counts, pres, freq, rep):
         positions = cache_len[:, None]  # T == 1
         logits, caches = self._fwd(
             params, tokens, caches, cache_len, positions
         )
         last = logits[:, -1, :]
+        penal = apply_penalties(last, counts, pres, freq, rep)
         next_tok = jnp.where(
-            active, sample_batched(last, key, temp, topk, topp), 0
+            active, sample_batched(penal, key, temp, topk, topp), 0
         )
-        return next_tok, chosen_logprob(last, next_tok), caches
+        # the sampled token is now generated: count it for later steps
+        # (logprobs stay on the RAW distribution)
+        counts = counts.at[jnp.arange(counts.shape[0]), next_tok].add(
+            active.astype(jnp.int32)
+        )
+        return next_tok, chosen_logprob(last, next_tok), caches, counts
 
     def _decode_step_sharded(self, params, tokens, caches, cache_len, key,
                              active, temp):
@@ -334,29 +353,32 @@ class Engine:
         return toks.T, lps.T, caches  # (B, n_steps) each
 
     @functools.partial(
-        jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3,)
+        jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3, 10)
     )
     def _decode_multi(self, params, tokens, caches, cache_len, key, active,
-                      temp, topk, topp, n_steps: int):
+                      temp, topk, topp, counts, pres, freq, rep,
+                      n_steps: int):
         """n decode steps fused in one on-device ``lax.scan`` — amortizes
         dispatch overhead (one launch per chunk instead of per token)."""
 
         def body(carry, _):
-            tok, caches, clen, key = carry
+            tok, caches, clen, key, counts = carry
             key, sub = jax.random.split(key)
-            nxt, lp, caches = self._decode_step(
+            nxt, lp, caches, counts = self._decode_step(
                 params, tok[:, None], caches, clen, sub, active,
-                temp, topk, topp,
+                temp, topk, topp, counts, pres, freq, rep,
             )
-            return (nxt, caches, clen + 1, key), (nxt, lp)
+            return (nxt, caches, clen + 1, key, counts), (nxt, lp)
 
-        (_, caches, _, _), (toks, lps) = jax.lax.scan(
-            body, (tokens[:, 0], caches, cache_len, key), None, length=n_steps
+        (_, caches, _, _, counts), (toks, lps) = jax.lax.scan(
+            body, (tokens[:, 0], caches, cache_len, key, counts), None,
+            length=n_steps,
         )
-        return toks.T, lps.T, caches  # (B, n_steps) each
+        return toks.T, lps.T, caches, counts  # (B, n_steps) each
 
     def _spec_verify_step(self, params, tokens, caches, cache_len, key,
-                          active, temp, topk, topp):
+                          active, temp, topk, topp, counts, pres, freq,
+                          rep):
         """Verify a (B, 1+k) [last_token, draft…] batch in one forward.
         Returns the model's greedy continuation at every position (+ its
         logprobs) for draft acceptance, and the position-0 sampled token
@@ -371,11 +393,17 @@ class Engine:
         lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
         glp = jnp.take_along_axis(lsm, greedy[..., None], axis=-1)[..., 0]
+        # penalties only touch position 0: penalized rows get NO drafts
+        # (host side), so positions ≥ 1 are never consumed for them
+        penal0 = apply_penalties(logits[:, 0], counts, pres, freq, rep)
         samp0 = jnp.where(
-            active, sample_batched(logits[:, 0], key, temp, topk, topp), 0
+            active, sample_batched(penal0, key, temp, topk, topp), 0
         )
         slp0 = jnp.take_along_axis(lsm[:, 0], samp0[:, None], axis=-1)[:, 0]
-        return greedy, glp, samp0, slp0, caches
+        counts = counts.at[jnp.arange(counts.shape[0]), samp0].add(
+            active.astype(jnp.int32)
+        )
+        return greedy, glp, samp0, slp0, caches, counts
 
     def _prefill_chunk_step(self, params, tokens, caches, k, true_n, slot,
                             key, temp, topk, topp):
@@ -488,6 +516,15 @@ class Engine:
         for i, (req, slot) in enumerate(zip(reqs, slots)):
             self._insert_cache(caches1, slot, row=i)
             first = int(firsts[i])
+            if req.sampling.has_penalties:
+                # fresh penalty counts for the slot; the prefill-sampled
+                # first token is generated → count it for the next step
+                self.counts = self._reset_count_fn(
+                    self.counts, jnp.int32(slot)
+                )
+                self.counts = self._count_fn(
+                    self.counts, jnp.int32(slot), jnp.int32(first)
+                )
             req.output_tokens.append(first)
             req.token_logprobs.append(float(lps[i]))
             self.slot_req[slot] = req
@@ -551,19 +588,22 @@ class Engine:
             if not active[slot]:
                 continue
             toks[slot, 0] = self.slot_last_tok[slot]
-            if req.sampling.temperature <= 0.0:  # greedy rows only
+            # greedy, penalty-free rows only: penalties change the greedy
+            # stream per emitted token, so penalized rows take the plain
+            # 1-token path (position-0 sample, penalized in-step)
+            if req.sampling.temperature <= 0.0 \
+                    and not req.sampling.has_penalties:
                 d = self._propose_draft(req)
                 drafts[slot] = d
                 toks[slot, 1 : 1 + len(d)] = d
         cache_len = jnp.asarray(self.slot_len)
         self.key, kk = jax.random.split(self.key)
-        samp = sampling_arrays(
-            [r.sampling if r is not None else None for r in self.slot_req],
-            B,
-        )
-        greedy, glp, s0, slp0, self.caches = self._spec_fn(
+        slist = [r.sampling if r is not None else None for r in self.slot_req]
+        samp = sampling_arrays(slist, B)
+        pens = penalty_arrays(slist, B)
+        greedy, glp, s0, slp0, self.caches, self.counts = self._spec_fn(
             self.params, jnp.asarray(toks), self.caches, cache_len, kk,
-            jnp.asarray(active), *samp,
+            jnp.asarray(active), *samp, self.counts, *pens,
         )
         g, glp_np = np.asarray(greedy), np.asarray(glp)
         s0_np, slp0_np = np.asarray(s0), np.asarray(slp0)
@@ -622,6 +662,13 @@ class Engine:
                 del self.slot_prefill[slot]
                 firsts, lps = np.asarray(tok), np.asarray(lp)
                 first = int(firsts[0])
+                if req.sampling.has_penalties:
+                    self.counts = self._reset_count_fn(
+                        self.counts, jnp.int32(slot)
+                    )
+                    self.counts = self._count_fn(
+                        self.counts, jnp.int32(slot), jnp.int32(first)
+                    )
                 req.output_tokens.append(first)
                 req.token_logprobs.append(float(lps[0]))
                 self.slot_last_tok[slot] = first
@@ -755,15 +802,17 @@ class Engine:
             tokens = jnp.asarray(self.slot_last_tok[:, None])
             cache_len = jnp.asarray(self.slot_len)
             self.key, k = jax.random.split(self.key)
-            samp = sampling_arrays(
-                [r.sampling if r is not None else None
-                 for r in self.slot_req],
-                self.max_batch,
-            )
+            slist = [r.sampling if r is not None else None
+                     for r in self.slot_req]
+            samp = sampling_arrays(slist, self.max_batch)
+            pens = penalty_arrays(slist, self.max_batch)
             # vocab-sharded sampling path: exact for greedy/temperature rows
-            # (top-k/top-p need full-row order statistics → gathered path)
+            # (top-k/top-p order statistics and penalties need the full
+            # row → gathered path)
             sharded = self.mesh is not None and all(
-                r is None or (r.sampling.top_k == 0 and r.sampling.top_p >= 1.0)
+                r is None or (r.sampling.top_k == 0
+                              and r.sampling.top_p >= 1.0
+                              and not r.sampling.has_penalties)
                 for r in self.slot_req
             )
             if chunk == 1 and sharded:
@@ -774,9 +823,9 @@ class Engine:
                 chunk_np = np.asarray(next_tok)[:, None]
                 lp_np = np.asarray(lp)[:, None]
             elif chunk == 1:
-                next_tok, lp, self.caches = self._decode_fn(
+                next_tok, lp, self.caches, self.counts = self._decode_fn(
                     self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active), *samp,
+                    jnp.asarray(active), *samp, self.counts, *pens,
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
                 lp_np = np.asarray(lp)[:, None]
@@ -788,9 +837,10 @@ class Engine:
                 chunk_np = np.asarray(toks)
                 lp_np = np.asarray(lps)
             else:
-                toks, lps, self.caches = self._decode_multi(
+                toks, lps, self.caches, self.counts = self._decode_multi(
                     self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active), *samp, n_steps=chunk,
+                    jnp.asarray(active), *samp, self.counts, *pens,
+                    n_steps=chunk,
                 )
                 chunk_np = np.asarray(toks)
                 lp_np = np.asarray(lps)

@@ -30,6 +30,18 @@ class SamplingParams:
     #: extra token ids that end generation exactly like EOS (the stopped
     #: token is not emitted) — the vLLM ``stop_token_ids`` analogue
     stop_token_ids: tuple = ()
+    #: OpenAI-style penalties over GENERATED tokens (0 → disabled):
+    #: logits -= presence·[count>0] + frequency·count; repetition is the
+    #: HF/vLLM multiplicative form (>1 discourages, sign-aware divide)
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+
+    @property
+    def has_penalties(self) -> bool:
+        return (self.presence_penalty != 0.0
+                or self.frequency_penalty != 0.0
+                or self.repetition_penalty != 1.0)
 
 
 def _topk_topp_filter(
@@ -57,6 +69,25 @@ def _topk_topp_filter(
     )
 
 
+def apply_penalties(
+    logits: jax.Array,   # (B, V) f32
+    counts: jax.Array,   # (B, V) int32 — generated-token counts per row
+    presence: jax.Array,   # (B,) f32; 0 → disabled
+    frequency: jax.Array,  # (B,) f32; 0 → disabled
+    repetition: jax.Array,  # (B,) f32; 1 → disabled
+) -> jax.Array:
+    """OpenAI presence/frequency penalties + HF/vLLM repetition penalty
+    over the per-row generated-token counts.  Pure (B, V) VPU work — a few
+    µs next to the decode forward.  Counts cover GENERATED tokens only
+    (OpenAI semantics; the reference stack, via vLLM, exposes the same)."""
+    c = counts.astype(jnp.float32)
+    seen = c > 0
+    logits = logits - presence[:, None] * seen - frequency[:, None] * c
+    rep = repetition[:, None]
+    penal = jnp.where(logits > 0, logits / rep, logits * rep)
+    return jnp.where(seen, penal, logits)
+
+
 def sample_batched(
     logits: jax.Array,       # (B, V) f32
     key: jax.Array,
@@ -65,6 +96,8 @@ def sample_batched(
     top_p: jax.Array,        # (B,) f32; >=1 → disabled
 ) -> jax.Array:
     """Returns (B,) int32 next tokens; every row honors its own params.
+    Penalties are applied by the caller BEFORE this (apply_penalties) so
+    greedy rows honor them too (argmax over penalized logits).
 
     Sampling is explicit Gumbel-max (``argmax(logits/t + gumbel)``) —
     distributionally identical to ``jax.random.categorical`` and, given the
@@ -193,6 +226,25 @@ def sampling_arrays(params_list, n: Optional[int] = None):
         topk[i] = sp.top_k
         topp[i] = sp.top_p
     return jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp)
+
+
+def penalty_arrays(params_list, n: Optional[int] = None):
+    """Stack the penalty fields into (presence, frequency, repetition)
+    device arrays — companions to :func:`sampling_arrays`."""
+    import numpy as np
+
+    if n is None:
+        n = len(params_list)
+    pres = np.zeros((n,), np.float32)
+    freq = np.zeros((n,), np.float32)
+    rep = np.ones((n,), np.float32)
+    for i, sp in enumerate(params_list[:n]):
+        if sp is None:
+            continue
+        pres[i] = sp.presence_penalty
+        freq[i] = sp.frequency_penalty
+        rep[i] = sp.repetition_penalty
+    return jnp.asarray(pres), jnp.asarray(freq), jnp.asarray(rep)
 
 
 def sample(

@@ -744,3 +744,49 @@ def test_scheduler_fuzz_mixed_features(rng, params):
             assert r.output_tokens == want, (r.prompt_tokens, r.output_tokens)
         else:
             assert len(r.output_tokens) == r.sampling.max_new_tokens
+
+
+def test_sampling_penalties_greedy_exact(rng, params):
+    """Presence/frequency/repetition penalties over generated-token counts:
+    the engine's penalized greedy stream must equal a naive loop applying
+    apply_penalties to the raw logits with host-tracked counts — and must
+    DIFFER from the unpenalized stream (the penalty actually bites)."""
+    from qqq_tpu.serve.sampling import apply_penalties
+
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    sp = SamplingParams(max_new_tokens=32, presence_penalty=5.0,
+                        frequency_penalty=0.5, repetition_penalty=1.3)
+
+    def naive_penalized(prompt, n_new):
+        toks = list(prompt)
+        counts = np.zeros((1, CFG.vocab_size), np.int32)
+        out = []
+        for _ in range(n_new):
+            logits, _ = forward(params, CFG, jnp.asarray([toks], jnp.int32))
+            penal = apply_penalties(
+                logits[:, -1].astype(jnp.float32), jnp.asarray(counts),
+                jnp.full((1,), sp.presence_penalty, jnp.float32),
+                jnp.full((1,), sp.frequency_penalty, jnp.float32),
+                jnp.full((1,), sp.repetition_penalty, jnp.float32),
+            )
+            t = int(jnp.argmax(penal[0]))
+            counts[0, t] += 1
+            out.append(t)
+            toks.append(t)
+        return out
+
+    want = naive_penalized(prompt, 32)
+    plain = _naive_greedy(params, prompt, 32)
+    assert want != plain, "penalties too weak to observe on this seed"
+
+    for engine_kw in (
+        dict(prefill_buckets=(16,)),                      # whole-bucket
+        dict(prefill_buckets=(16,), steps_per_tick=4),    # fused multi-step
+        dict(prefill_chunk=8, spec_ngram=2, spec_k=3),    # chunk + spec
+    ):
+        outs = generate(
+            params, CFG, [prompt], sp,
+            max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+            **engine_kw,
+        )
+        assert outs[0] == want, (engine_kw, outs[0], want)
