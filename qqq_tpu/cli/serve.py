@@ -266,6 +266,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     temperature=_num(body, "temperature", 0.0, float),
                     top_k=_num(body, "top_k", 0, int),
                     top_p=_num(body, "top_p", 1.0, float),
+                    min_p=_num(body, "min_p", 0.0, float),
                     max_new_tokens=_num(body, "max_new_tokens", 128, int),
                     eos_token_id=body.get("eos_token_id", default_eos),
                     stop_token_ids=tuple(body.get("stop_token_ids") or ()),
@@ -419,6 +420,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     temperature=_num(body, "temperature", 1.0, float),
                     top_k=_num(body, "top_k", 0, int),  # vLLM extension
                     top_p=_num(body, "top_p", 1.0, float),
+                    min_p=_num(body, "min_p", 0.0, float),
                     max_new_tokens=_num(body, "max_tokens", 16, int),
                     eos_token_id=default_eos,
                     stop_token_ids=tuple(body.get("stop_token_ids") or ()),
@@ -514,6 +516,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     temperature=_num(body, "temperature", 1.0, float),
                     top_k=_num(body, "top_k", 0, int),
                     top_p=_num(body, "top_p", 1.0, float),
+                    min_p=_num(body, "min_p", 0.0, float),
                     max_new_tokens=_num(body, "max_tokens", 128, int),
                     eos_token_id=default_eos,
                     stop_token_ids=tuple(body.get("stop_token_ids") or ()),

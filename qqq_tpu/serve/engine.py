@@ -290,11 +290,11 @@ class Engine:
         # donate the cache buffers: the update aliases in place instead of
         # copying the whole (B, nkv, S, hd) store every step; counts
         # (arg 9) alias the same way
-        self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2, 9))
+        self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2, 10))
         self._prefill_chunk_fn = jax.jit(
             self._prefill_chunk_step, donate_argnums=(2,)
         )
-        self._spec_fn = jax.jit(self._spec_verify_step, donate_argnums=(2, 9))
+        self._spec_fn = jax.jit(self._spec_verify_step, donate_argnums=(2, 10))
         self._count_fn = jax.jit(
             lambda c, slot, tok: c.at[slot, tok].add(1), donate_argnums=(0,)
         )
@@ -310,7 +310,7 @@ class Engine:
     # -- jitted programs ----------------------------------------------------
 
     def _decode_step(self, params, tokens, caches, cache_len, key, active,
-                     temp, topk, topp, counts, pres, freq, rep):
+                     temp, topk, topp, minp, counts, pres, freq, rep):
         positions = cache_len[:, None]  # T == 1
         logits, caches = self._fwd(
             params, tokens, caches, cache_len, positions
@@ -318,7 +318,7 @@ class Engine:
         last = logits[:, -1, :]
         penal = apply_penalties(last, counts, pres, freq, rep)
         next_tok = jnp.where(
-            active, sample_batched(penal, key, temp, topk, topp), 0
+            active, sample_batched(penal, key, temp, topk, topp, minp), 0
         )
         # the sampled token is now generated: count it for later steps
         # (logprobs stay on the RAW distribution)
@@ -353,10 +353,10 @@ class Engine:
         return toks.T, lps.T, caches  # (B, n_steps) each
 
     @functools.partial(
-        jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3, 10)
+        jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3, 11)
     )
     def _decode_multi(self, params, tokens, caches, cache_len, key, active,
-                      temp, topk, topp, counts, pres, freq, rep,
+                      temp, topk, topp, minp, counts, pres, freq, rep,
                       n_steps: int):
         """n decode steps fused in one on-device ``lax.scan`` — amortizes
         dispatch overhead (one launch per chunk instead of per token)."""
@@ -366,7 +366,7 @@ class Engine:
             key, sub = jax.random.split(key)
             nxt, lp, caches, counts = self._decode_step(
                 params, tok[:, None], caches, clen, sub, active,
-                temp, topk, topp, counts, pres, freq, rep,
+                temp, topk, topp, minp, counts, pres, freq, rep,
             )
             return (nxt, caches, clen + 1, key, counts), (nxt, lp)
 
@@ -377,8 +377,8 @@ class Engine:
         return toks.T, lps.T, caches, counts  # (B, n_steps) each
 
     def _spec_verify_step(self, params, tokens, caches, cache_len, key,
-                          active, temp, topk, topp, counts, pres, freq,
-                          rep):
+                          active, temp, topk, topp, minp, counts, pres,
+                          freq, rep):
         """Verify a (B, 1+k) [last_token, draft…] batch in one forward.
         Returns the model's greedy continuation at every position (+ its
         logprobs) for draft acceptance, and the position-0 sampled token
@@ -397,7 +397,7 @@ class Engine:
         # (host side), so positions ≥ 1 are never consumed for them
         penal0 = apply_penalties(logits[:, 0], counts, pres, freq, rep)
         samp0 = jnp.where(
-            active, sample_batched(penal0, key, temp, topk, topp), 0
+            active, sample_batched(penal0, key, temp, topk, topp, minp), 0
         )
         slp0 = jnp.take_along_axis(lsm[:, 0], samp0[:, None], axis=-1)[:, 0]
         counts = counts.at[jnp.arange(counts.shape[0]), samp0].add(
@@ -406,7 +406,7 @@ class Engine:
         return greedy, glp, samp0, slp0, caches, counts
 
     def _prefill_chunk_step(self, params, tokens, caches, k, true_n, slot,
-                            key, temp, topk, topp):
+                            key, temp, topk, topp, minp):
         """One chunked-prefill step for ONE slot of the GLOBAL cache:
         slice the slot's rows out, run a (1, C) prefill-with-cache forward
         starting at position ``k``, write the rows back (the cache is
@@ -430,7 +430,7 @@ class Engine:
         last = jnp.take_along_axis(
             logits, (true_n - 1)[None, None, None], axis=1
         )[:, 0, :]
-        tok = sample_batched(last, key, temp, topk, topp)
+        tok = sample_batched(last, key, temp, topk, topp, minp)
         lp = chosen_logprob(last, tok)
 
         def ins(b, s):
@@ -441,7 +441,7 @@ class Engine:
         return tok, lp, jax.tree.map(ins, caches, c1)
 
     def _prefill(self, params, tokens, true_len, caches1, key,
-                 temp, topk, topp):
+                 temp, topk, topp, minp):
         """Batch-generic forward over a padded bucket; returns per-row next
         tokens + caches (the engine calls it with B = admitted sub-batch)."""
         B, T = tokens.shape
@@ -452,7 +452,7 @@ class Engine:
         last = jnp.take_along_axis(
             logits, (true_len - 1)[:, None, None], axis=1
         )[:, 0, :]
-        tok = sample_batched(last, key, temp, topk, topp)
+        tok = sample_batched(last, key, temp, topk, topp, minp)
         return tok, chosen_logprob(last, tok), caches1
 
     # -- host-side scheduling ----------------------------------------------
@@ -812,6 +812,7 @@ class Engine:
             sharded = self.mesh is not None and all(
                 r is None or (r.sampling.top_k == 0
                               and r.sampling.top_p >= 1.0
+                              and r.sampling.min_p == 0.0
                               and not r.sampling.has_penalties)
                 for r in self.slot_req
             )

@@ -25,6 +25,7 @@ class SamplingParams:
     temperature: float = 0.0  # 0 → greedy
     top_k: int = 0            # 0 → disabled
     top_p: float = 1.0        # 1 → disabled
+    min_p: float = 0.0        # 0 → disabled (vLLM min-p filtering)
     max_new_tokens: int = 128
     eos_token_id: Optional[int] = None
     #: extra token ids that end generation exactly like EOS (the stopped
@@ -45,10 +46,20 @@ class SamplingParams:
 
 
 def _topk_topp_filter(
-    scaled: jax.Array, top_k: jax.Array, top_p: jax.Array
+    scaled: jax.Array, top_k: jax.Array, top_p: jax.Array,
+    min_p: jax.Array,
 ) -> jax.Array:
-    """Mask logits below the per-row top-k / top-p cutoffs to -inf."""
+    """Mask logits below the per-row min-p / top-k / top-p cutoffs to
+    -inf."""
     V = scaled.shape[-1]
+    # min-p: drop tokens with prob < min_p · max_prob — on scaled logits
+    # this is a threshold at max_logit + log(min_p) (vLLM semantics)
+    cut = jnp.max(scaled, axis=-1, keepdims=True) + jnp.log(
+        jnp.maximum(min_p, 1e-30)
+    )[:, None]
+    scaled = jnp.where(
+        (min_p[:, None] > 0.0) & (scaled < cut), -jnp.inf, scaled
+    )
     # top-k: kth-largest per row as threshold (k=0 keeps everything)
     sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
     k_idx = jnp.clip(top_k - 1, 0, V - 1)
@@ -94,6 +105,7 @@ def sample_batched(
     temperature: jax.Array,  # (B,) f32; <=0 → greedy for that row
     top_k: jax.Array,        # (B,) i32; 0 → disabled
     top_p: jax.Array,        # (B,) f32; >=1 → disabled
+    min_p: Optional[jax.Array] = None,  # (B,) f32; 0 → disabled
 ) -> jax.Array:
     """Returns (B,) int32 next tokens; every row honors its own params.
     Penalties are applied by the caller BEFORE this (apply_penalties) so
@@ -109,12 +121,15 @@ def sample_batched(
     B, V = logits.shape
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
+    if min_p is None:
+        min_p = jnp.zeros((B,), jnp.float32)
     t = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / t
-    need_filter = jnp.any(top_k > 0) | jnp.any(top_p < 1.0)
+    need_filter = (jnp.any(top_k > 0) | jnp.any(top_p < 1.0)
+                   | jnp.any(min_p > 0.0))
     scaled = jax.lax.cond(
         need_filter,
-        lambda s: _topk_topp_filter(s, top_k, top_p),
+        lambda s: _topk_topp_filter(s, top_k, top_p, min_p),
         lambda s: s,
         scaled,
     )
@@ -219,13 +234,16 @@ def sampling_arrays(params_list, n: Optional[int] = None):
     temp = np.zeros((n,), np.float32)
     topk = np.zeros((n,), np.int32)
     topp = np.ones((n,), np.float32)
+    minp = np.zeros((n,), np.float32)
     for i, sp in enumerate(params_list[:n]):
         if sp is None:
             continue
         temp[i] = sp.temperature
         topk[i] = sp.top_k
         topp[i] = sp.top_p
-    return jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp)
+        minp[i] = sp.min_p
+    return (jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp),
+            jnp.asarray(minp))
 
 
 def penalty_arrays(params_list, n: Optional[int] = None):
@@ -260,4 +278,5 @@ def sample(
         jnp.full((B,), params.temperature, jnp.float32),
         jnp.full((B,), params.top_k, jnp.int32),
         jnp.full((B,), params.top_p, jnp.float32),
+        jnp.full((B,), params.min_p, jnp.float32),
     )

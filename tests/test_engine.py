@@ -790,3 +790,17 @@ def test_sampling_penalties_greedy_exact(rng, params):
             **engine_kw,
         )
         assert outs[0] == want, (engine_kw, outs[0], want)
+
+
+def test_min_p_one_forces_greedy(rng, params):
+    """min_p=1.0 keeps only the argmax token, so a high-temperature request
+    must reproduce the greedy stream exactly — pins the min-p threshold
+    math (max_logit + log(min_p) on temperature-scaled logits)."""
+    prompt = [int(t) for t in rng.integers(0, 128, size=7)]
+    outs = generate(
+        params, CFG, [prompt],
+        SamplingParams(max_new_tokens=6, temperature=1.5, min_p=1.0),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )
+    assert outs[0] == _naive_greedy(params, prompt, 6)
