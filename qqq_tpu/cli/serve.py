@@ -267,6 +267,8 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     top_k=_num(body, "top_k", 0, int),
                     top_p=_num(body, "top_p", 1.0, float),
                     min_p=_num(body, "min_p", 0.0, float),
+                    seed=(None if body.get("seed") is None
+                          else int(body["seed"])),
                     max_new_tokens=_num(body, "max_new_tokens", 128, int),
                     eos_token_id=body.get("eos_token_id", default_eos),
                     stop_token_ids=tuple(body.get("stop_token_ids") or ()),
@@ -421,6 +423,8 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     top_k=_num(body, "top_k", 0, int),  # vLLM extension
                     top_p=_num(body, "top_p", 1.0, float),
                     min_p=_num(body, "min_p", 0.0, float),
+                    seed=(None if body.get("seed") is None
+                          else int(body["seed"])),
                     max_new_tokens=_num(body, "max_tokens", 16, int),
                     eos_token_id=default_eos,
                     stop_token_ids=tuple(body.get("stop_token_ids") or ()),
@@ -517,6 +521,8 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     top_k=_num(body, "top_k", 0, int),
                     top_p=_num(body, "top_p", 1.0, float),
                     min_p=_num(body, "min_p", 0.0, float),
+                    seed=(None if body.get("seed") is None
+                          else int(body["seed"])),
                     max_new_tokens=_num(body, "max_tokens", 128, int),
                     eos_token_id=default_eos,
                     stop_token_ids=tuple(body.get("stop_token_ids") or ()),

@@ -310,7 +310,8 @@ class Engine:
     # -- jitted programs ----------------------------------------------------
 
     def _decode_step(self, params, tokens, caches, cache_len, key, active,
-                     temp, topk, topp, minp, counts, pres, freq, rep):
+                     temp, topk, topp, minp, counts, pres, freq, rep,
+                     seeded, seeds, ngen):
         positions = cache_len[:, None]  # T == 1
         logits, caches = self._fwd(
             params, tokens, caches, cache_len, positions
@@ -318,7 +319,10 @@ class Engine:
         last = logits[:, -1, :]
         penal = apply_penalties(last, counts, pres, freq, rep)
         next_tok = jnp.where(
-            active, sample_batched(penal, key, temp, topk, topp, minp), 0
+            active,
+            sample_batched(penal, key, temp, topk, topp, minp,
+                           seeded, seeds, ngen),
+            0,
         )
         # the sampled token is now generated: count it for later steps
         # (logprobs stay on the RAW distribution)
@@ -357,28 +361,29 @@ class Engine:
     )
     def _decode_multi(self, params, tokens, caches, cache_len, key, active,
                       temp, topk, topp, minp, counts, pres, freq, rep,
-                      n_steps: int):
+                      seeded, seeds, ngen, n_steps: int):
         """n decode steps fused in one on-device ``lax.scan`` — amortizes
         dispatch overhead (one launch per chunk instead of per token)."""
 
         def body(carry, _):
-            tok, caches, clen, key, counts = carry
+            tok, caches, clen, key, counts, ng = carry
             key, sub = jax.random.split(key)
             nxt, lp, caches, counts = self._decode_step(
                 params, tok[:, None], caches, clen, sub, active,
                 temp, topk, topp, minp, counts, pres, freq, rep,
+                seeded, seeds, ng,
             )
-            return (nxt, caches, clen + 1, key, counts), (nxt, lp)
+            return (nxt, caches, clen + 1, key, counts, ng + 1), (nxt, lp)
 
-        (_, caches, _, _, counts), (toks, lps) = jax.lax.scan(
-            body, (tokens[:, 0], caches, cache_len, key, counts), None,
+        (_, caches, _, _, counts, _), (toks, lps) = jax.lax.scan(
+            body, (tokens[:, 0], caches, cache_len, key, counts, ngen), None,
             length=n_steps,
         )
         return toks.T, lps.T, caches, counts  # (B, n_steps) each
 
     def _spec_verify_step(self, params, tokens, caches, cache_len, key,
                           active, temp, topk, topp, minp, counts, pres,
-                          freq, rep):
+                          freq, rep, seeded, seeds, ngen):
         """Verify a (B, 1+k) [last_token, draft…] batch in one forward.
         Returns the model's greedy continuation at every position (+ its
         logprobs) for draft acceptance, and the position-0 sampled token
@@ -397,7 +402,10 @@ class Engine:
         # (host side), so positions ≥ 1 are never consumed for them
         penal0 = apply_penalties(logits[:, 0], counts, pres, freq, rep)
         samp0 = jnp.where(
-            active, sample_batched(penal0, key, temp, topk, topp, minp), 0
+            active,
+            sample_batched(penal0, key, temp, topk, topp, minp,
+                           seeded, seeds, ngen),
+            0,
         )
         slp0 = jnp.take_along_axis(lsm[:, 0], samp0[:, None], axis=-1)[:, 0]
         counts = counts.at[jnp.arange(counts.shape[0]), samp0].add(
@@ -406,7 +414,8 @@ class Engine:
         return greedy, glp, samp0, slp0, caches, counts
 
     def _prefill_chunk_step(self, params, tokens, caches, k, true_n, slot,
-                            key, temp, topk, topp, minp):
+                            key, temp, topk, topp, minp, seeded, seeds,
+                            ngen):
         """One chunked-prefill step for ONE slot of the GLOBAL cache:
         slice the slot's rows out, run a (1, C) prefill-with-cache forward
         starting at position ``k``, write the rows back (the cache is
@@ -430,7 +439,8 @@ class Engine:
         last = jnp.take_along_axis(
             logits, (true_n - 1)[None, None, None], axis=1
         )[:, 0, :]
-        tok = sample_batched(last, key, temp, topk, topp, minp)
+        tok = sample_batched(last, key, temp, topk, topp, minp,
+                             seeded, seeds, ngen)
         lp = chosen_logprob(last, tok)
 
         def ins(b, s):
@@ -441,7 +451,7 @@ class Engine:
         return tok, lp, jax.tree.map(ins, caches, c1)
 
     def _prefill(self, params, tokens, true_len, caches1, key,
-                 temp, topk, topp, minp):
+                 temp, topk, topp, minp, seeded, seeds, ngen):
         """Batch-generic forward over a padded bucket; returns per-row next
         tokens + caches (the engine calls it with B = admitted sub-batch)."""
         B, T = tokens.shape
@@ -452,7 +462,8 @@ class Engine:
         last = jnp.take_along_axis(
             logits, (true_len - 1)[:, None, None], axis=1
         )[:, 0, :]
-        tok = sample_batched(last, key, temp, topk, topp, minp)
+        tok = sample_batched(last, key, temp, topk, topp, minp,
+                             seeded, seeds, ngen)
         return tok, chosen_logprob(last, tok), caches1
 
     # -- host-side scheduling ----------------------------------------------
@@ -510,6 +521,7 @@ class Engine:
         tok, lp, caches1 = self._get_prefill_fn(bucket)(
             self.params, jnp.asarray(toks), jnp.asarray(lens), caches1, k,
             *sampling_arrays([r.sampling for r in reqs]),
+            *self._seed_arrays(reqs, len(reqs)),
         )
         firsts = np.asarray(tok)  # ONE host sync for the whole group
         lps = np.asarray(lp)
@@ -561,6 +573,24 @@ class Engine:
                 best, best_m = i, m
         return best, best_m
 
+    def _seed_arrays(self, rows, n: int):
+        """(seeded, seeds, ngen) device arrays for :func:`sample_batched`'s
+        reproducible rows — ``ngen`` is each row's generation index so the
+        i-th token of a seeded request gets the same noise in every batch,
+        slot, and scheduler mode."""
+        seeded = np.zeros((n,), bool)
+        seeds = np.zeros((n,), np.int32)
+        ngen = np.zeros((n,), np.int32)
+        for i, r in enumerate(rows[:n]):
+            if r is None:
+                continue
+            sp = r.sampling
+            if sp.seed is not None and sp.temperature > 0.0:
+                seeded[i] = True
+                seeds[i] = np.int32(sp.seed & 0x7FFFFFFF)
+                ngen[i] = len(r.output_tokens)
+        return jnp.asarray(seeded), jnp.asarray(seeds), jnp.asarray(ngen)
+
     def _propose_draft(self, req: Request) -> List[int]:
         """Prompt-lookup drafting (vLLM's "[ngram]" speculative model): find
         the most recent earlier occurrence of the last ``spec_ngram`` tokens
@@ -604,6 +634,7 @@ class Engine:
         greedy, glp, s0, slp0, self.caches, self.counts = self._spec_fn(
             self.params, jnp.asarray(toks), self.caches, cache_len, kk,
             jnp.asarray(active), *samp, self.counts, *pens,
+            *self._seed_arrays(self.slot_req, B),
         )
         g, glp_np = np.asarray(greedy), np.asarray(glp)
         s0_np, slp0_np = np.asarray(s0), np.asarray(slp0)
@@ -653,6 +684,7 @@ class Engine:
                 self.params, jnp.asarray(toks), self.caches,
                 jnp.int32(k), jnp.int32(len(part)), jnp.int32(slot), kk,
                 *sampling_arrays([req.sampling]),
+                *self._seed_arrays([req], 1),
             )
             self.slot_len[slot] = k + len(part)
             self.slot_prefill[slot] = remaining[C:]
@@ -813,6 +845,7 @@ class Engine:
                 r is None or (r.sampling.top_k == 0
                               and r.sampling.top_p >= 1.0
                               and r.sampling.min_p == 0.0
+                              and r.sampling.seed is None
                               and not r.sampling.has_penalties)
                 for r in self.slot_req
             )
@@ -827,6 +860,7 @@ class Engine:
                 next_tok, lp, self.caches, self.counts = self._decode_fn(
                     self.params, tokens, self.caches, cache_len, k,
                     jnp.asarray(active), *samp, self.counts, *pens,
+                    *self._seed_arrays(self.slot_req, self.max_batch),
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
                 lp_np = np.asarray(lp)[:, None]
@@ -841,6 +875,7 @@ class Engine:
                 toks, lps, self.caches, self.counts = self._decode_multi(
                     self.params, tokens, self.caches, cache_len, k,
                     jnp.asarray(active), *samp, self.counts, *pens,
+                    *self._seed_arrays(self.slot_req, self.max_batch),
                     n_steps=chunk,
                 )
                 chunk_np = np.asarray(toks)

@@ -26,6 +26,10 @@ class SamplingParams:
     top_k: int = 0            # 0 → disabled
     top_p: float = 1.0        # 1 → disabled
     min_p: float = 0.0        # 0 → disabled (vLLM min-p filtering)
+    #: reproducible sampling (OpenAI ``seed``): the i-th generated token's
+    #: Gumbel noise is ``fold_in(PRNGKey(seed), i)`` — independent of slot,
+    #: batch composition, and scheduler mode.  None → engine key stream.
+    seed: Optional[int] = None
     max_new_tokens: int = 128
     eos_token_id: Optional[int] = None
     #: extra token ids that end generation exactly like EOS (the stopped
@@ -106,6 +110,9 @@ def sample_batched(
     top_k: jax.Array,        # (B,) i32; 0 → disabled
     top_p: jax.Array,        # (B,) f32; >=1 → disabled
     min_p: Optional[jax.Array] = None,  # (B,) f32; 0 → disabled
+    seeded: Optional[jax.Array] = None,  # (B,) bool; rows with a seed
+    seeds: Optional[jax.Array] = None,   # (B,) i32 per-row seeds
+    ngen: Optional[jax.Array] = None,    # (B,) i32 tokens generated so far
 ) -> jax.Array:
     """Returns (B,) int32 next tokens; every row honors its own params.
     Penalties are applied by the caller BEFORE this (apply_penalties) so
@@ -134,6 +141,17 @@ def sample_batched(
         scaled,
     )
     g = jax.random.gumbel(key, (B, V), scaled.dtype)
+    if seeded is not None:
+        # reproducible rows: noise keyed ONLY on (seed, generation index) —
+        # identical across slots, batches, and scheduler modes.  Unseeded
+        # rows keep the single-key field (bit-compat with the sharded path).
+        row_keys = jax.vmap(
+            lambda s, n: jax.random.fold_in(jax.random.PRNGKey(s), n)
+        )(seeds, ngen)
+        g_seed = jax.vmap(
+            lambda k: jax.random.gumbel(k, (V,), scaled.dtype)
+        )(row_keys)
+        g = jnp.where(seeded[:, None], g_seed, g)
     sampled = jnp.argmax(scaled + g, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)
 

@@ -804,3 +804,40 @@ def test_min_p_one_forces_greedy(rng, params):
         prefill_buckets=(16,),
     )
     assert outs[0] == _naive_greedy(params, prompt, 6)
+
+
+def test_seeded_sampling_reproducible_across_modes(rng, params):
+    """OpenAI ``seed``: a seeded sampled request produces the SAME token
+    stream regardless of batch composition, slot, or scheduler mode
+    (noise keyed on (seed, generation index) only); different seeds
+    diverge; an unseeded batchmate is unaffected structurally."""
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    sp = SamplingParams(max_new_tokens=8, temperature=0.9, seed=1234)
+
+    def run(engine_kw, extra_prompt=None):
+        prompts = [prompt] + ([extra_prompt] if extra_prompt else [])
+        sps = [sp] + ([SamplingParams(max_new_tokens=4, temperature=0.7)]
+                      if extra_prompt else [])
+        eng = Engine(params, CFG, max_batch=2, max_len=64,
+                     kv_quantized=False, dtype=jnp.float32, **engine_kw)
+        reqs = [Request(prompt_tokens=p, sampling=s)
+                for p, s in zip(prompts, sps)]
+        eng.run(reqs)
+        return reqs[0].output_tokens
+
+    base = run(dict(prefill_buckets=(16,)))
+    assert len(base) == 8
+    # same request next to a batchmate, different slot pressure
+    other = [int(t) for t in rng.integers(0, 128, size=9)]
+    assert run(dict(prefill_buckets=(16,)), extra_prompt=other) == base
+    # fused multi-step and chunked+speculative modes
+    assert run(dict(prefill_buckets=(16,), steps_per_tick=4)) == base
+    assert run(dict(prefill_chunk=8, spec_ngram=2, spec_k=3)) == base
+    # a different seed diverges
+    sp2 = SamplingParams(max_new_tokens=8, temperature=0.9, seed=77)
+    eng = Engine(params, CFG, max_batch=1, max_len=64,
+                 kv_quantized=False, dtype=jnp.float32,
+                 prefill_buckets=(16,))
+    r = Request(prompt_tokens=prompt, sampling=sp2)
+    eng.run([r])
+    assert r.output_tokens != base
