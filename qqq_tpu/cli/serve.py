@@ -11,6 +11,8 @@ Endpoints:
                     "temperature", "top_k", "top_p",
                     "stop": str | [str],       # stop strings (needs tokenizer)
                     "stop_token_ids": [int],   # extra EOS-like token ids
+                    "min_p", "presence_penalty", "frequency_penalty",
+                    "repetition_penalty", "seed",
                     "logprobs": bool}  →
                    {"output_tokens": [int], "text": str?, "num_generated": int,
                     "token_logprobs": [float]?}
