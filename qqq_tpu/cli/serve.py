@@ -171,6 +171,28 @@ def _num(body: Dict[str, Any], key: str, default, cast):
     return default if v is None else cast(v)
 
 
+def _parse_sampling(body: Dict[str, Any], *, temp_default: float,
+                    max_key: str, max_default: int, eos) -> SamplingParams:
+    """Shared request→SamplingParams parsing for all three endpoints —
+    raises ValueError/TypeError on bad values (callers reply 400)."""
+    mp = _num(body, "min_p", 0.0, float)
+    if not 0.0 <= mp <= 1.0:
+        raise ValueError(f"min_p must be in [0, 1], got {mp}")
+    return SamplingParams(
+        temperature=_num(body, "temperature", temp_default, float),
+        top_k=_num(body, "top_k", 0, int),  # vLLM extension
+        top_p=_num(body, "top_p", 1.0, float),
+        min_p=mp,
+        seed=None if body.get("seed") is None else int(body["seed"]),
+        max_new_tokens=_num(body, max_key, max_default, int),
+        eos_token_id=eos,
+        stop_token_ids=tuple(body.get("stop_token_ids") or ()),
+        presence_penalty=_num(body, "presence_penalty", 0.0, float),
+        frequency_penalty=_num(body, "frequency_penalty", 0.0, float),
+        repetition_penalty=_num(body, "repetition_penalty", 1.0, float),
+    )
+
+
 def _make_handler(worker: EngineWorker, tokenizer=None,
                   default_eos: Optional[int] = None,
                   model_name: str = "qqq-tpu"):
@@ -264,19 +286,10 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                                    "use stop_token_ids"}
                 )
             try:
-                sampling = SamplingParams(
-                    temperature=_num(body, "temperature", 0.0, float),
-                    top_k=_num(body, "top_k", 0, int),
-                    top_p=_num(body, "top_p", 1.0, float),
-                    min_p=_num(body, "min_p", 0.0, float),
-                    seed=(None if body.get("seed") is None
-                          else int(body["seed"])),
-                    max_new_tokens=_num(body, "max_new_tokens", 128, int),
-                    eos_token_id=body.get("eos_token_id", default_eos),
-                    stop_token_ids=tuple(body.get("stop_token_ids") or ()),
-                    presence_penalty=_num(body, "presence_penalty", 0.0, float),
-                    frequency_penalty=_num(body, "frequency_penalty", 0.0, float),
-                    repetition_penalty=_num(body, "repetition_penalty", 1.0, float),
+                sampling = _parse_sampling(
+                    body, temp_default=0.0,
+                    max_key="max_new_tokens", max_default=128,
+                    eos=body.get("eos_token_id", default_eos),
                 )
             except (TypeError, ValueError) as e:
                 return self._reply(400, {"error": f"bad parameter: {e}"})
@@ -420,19 +433,10 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     400, {"error": "stop strings need a tokenizer"}
                 )
             try:
-                sampling = SamplingParams(
-                    temperature=_num(body, "temperature", 1.0, float),
-                    top_k=_num(body, "top_k", 0, int),  # vLLM extension
-                    top_p=_num(body, "top_p", 1.0, float),
-                    min_p=_num(body, "min_p", 0.0, float),
-                    seed=(None if body.get("seed") is None
-                          else int(body["seed"])),
-                    max_new_tokens=_num(body, "max_tokens", 16, int),
-                    eos_token_id=default_eos,
-                    stop_token_ids=tuple(body.get("stop_token_ids") or ()),
-                    presence_penalty=_num(body, "presence_penalty", 0.0, float),
-                    frequency_penalty=_num(body, "frequency_penalty", 0.0, float),
-                    repetition_penalty=_num(body, "repetition_penalty", 1.0, float),
+                sampling = _parse_sampling(
+                    body, temp_default=1.0,
+                    max_key="max_tokens", max_default=16,
+                    eos=default_eos,
                 )
             except (TypeError, ValueError) as e:
                 return self._reply(400, {"error": f"bad parameter: {e}"})
@@ -498,11 +502,16 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 return self._reply(
                     400, {"error": "messages: [{role, content}, …] required"}
                 )
-            for unsupported in ("n", "tools", "tool_choice"):
-                if body.get(unsupported) not in (None, 1):
-                    return self._reply(
-                        400, {"error": f"'{unsupported}' is not supported"}
-                    )
+            if body.get("n") not in (None, 1):
+                return self._reply(400, {"error": "'n' is not supported"})
+            if body.get("tools"):  # empty list = no tools = fine
+                return self._reply(
+                    400, {"error": "'tools' is not supported"}
+                )
+            if body.get("tool_choice") not in (None, "none", "auto"):
+                return self._reply(
+                    400, {"error": "'tool_choice' is not supported"}
+                )
             try:
                 toks = tokenizer.apply_chat_template(
                     messages, add_generation_prompt=True
@@ -518,27 +527,21 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
             if isinstance(stops, str):
                 stops = [stops]
             try:
-                sampling = SamplingParams(
-                    temperature=_num(body, "temperature", 1.0, float),
-                    top_k=_num(body, "top_k", 0, int),
-                    top_p=_num(body, "top_p", 1.0, float),
-                    min_p=_num(body, "min_p", 0.0, float),
-                    seed=(None if body.get("seed") is None
-                          else int(body["seed"])),
-                    max_new_tokens=_num(body, "max_tokens", 128, int),
-                    eos_token_id=default_eos,
-                    stop_token_ids=tuple(body.get("stop_token_ids") or ()),
-                    presence_penalty=_num(body, "presence_penalty", 0.0, float),
-                    frequency_penalty=_num(body, "frequency_penalty", 0.0, float),
-                    repetition_penalty=_num(body, "repetition_penalty", 1.0, float),
+                sampling = _parse_sampling(
+                    body, temp_default=1.0,
+                    max_key="max_tokens", max_default=128,
+                    eos=default_eos,
                 )
             except (TypeError, ValueError) as e:
                 return self._reply(400, {"error": f"bad parameter: {e}"})
             req = Request(prompt_tokens=list(toks), sampling=sampling)
             worker.set_stops(req, stops)
+            want_logprobs = body.get("logprobs") not in (None, 0, False)
             cid = f"chatcmpl-{next(counter)}"
             if body.get("stream"):
-                return self._completions_stream(req, cid, False, chat=True)
+                return self._completions_stream(
+                    req, cid, want_logprobs, chat=True
+                )
             try:
                 worker.submit(req)
                 worker.wait(req)
@@ -557,6 +560,13 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     "index": 0,
                     "message": {"role": "assistant", "content": text},
                     "finish_reason": req.finish_reason or "stop",
+                    "logprobs": (
+                        {"content": [
+                            {"token": tokenizer.decode([t]), "logprob": lp}
+                            for t, lp in zip(req.output_tokens,
+                                             req.token_logprobs)
+                        ]} if want_logprobs else None
+                    ),
                 }],
                 "usage": {
                     "prompt_tokens": len(toks),
@@ -644,7 +654,13 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 while not q.empty():
                     sse(tok_chunk(q.get_nowait()))
                 worker.take_stop_text(req)
-                sse(tok_chunk(-1, finish=req.finish_reason or "stop"))
+                final = tok_chunk(-1, finish=req.finish_reason or "stop")
+                if want_logprobs:
+                    final["choices"][0]["logprobs"] = {
+                        "token_logprobs": req.token_logprobs,
+                        "tokens": req.output_tokens,
+                    }
+                sse(final)
                 sse("[DONE]")
                 self.wfile.write(b"0\r\n\r\n")
             except BrokenPipeError:

@@ -204,11 +204,19 @@ class Engine:
         #: (ttft, tpot) of the last ≤1000 completed requests
         self._latency: List[Tuple[float, Optional[float]]] = []
         #: per-slot GENERATED-token counts (B, V) — drives the OpenAI
-        #: presence/frequency and HF repetition penalties on device; each
-        #: decode step scatters its own sampled token, the host adds
-        #: prefill first-tokens and accepted speculative drafts (only for
-        #: rows that actually use penalties), and admission resets the row
+        #: presence/frequency penalties and (with rep_mask) the repetition
+        #: penalty on device.  Each decode step scatters its own sampled
+        #: token; the host adds the prefill-sampled first token and resets
+        #: the row at admission (both only for penalized rows — penalized
+        #: rows never receive speculative drafts, so every generated token
+        #: passes through exactly one of those two paths).
         self.counts = jnp.zeros((max_batch, config.vocab_size), jnp.int32)
+        #: per-slot PROMPT-token presence (B, V) — the repetition penalty
+        #: covers prompt ∪ generated tokens (vLLM semantics); written once
+        #: at admission for rows with repetition_penalty != 1, read-only in
+        #: the decode paths (stale rows are harmless: rep == 1 is exact
+        #: identity in apply_penalties)
+        self.rep_mask = jnp.zeros((max_batch, config.vocab_size), jnp.bool_)
         # optional per-token hook: on_token(req, token) fires for every
         # SURVIVING token (EOS is never emitted) as the host loop accepts it
         # — the streaming-generation feed for serve CLI clients
@@ -288,8 +296,8 @@ class Engine:
             )
 
         # donate the cache buffers: the update aliases in place instead of
-        # copying the whole (B, nkv, S, hd) store every step; counts
-        # (arg 9) alias the same way
+        # copying the whole (B, nkv, S, hd) store every step; the counts
+        # buffer (positional arg 10 of the bound method) aliases the same way
         self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2, 10))
         self._prefill_chunk_fn = jax.jit(
             self._prefill_chunk_step, donate_argnums=(2,)
@@ -301,6 +309,13 @@ class Engine:
         self._reset_count_fn = jax.jit(
             lambda c, slot: c.at[slot].set(0), donate_argnums=(0,)
         )
+        self._rep_mask_fn = jax.jit(
+            lambda m, slot, toks, n: m.at[slot].set(False).at[
+                slot,
+                jnp.where(jnp.arange(toks.shape[0]) < n, toks, m.shape[1]),
+            ].set(True, mode="drop"),
+            donate_argnums=(0,),
+        )
         if mesh is not None:
             self._decode_fn_sharded = jax.jit(
                 self._decode_step_sharded, donate_argnums=(2,)
@@ -310,14 +325,14 @@ class Engine:
     # -- jitted programs ----------------------------------------------------
 
     def _decode_step(self, params, tokens, caches, cache_len, key, active,
-                     temp, topk, topp, minp, counts, pres, freq, rep,
-                     seeded, seeds, ngen):
+                     temp, topk, topp, minp, counts, rep_mask, pres,
+                     freq, rep, seeded, seeds, ngen):
         positions = cache_len[:, None]  # T == 1
         logits, caches = self._fwd(
             params, tokens, caches, cache_len, positions
         )
         last = logits[:, -1, :]
-        penal = apply_penalties(last, counts, pres, freq, rep)
+        penal = apply_penalties(last, counts, rep_mask, pres, freq, rep)
         next_tok = jnp.where(
             active,
             sample_batched(penal, key, temp, topk, topp, minp,
@@ -360,8 +375,8 @@ class Engine:
         jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3, 11)
     )
     def _decode_multi(self, params, tokens, caches, cache_len, key, active,
-                      temp, topk, topp, minp, counts, pres, freq, rep,
-                      seeded, seeds, ngen, n_steps: int):
+                      temp, topk, topp, minp, counts, rep_mask, pres,
+                      freq, rep, seeded, seeds, ngen, n_steps: int):
         """n decode steps fused in one on-device ``lax.scan`` — amortizes
         dispatch overhead (one launch per chunk instead of per token)."""
 
@@ -370,10 +385,11 @@ class Engine:
             key, sub = jax.random.split(key)
             nxt, lp, caches, counts = self._decode_step(
                 params, tok[:, None], caches, clen, sub, active,
-                temp, topk, topp, minp, counts, pres, freq, rep,
+                temp, topk, topp, minp, counts, rep_mask, pres, freq, rep,
                 seeded, seeds, ng,
             )
-            return (nxt, caches, clen + 1, key, counts, ng + 1), (nxt, lp)
+            ng_next = None if ng is None else ng + 1  # None = no seeded rows
+            return (nxt, caches, clen + 1, key, counts, ng_next), (nxt, lp)
 
         (_, caches, _, _, counts, _), (toks, lps) = jax.lax.scan(
             body, (tokens[:, 0], caches, cache_len, key, counts, ngen), None,
@@ -382,8 +398,8 @@ class Engine:
         return toks.T, lps.T, caches, counts  # (B, n_steps) each
 
     def _spec_verify_step(self, params, tokens, caches, cache_len, key,
-                          active, temp, topk, topp, minp, counts, pres,
-                          freq, rep, seeded, seeds, ngen):
+                          active, temp, topk, topp, minp, counts,
+                          rep_mask, pres, freq, rep, seeded, seeds, ngen):
         """Verify a (B, 1+k) [last_token, draft…] batch in one forward.
         Returns the model's greedy continuation at every position (+ its
         logprobs) for draft acceptance, and the position-0 sampled token
@@ -400,7 +416,8 @@ class Engine:
         glp = jnp.take_along_axis(lsm, greedy[..., None], axis=-1)[..., 0]
         # penalties only touch position 0: penalized rows get NO drafts
         # (host side), so positions ≥ 1 are never consumed for them
-        penal0 = apply_penalties(logits[:, 0], counts, pres, freq, rep)
+        penal0 = apply_penalties(logits[:, 0], counts, rep_mask, pres,
+                                 freq, rep)
         samp0 = jnp.where(
             active,
             sample_batched(penal0, key, temp, topk, topp, minp,
@@ -537,6 +554,11 @@ class Engine:
                 self.counts = self._count_fn(
                     self.counts, jnp.int32(slot), jnp.int32(first)
                 )
+                if req.sampling.repetition_penalty != 1.0:
+                    self.rep_mask = self._rep_mask_fn(
+                        self.rep_mask, jnp.int32(slot),
+                        jnp.asarray(toks[i]), jnp.int32(lens[i]),
+                    )
             req.output_tokens.append(first)
             req.token_logprobs.append(float(lps[i]))
             self.slot_req[slot] = req
@@ -589,6 +611,10 @@ class Engine:
                 seeded[i] = True
                 seeds[i] = np.int32(sp.seed & 0x7FFFFFFF)
                 ngen[i] = len(r.output_tokens)
+        if not seeded.any():
+            # common unseeded config: sample_batched skips the second
+            # (B, V) Gumbel field entirely (None short-circuits the trace)
+            return None, None, None
         return jnp.asarray(seeded), jnp.asarray(seeds), jnp.asarray(ngen)
 
     def _propose_draft(self, req: Request) -> List[int]:
@@ -633,8 +659,8 @@ class Engine:
         pens = penalty_arrays(slist, B)
         greedy, glp, s0, slp0, self.caches, self.counts = self._spec_fn(
             self.params, jnp.asarray(toks), self.caches, cache_len, kk,
-            jnp.asarray(active), *samp, self.counts, *pens,
-            *self._seed_arrays(self.slot_req, B),
+            jnp.asarray(active), *samp, self.counts, self.rep_mask,
+            *pens, *self._seed_arrays(self.slot_req, B),
         )
         g, glp_np = np.asarray(greedy), np.asarray(glp)
         s0_np, slp0_np = np.asarray(s0), np.asarray(slp0)
@@ -701,6 +727,14 @@ class Engine:
                     self.counts = self._count_fn(
                         self.counts, jnp.int32(slot), jnp.int32(first)
                     )
+                    if req.sampling.repetition_penalty != 1.0:
+                        pt = np.zeros((self.max_len,), np.int32)
+                        n_p = len(req.prompt_tokens)
+                        pt[:n_p] = req.prompt_tokens
+                        self.rep_mask = self._rep_mask_fn(
+                            self.rep_mask, jnp.int32(slot),
+                            jnp.asarray(pt), jnp.int32(n_p),
+                        )
                 req.output_tokens.append(first)
                 req.token_logprobs.append(float(lps[0]))
                 self.slot_last_tok[slot] = first
@@ -859,7 +893,8 @@ class Engine:
             elif chunk == 1:
                 next_tok, lp, self.caches, self.counts = self._decode_fn(
                     self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active), *samp, self.counts, *pens,
+                    jnp.asarray(active), *samp, self.counts,
+                    self.rep_mask, *pens,
                     *self._seed_arrays(self.slot_req, self.max_batch),
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
@@ -874,7 +909,8 @@ class Engine:
             else:
                 toks, lps, self.caches, self.counts = self._decode_multi(
                     self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active), *samp, self.counts, *pens,
+                    jnp.asarray(active), *samp, self.counts,
+                    self.rep_mask, *pens,
                     *self._seed_arrays(self.slot_req, self.max_batch),
                     n_steps=chunk,
                 )

@@ -87,20 +87,22 @@ def _topk_topp_filter(
 def apply_penalties(
     logits: jax.Array,   # (B, V) f32
     counts: jax.Array,   # (B, V) int32 — generated-token counts per row
+    prompt_mask: jax.Array,  # (B, V) bool — tokens present in the prompt
     presence: jax.Array,   # (B,) f32; 0 → disabled
     frequency: jax.Array,  # (B,) f32; 0 → disabled
     repetition: jax.Array,  # (B,) f32; 1 → disabled
 ) -> jax.Array:
-    """OpenAI presence/frequency penalties + HF/vLLM repetition penalty
-    over the per-row generated-token counts.  Pure (B, V) VPU work — a few
-    µs next to the decode forward.  Counts cover GENERATED tokens only
-    (OpenAI semantics; the reference stack, via vLLM, exposes the same)."""
+    """vLLM-ordered penalties, pure (B, V) VPU work (a few µs next to the
+    decode forward): the multiplicative repetition penalty applies FIRST,
+    on raw logits, over PROMPT ∪ GENERATED tokens (HF/vLLM semantics);
+    the additive OpenAI presence/frequency penalties then subtract over
+    GENERATED-token counts only."""
     c = counts.astype(jnp.float32)
-    seen = c > 0
-    logits = logits - presence[:, None] * seen - frequency[:, None] * c
+    gen = c > 0
     rep = repetition[:, None]
     penal = jnp.where(logits > 0, logits / rep, logits * rep)
-    return jnp.where(seen, penal, logits)
+    logits = jnp.where(prompt_mask | gen, penal, logits)
+    return logits - presence[:, None] * gen - frequency[:, None] * c
 
 
 def sample_batched(

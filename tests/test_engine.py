@@ -760,11 +760,14 @@ def test_sampling_penalties_greedy_exact(rng, params):
     def naive_penalized(prompt, n_new):
         toks = list(prompt)
         counts = np.zeros((1, CFG.vocab_size), np.int32)
+        pmask = np.zeros((1, CFG.vocab_size), bool)
+        pmask[0, prompt] = True  # repetition covers prompt ∪ generated
         out = []
         for _ in range(n_new):
             logits, _ = forward(params, CFG, jnp.asarray([toks], jnp.int32))
             penal = apply_penalties(
                 logits[:, -1].astype(jnp.float32), jnp.asarray(counts),
+                jnp.asarray(pmask),
                 jnp.full((1,), sp.presence_penalty, jnp.float32),
                 jnp.full((1,), sp.frequency_penalty, jnp.float32),
                 jnp.full((1,), sp.repetition_penalty, jnp.float32),
