@@ -396,3 +396,48 @@ def test_openai_chat_stream(served_chat, rng):
     )
     assert text == _ToyTokenizer().decode(want)
     assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+
+
+def test_param_validation_and_passthrough(served_tok, rng):
+    base, params = served_tok
+    prompt = [int(t) for t in rng.integers(0, 128, size=5)]
+
+    # min_p out of range → 400, not a degenerate stream
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({"prompt": prompt, "min_p": 1.5}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+    # explicit nulls mean defaults (OpenAI clients send them)
+    res = _post(base, {
+        "prompt_tokens": prompt, "max_new_tokens": 3,
+        "temperature": None, "top_p": None, "seed": None,
+        "presence_penalty": None,
+    })
+    assert res["num_generated"] == 3
+
+    # seeded sampled request is reproducible over HTTP
+    body = {"prompt_tokens": prompt, "max_new_tokens": 5,
+            "temperature": 0.9, "seed": 42}
+    assert _post(base, body) == _post(base, body)
+
+
+def test_chat_accepts_noop_tools(served_chat, rng):
+    base, _ = served_chat
+    content = " ".join(str(int(t)) for t in rng.integers(4, 128, size=4))
+    req = urllib.request.Request(
+        base + "/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": content}],
+            "max_tokens": 2, "temperature": 0.0,
+            "tools": [], "tool_choice": "none",  # benign no-ops
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        res = json.loads(r.read())
+    assert res["choices"][0]["finish_reason"] == "length"
