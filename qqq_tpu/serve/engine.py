@@ -17,8 +17,15 @@ configs[3]).  Design, shaped by XLA's static-shape compilation model:
   join and leave the batch independently, no generation-wide barriers;
 * the KV cache is INT8 by default (serve/kv_cache.py).
 
-All device work stays inside two jitted functions (`_prefill_fn` per bucket,
-`_decode_fn`), so the host loop does bookkeeping only.
+Scheduler features (all exact-greedy, see the constructor docstring):
+chunked prefill (`prefill_chunk`), slot-level automatic prefix caching
+(`prefix_cache`), prompt-lookup speculative decoding (`spec_ngram`),
+per-request sampling params incl. penalties / min-p / reproducible seeds,
+cancel, stop tokens, per-token logprobs, TTFT/TPOT tracking.
+
+All device work stays inside a handful of jitted programs (per-bucket
+prefill, single/multi-step decode, chunk-prefill, speculative verify, and
+tiny cache/count maintenance kernels); the host loop does bookkeeping only.
 """
 
 from __future__ import annotations
