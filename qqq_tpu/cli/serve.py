@@ -13,13 +13,15 @@ Endpoints:
                     "stop_token_ids": [int],   # extra EOS-like token ids
                     "min_p", "presence_penalty", "frequency_penalty",
                     "repetition_penalty", "seed",
+                    "logit_bias": {token_id: bias},
                     "logprobs": bool}  →
                    {"output_tokens": [int], "text": str?, "num_generated": int,
                     "token_logprobs": [float]?}
   POST /v1/completions   OpenAI-compatible completions (prompt / max_tokens /
-                   temperature / top_p / stop / logprobs / stream-as-SSE) —
-                   drop-in for clients pointed at the reference's vLLM
-                   deployment (QQQ README.md:15, 77-79)
+                   temperature / top_p / stop / logprobs / logit_bias /
+                   n / best_of / stream-as-SSE) — drop-in for clients pointed
+                   at the reference's vLLM deployment (QQQ README.md:15,
+                   77-79)
   GET  /v1/models  OpenAI-compatible model listing
   GET  /health     {"status": "ok", "active": n, "pending": n}
 
@@ -37,6 +39,7 @@ batch as soon as a slot frees (no generation-wide barriers).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import itertools
 import json
 import logging
@@ -178,6 +181,16 @@ def _parse_sampling(body: Dict[str, Any], *, temp_default: float,
     mp = _num(body, "min_p", 0.0, float)
     if not 0.0 <= mp <= 1.0:
         raise ValueError(f"min_p must be in [0, 1], got {mp}")
+    lb = body.get("logit_bias") or {}
+    if not isinstance(lb, dict):
+        raise ValueError("logit_bias must be a {token_id: bias} object")
+    bias = []
+    for k, v in lb.items():
+        b = float(v)
+        if not -100.0 <= b <= 100.0:
+            raise ValueError(f"logit_bias values must be in [-100, 100], "
+                             f"got {b}")
+        bias.append((int(k), b))
     return SamplingParams(
         temperature=_num(body, "temperature", temp_default, float),
         top_k=_num(body, "top_k", 0, int),  # vLLM extension
@@ -190,7 +203,28 @@ def _parse_sampling(body: Dict[str, Any], *, temp_default: float,
         presence_penalty=_num(body, "presence_penalty", 0.0, float),
         frequency_penalty=_num(body, "frequency_penalty", 0.0, float),
         repetition_penalty=_num(body, "repetition_penalty", 1.0, float),
+        logit_bias=tuple(sorted(bias)),
     )
+
+
+def _fan_out(sampling: SamplingParams, toks, count: int):
+    """``count`` candidate Requests over one prompt (OpenAI ``n`` /
+    ``best_of``).  A seeded request's candidates get ``seed + i`` — our
+    reproducible-sampling noise is keyed on (seed, generation index) only,
+    so identical seeds would produce identical candidates."""
+    reqs = []
+    for i in range(count):
+        sp = sampling
+        if sp.seed is not None and count > 1:
+            sp = dataclasses.replace(sp, seed=sp.seed + i)
+        reqs.append(Request(prompt_tokens=list(toks), sampling=sp))
+    return reqs
+
+
+def _mean_logprob(req: Request) -> float:
+    if not req.token_logprobs:
+        return float("-inf")
+    return sum(req.token_logprobs) / len(req.token_logprobs)
 
 
 def _make_handler(worker: EngineWorker, tokenizer=None,
@@ -398,12 +432,12 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
             """OpenAI /v1/completions (the API the reference's recommended
             vLLM deployment serves): prompt as a string or a token-id list,
             OpenAI defaults (max_tokens=16, temperature=1.0), SSE streaming.
-            ``n``/``best_of``/``echo`` are not supported (400)."""
-            for unsupported in ("n", "best_of", "echo"):
-                if body.get(unsupported) not in (None, 1, False):
-                    return self._reply(
-                        400, {"error": f"'{unsupported}' is not supported"}
-                    )
+            ``n`` > 1 fans out into sibling requests that batch together in
+            the engine; ``best_of`` > n generates best_of candidates and
+            returns the n with the highest mean logprob (OpenAI semantics).
+            ``echo`` and streaming with n > 1 are not supported (400)."""
+            if body.get("echo"):
+                return self._reply(400, {"error": "'echo' is not supported"})
             prompt = body.get("prompt")
             if isinstance(prompt, list) and prompt and all(
                 isinstance(t, int) for t in prompt
@@ -438,46 +472,79 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     max_key="max_tokens", max_default=16,
                     eos=default_eos,
                 )
+                n_out = _num(body, "n", 1, int)
+                best_of = _num(body, "best_of", n_out, int)
+                if not 1 <= n_out <= best_of <= 64:
+                    raise ValueError(
+                        f"need 1 <= n <= best_of <= 64, got n={n_out} "
+                        f"best_of={best_of}"
+                    )
             except (TypeError, ValueError) as e:
                 return self._reply(400, {"error": f"bad parameter: {e}"})
-            req = Request(prompt_tokens=list(toks), sampling=sampling)
-            worker.set_stops(req, stops)
             want_logprobs = body.get("logprobs") not in (None, 0, False)
             cid = f"cmpl-{next(counter)}"
             if body.get("stream"):
+                if best_of > 1:
+                    return self._reply(400, {
+                        "error": "streaming with n/best_of > 1 is not "
+                                 "supported"
+                    })
+                req = _fan_out(sampling, toks, 1)[0]
+                worker.set_stops(req, stops)
                 return self._completions_stream(req, cid, want_logprobs)
+            reqs = _fan_out(sampling, toks, best_of)
+            for r in reqs:
+                worker.set_stops(r, stops)
             try:
-                worker.submit(req)
-                worker.wait(req)
+                for r in reqs:
+                    worker.submit(r)
+                for r in reqs:
+                    worker.wait(r)
             except (RuntimeError, TimeoutError) as e:
-                worker.clear_stops(req)
+                for r in reqs:
+                    worker.clear_stops(r)
                 return self._reply(500, {"error": str(e)})
-            stop_text = worker.take_stop_text(req)
-            if tokenizer is not None:
-                text = (stop_text if stop_text is not None
-                        else tokenizer.decode(req.output_tokens))
-            else:
-                text = ""
-            choice: Dict[str, Any] = {
-                "text": text,
-                "index": 0,
-                "finish_reason": req.finish_reason or "stop",
-                "logprobs": (
-                    {"token_logprobs": req.token_logprobs,
-                     "tokens": req.output_tokens}
-                    if want_logprobs else None
-                ),
-            }
+            # best_of > n: keep the n candidates with the highest mean
+            # logprob (OpenAI's "highest log probability per token")
+            order = sorted(range(best_of),
+                           key=lambda i: -_mean_logprob(reqs[i]))
+            chosen = [reqs[i] for i in sorted(order[:n_out])]
+            choices = []
+            for idx, r in enumerate(chosen):
+                stop_text = worker.take_stop_text(r)
+                if tokenizer is not None:
+                    text = (stop_text if stop_text is not None
+                            else tokenizer.decode(r.output_tokens))
+                else:
+                    text = ""
+                choices.append({
+                    "text": text,
+                    "index": idx,
+                    "finish_reason": r.finish_reason or "stop",
+                    "logprobs": (
+                        {"token_logprobs": r.token_logprobs,
+                         "tokens": r.output_tokens}
+                        if want_logprobs else None
+                    ),
+                })
+            for r in reqs:  # discarded best_of candidates
+                worker.clear_stops(r)
             self._reply(200, {
                 "id": cid,
                 "object": "text_completion",
                 "created": int(time.time()),
                 "model": body.get("model", model_name),
-                "choices": [choice],
+                "choices": choices,
                 "usage": {
                     "prompt_tokens": len(toks),
-                    "completion_tokens": len(req.output_tokens),
-                    "total_tokens": len(toks) + len(req.output_tokens),
+                    # OpenAI counts every generated token, incl. discarded
+                    # best_of candidates
+                    "completion_tokens": sum(
+                        len(r.output_tokens) for r in reqs
+                    ),
+                    "total_tokens": len(toks) + sum(
+                        len(r.output_tokens) for r in reqs
+                    ),
                 },
             })
 
@@ -502,8 +569,6 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 return self._reply(
                     400, {"error": "messages: [{role, content}, …] required"}
                 )
-            if body.get("n") not in (None, 1):
-                return self._reply(400, {"error": "'n' is not supported"})
             if body.get("tools"):  # empty list = no tools = fine
                 return self._reply(
                     400, {"error": "'tools' is not supported"}
@@ -532,46 +597,66 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     max_key="max_tokens", max_default=128,
                     eos=default_eos,
                 )
+                n_out = _num(body, "n", 1, int)
+                if not 1 <= n_out <= 64:
+                    raise ValueError(f"need 1 <= n <= 64, got {n_out}")
             except (TypeError, ValueError) as e:
                 return self._reply(400, {"error": f"bad parameter: {e}"})
-            req = Request(prompt_tokens=list(toks), sampling=sampling)
-            worker.set_stops(req, stops)
             want_logprobs = body.get("logprobs") not in (None, 0, False)
             cid = f"chatcmpl-{next(counter)}"
             if body.get("stream"):
+                if n_out > 1:
+                    return self._reply(400, {
+                        "error": "streaming with n > 1 is not supported"
+                    })
+                req = _fan_out(sampling, toks, 1)[0]
+                worker.set_stops(req, stops)
                 return self._completions_stream(
                     req, cid, want_logprobs, chat=True
                 )
+            reqs = _fan_out(sampling, toks, n_out)
+            for r in reqs:
+                worker.set_stops(r, stops)
             try:
-                worker.submit(req)
-                worker.wait(req)
+                for r in reqs:
+                    worker.submit(r)
+                for r in reqs:
+                    worker.wait(r)
             except (RuntimeError, TimeoutError) as e:
-                worker.clear_stops(req)
+                for r in reqs:
+                    worker.clear_stops(r)
                 return self._reply(500, {"error": str(e)})
-            stop_text = worker.take_stop_text(req)
-            text = (stop_text if stop_text is not None
-                    else tokenizer.decode(req.output_tokens))
+            choices = []
+            for idx, r in enumerate(reqs):
+                stop_text = worker.take_stop_text(r)
+                text = (stop_text if stop_text is not None
+                        else tokenizer.decode(r.output_tokens))
+                choices.append({
+                    "index": idx,
+                    "message": {"role": "assistant", "content": text},
+                    "finish_reason": r.finish_reason or "stop",
+                    "logprobs": (
+                        {"content": [
+                            {"token": tokenizer.decode([t]), "logprob": lp}
+                            for t, lp in zip(r.output_tokens,
+                                             r.token_logprobs)
+                        ]} if want_logprobs else None
+                    ),
+                })
             self._reply(200, {
                 "id": cid,
                 "object": "chat.completion",
                 "created": int(time.time()),
                 "model": body.get("model", model_name),
-                "choices": [{
-                    "index": 0,
-                    "message": {"role": "assistant", "content": text},
-                    "finish_reason": req.finish_reason or "stop",
-                    "logprobs": (
-                        {"content": [
-                            {"token": tokenizer.decode([t]), "logprob": lp}
-                            for t, lp in zip(req.output_tokens,
-                                             req.token_logprobs)
-                        ]} if want_logprobs else None
-                    ),
-                }],
+                "choices": choices,
                 "usage": {
                     "prompt_tokens": len(toks),
-                    "completion_tokens": len(req.output_tokens),
-                    "total_tokens": len(toks) + len(req.output_tokens),
+                    "completion_tokens": sum(
+                        len(r.output_tokens) for r in reqs
+                    ),
+                    "total_tokens": len(toks) + sum(
+                        len(r.output_tokens) for r in reqs
+                    ),
                 },
             })
 

@@ -20,8 +20,9 @@ configs[3]).  Design, shaped by XLA's static-shape compilation model:
 Scheduler features (all exact-greedy, see the constructor docstring):
 chunked prefill (`prefill_chunk`), slot-level automatic prefix caching
 (`prefix_cache`), prompt-lookup speculative decoding (`spec_ngram`),
-per-request sampling params incl. penalties / min-p / reproducible seeds,
-cancel, stop tokens, per-token logprobs, TTFT/TPOT tracking.
+per-request sampling params incl. penalties / min-p / logit bias /
+reproducible seeds, cancel, stop tokens, per-token logprobs, TTFT/TPOT
+tracking.
 
 All device work stays inside a handful of jitted programs (per-bucket
 prefill, single/multi-step decode, chunk-prefill, speculative verify, and
@@ -43,8 +44,9 @@ from qqq_tpu.models.config import ModelConfig
 from qqq_tpu.models import llama as M
 from qqq_tpu.serve import kv_cache
 from qqq_tpu.serve.sampling import (
-    SamplingParams, apply_penalties, chosen_logprob, chosen_logprob_sharded,
-    penalty_arrays, sample_batched, sample_batched_sharded, sampling_arrays,
+    SamplingParams, apply_logit_bias, apply_penalties, bias_arrays,
+    chosen_logprob, chosen_logprob_sharded, penalty_arrays, sample_batched,
+    sample_batched_sharded, sampling_arrays,
 )
 
 
@@ -333,13 +335,16 @@ class Engine:
 
     def _decode_step(self, params, tokens, caches, cache_len, key, active,
                      temp, topk, topp, minp, counts, rep_mask, pres,
-                     freq, rep, seeded, seeds, ngen):
+                     freq, rep, seeded, seeds, ngen,
+                     bias_ids=None, bias_vals=None):
         positions = cache_len[:, None]  # T == 1
         logits, caches = self._fwd(
             params, tokens, caches, cache_len, positions
         )
         last = logits[:, -1, :]
         penal = apply_penalties(last, counts, rep_mask, pres, freq, rep)
+        if bias_ids is not None:
+            penal = apply_logit_bias(penal, bias_ids, bias_vals)
         next_tok = jnp.where(
             active,
             sample_batched(penal, key, temp, topk, topp, minp,
@@ -383,7 +388,8 @@ class Engine:
     )
     def _decode_multi(self, params, tokens, caches, cache_len, key, active,
                       temp, topk, topp, minp, counts, rep_mask, pres,
-                      freq, rep, seeded, seeds, ngen, n_steps: int):
+                      freq, rep, seeded, seeds, ngen, bias_ids, bias_vals,
+                      n_steps: int):
         """n decode steps fused in one on-device ``lax.scan`` — amortizes
         dispatch overhead (one launch per chunk instead of per token)."""
 
@@ -393,7 +399,7 @@ class Engine:
             nxt, lp, caches, counts = self._decode_step(
                 params, tok[:, None], caches, clen, sub, active,
                 temp, topk, topp, minp, counts, rep_mask, pres, freq, rep,
-                seeded, seeds, ng,
+                seeded, seeds, ng, bias_ids, bias_vals,
             )
             ng_next = None if ng is None else ng + 1  # None = no seeded rows
             return (nxt, caches, clen + 1, key, counts, ng_next), (nxt, lp)
@@ -406,7 +412,8 @@ class Engine:
 
     def _spec_verify_step(self, params, tokens, caches, cache_len, key,
                           active, temp, topk, topp, minp, counts,
-                          rep_mask, pres, freq, rep, seeded, seeds, ngen):
+                          rep_mask, pres, freq, rep, seeded, seeds, ngen,
+                          bias_ids=None, bias_vals=None):
         """Verify a (B, 1+k) [last_token, draft…] batch in one forward.
         Returns the model's greedy continuation at every position (+ its
         logprobs) for draft acceptance, and the position-0 sampled token
@@ -421,10 +428,12 @@ class Engine:
         lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
         glp = jnp.take_along_axis(lsm, greedy[..., None], axis=-1)[..., 0]
-        # penalties only touch position 0: penalized rows get NO drafts
-        # (host side), so positions ≥ 1 are never consumed for them
+        # penalties/bias only touch position 0: logit-altering rows get NO
+        # drafts (host side), so positions ≥ 1 are never consumed for them
         penal0 = apply_penalties(logits[:, 0], counts, rep_mask, pres,
                                  freq, rep)
+        if bias_ids is not None:
+            penal0 = apply_logit_bias(penal0, bias_ids, bias_vals)
         samp0 = jnp.where(
             active,
             sample_batched(penal0, key, temp, topk, topp, minp,
@@ -439,7 +448,7 @@ class Engine:
 
     def _prefill_chunk_step(self, params, tokens, caches, k, true_n, slot,
                             key, temp, topk, topp, minp, seeded, seeds,
-                            ngen):
+                            ngen, bias_ids=None, bias_vals=None):
         """One chunked-prefill step for ONE slot of the GLOBAL cache:
         slice the slot's rows out, run a (1, C) prefill-with-cache forward
         starting at position ``k``, write the rows back (the cache is
@@ -463,7 +472,10 @@ class Engine:
         last = jnp.take_along_axis(
             logits, (true_n - 1)[None, None, None], axis=1
         )[:, 0, :]
-        tok = sample_batched(last, key, temp, topk, topp, minp,
+        samp_in = last if bias_ids is None else apply_logit_bias(
+            last, bias_ids, bias_vals
+        )
+        tok = sample_batched(samp_in, key, temp, topk, topp, minp,
                              seeded, seeds, ngen)
         lp = chosen_logprob(last, tok)
 
@@ -475,7 +487,8 @@ class Engine:
         return tok, lp, jax.tree.map(ins, caches, c1)
 
     def _prefill(self, params, tokens, true_len, caches1, key,
-                 temp, topk, topp, minp, seeded, seeds, ngen):
+                 temp, topk, topp, minp, seeded, seeds, ngen,
+                 bias_ids=None, bias_vals=None):
         """Batch-generic forward over a padded bucket; returns per-row next
         tokens + caches (the engine calls it with B = admitted sub-batch)."""
         B, T = tokens.shape
@@ -486,7 +499,10 @@ class Engine:
         last = jnp.take_along_axis(
             logits, (true_len - 1)[:, None, None], axis=1
         )[:, 0, :]
-        tok = sample_batched(last, key, temp, topk, topp, minp,
+        samp_in = last if bias_ids is None else apply_logit_bias(
+            last, bias_ids, bias_vals
+        )
+        tok = sample_batched(samp_in, key, temp, topk, topp, minp,
                              seeded, seeds, ngen)
         return tok, chosen_logprob(last, tok), caches1
 
@@ -546,6 +562,7 @@ class Engine:
             self.params, jnp.asarray(toks), jnp.asarray(lens), caches1, k,
             *sampling_arrays([r.sampling for r in reqs]),
             *self._seed_arrays(reqs, len(reqs)),
+            *self._bias_arrays(reqs, len(reqs)),
         )
         firsts = np.asarray(tok)  # ONE host sync for the whole group
         lps = np.asarray(lp)
@@ -624,6 +641,13 @@ class Engine:
             return None, None, None
         return jnp.asarray(seeded), jnp.asarray(seeds), jnp.asarray(ngen)
 
+    def _bias_arrays(self, rows, n: int):
+        """(bias_ids, bias_vals) for :func:`apply_logit_bias` over request
+        rows (None rows → no bias); (None, None) when no row has one."""
+        return bias_arrays(
+            [r.sampling if r is not None else None for r in rows], n
+        )
+
     def _propose_draft(self, req: Request) -> List[int]:
         """Prompt-lookup drafting (vLLM's "[ngram]" speculative model): find
         the most recent earlier occurrence of the last ``spec_ngram`` tokens
@@ -651,11 +675,11 @@ class Engine:
             if not active[slot]:
                 continue
             toks[slot, 0] = self.slot_last_tok[slot]
-            # greedy, penalty-free rows only: penalties change the greedy
-            # stream per emitted token, so penalized rows take the plain
-            # 1-token path (position-0 sample, penalized in-step)
+            # greedy, logit-unaltered rows only: penalties/bias change the
+            # greedy stream, so those rows take the plain 1-token path
+            # (position-0 sample, penalized/biased in-step)
             if req.sampling.temperature <= 0.0 \
-                    and not req.sampling.has_penalties:
+                    and not req.sampling.alters_logits:
                 d = self._propose_draft(req)
                 drafts[slot] = d
                 toks[slot, 1 : 1 + len(d)] = d
@@ -668,6 +692,7 @@ class Engine:
             self.params, jnp.asarray(toks), self.caches, cache_len, kk,
             jnp.asarray(active), *samp, self.counts, self.rep_mask,
             *pens, *self._seed_arrays(self.slot_req, B),
+            *self._bias_arrays(self.slot_req, B),
         )
         g, glp_np = np.asarray(greedy), np.asarray(glp)
         s0_np, slp0_np = np.asarray(s0), np.asarray(slp0)
@@ -718,6 +743,7 @@ class Engine:
                 jnp.int32(k), jnp.int32(len(part)), jnp.int32(slot), kk,
                 *sampling_arrays([req.sampling]),
                 *self._seed_arrays([req], 1),
+                *self._bias_arrays([req], 1),
             )
             self.slot_len[slot] = k + len(part)
             self.slot_prefill[slot] = remaining[C:]
@@ -887,7 +913,7 @@ class Engine:
                               and r.sampling.top_p >= 1.0
                               and r.sampling.min_p == 0.0
                               and r.sampling.seed is None
-                              and not r.sampling.has_penalties)
+                              and not r.sampling.alters_logits)
                 for r in self.slot_req
             )
             if chunk == 1 and sharded:
@@ -903,6 +929,7 @@ class Engine:
                     jnp.asarray(active), *samp, self.counts,
                     self.rep_mask, *pens,
                     *self._seed_arrays(self.slot_req, self.max_batch),
+                    *self._bias_arrays(self.slot_req, self.max_batch),
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
                 lp_np = np.asarray(lp)[:, None]
@@ -919,6 +946,7 @@ class Engine:
                     jnp.asarray(active), *samp, self.counts,
                     self.rep_mask, *pens,
                     *self._seed_arrays(self.slot_req, self.max_batch),
+                    *self._bias_arrays(self.slot_req, self.max_batch),
                     n_steps=chunk,
                 )
                 chunk_np = np.asarray(toks)

@@ -41,12 +41,23 @@ class SamplingParams:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
+    #: OpenAI ``logit_bias``: ((token_id, bias), ...) pairs added to the
+    #: logits before sampling — greedy rows argmax over the biased row too.
+    #: −100 effectively bans a token, +100 effectively forces it.
+    logit_bias: tuple = ()
 
     @property
     def has_penalties(self) -> bool:
         return (self.presence_penalty != 0.0
                 or self.frequency_penalty != 0.0
                 or self.repetition_penalty != 1.0)
+
+    @property
+    def alters_logits(self) -> bool:
+        """True when the row's sampling distribution differs from the raw
+        model distribution at the logits level (penalties or bias) — such
+        rows can't ride the draft-acceptance / vocab-sharded fast paths."""
+        return self.has_penalties or bool(self.logit_bias)
 
 
 def _topk_topp_filter(
@@ -103,6 +114,18 @@ def apply_penalties(
     penal = jnp.where(logits > 0, logits / rep, logits * rep)
     logits = jnp.where(prompt_mask | gen, penal, logits)
     return logits - presence[:, None] * gen - frequency[:, None] * c
+
+
+def apply_logit_bias(
+    logits: jax.Array,  # (B, V) f32
+    ids: jax.Array,     # (B, K) i32 — token ids; pad entries id 0 / bias 0
+    vals: jax.Array,    # (B, K) f32 — additive biases
+) -> jax.Array:
+    """OpenAI ``logit_bias``: per-row sparse additive bias, applied before
+    temperature/filtering so greedy rows honor it too.  Pad entries are
+    (id=0, bias=0) — an exact no-op under scatter-add."""
+    rows = jnp.arange(logits.shape[0])[:, None]
+    return logits.at[rows, ids].add(vals)
 
 
 def sample_batched(
@@ -283,6 +306,34 @@ def penalty_arrays(params_list, n: Optional[int] = None):
         freq[i] = sp.frequency_penalty
         rep[i] = sp.repetition_penalty
     return jnp.asarray(pres), jnp.asarray(freq), jnp.asarray(rep)
+
+
+def bias_arrays(params_list, n: Optional[int] = None):
+    """Stack the ``logit_bias`` pairs into (ids, vals) device arrays for
+    :func:`apply_logit_bias` — (n, K) with K the max pair count over the
+    batch rounded up to a power of two (one compiled shape per K bucket).
+    Returns (None, None) when no row carries a bias (the common path pays
+    nothing)."""
+    import numpy as np
+
+    if n is None:
+        n = len(params_list)
+    kmax = max(
+        (len(sp.logit_bias) for sp in params_list[:n] if sp is not None),
+        default=0,
+    )
+    if kmax == 0:
+        return None, None
+    K = 1 << (kmax - 1).bit_length()
+    ids = np.zeros((n, K), np.int32)
+    vals = np.zeros((n, K), np.float32)
+    for i, sp in enumerate(params_list[:n]):
+        if sp is None:
+            continue
+        for j, (tok, b) in enumerate(sp.logit_bias):
+            ids[i, j] = tok
+            vals[i, j] = b
+    return jnp.asarray(ids), jnp.asarray(vals)
 
 
 def sample(

@@ -844,3 +844,67 @@ def test_seeded_sampling_reproducible_across_modes(rng, params):
     r = Request(prompt_tokens=prompt, sampling=sp2)
     eng.run([r])
     assert r.output_tokens != base
+
+
+def test_logit_bias_greedy_exact(rng, params):
+    """OpenAI ``logit_bias``: the engine's biased greedy stream must equal
+    a naive loop adding the bias to the raw logits (apply_logit_bias) —
+    across whole-bucket, fused multi-step, and chunked+speculative modes —
+    must differ from the unbiased stream, and a −100 bias must ban its
+    token outright (including the prefill-sampled first token)."""
+    from qqq_tpu.serve.sampling import apply_logit_bias
+
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    plain = _naive_greedy(params, prompt, 12)
+    bias = ((plain[0], -100.0), (7, 3.5))  # ban the first token; boost one
+    ids = jnp.asarray([[t for t, _ in bias]], jnp.int32)
+    vals = jnp.asarray([[b for _, b in bias]], jnp.float32)
+    sp = SamplingParams(max_new_tokens=12, logit_bias=bias)
+
+    def naive_biased(prompt, n_new):
+        toks = list(prompt)
+        out = []
+        for _ in range(n_new):
+            logits, _ = forward(params, CFG, jnp.asarray([toks], jnp.int32))
+            biased = apply_logit_bias(
+                logits[:, -1].astype(jnp.float32), ids, vals
+            )
+            t = int(jnp.argmax(biased[0]))
+            out.append(t)
+            toks.append(t)
+        return out
+
+    want = naive_biased(prompt, 12)
+    assert want != plain, "bias too weak to observe on this seed"
+    assert plain[0] not in want  # −100 bans the token
+
+    for engine_kw in (
+        dict(prefill_buckets=(16,)),                      # whole-bucket
+        dict(prefill_buckets=(16,), steps_per_tick=4),    # fused multi-step
+        dict(prefill_chunk=8, spec_ngram=2, spec_k=3),    # chunk + spec
+    ):
+        outs = generate(
+            params, CFG, [prompt], sp,
+            max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+            **engine_kw,
+        )
+        assert outs[0] == want, (engine_kw, outs[0], want)
+
+
+def test_logit_bias_per_request_mixed(rng, params):
+    """A batch mixing a biased and an unbiased greedy request honors each:
+    the unbiased row reproduces plain greedy while its batchmate's bias
+    row diverges (per-slot bias arrays, not a global setting)."""
+    p1 = [int(t) for t in rng.integers(0, 128, size=6)]
+    p2 = [int(t) for t in rng.integers(0, 128, size=9)]
+    plain1 = _naive_greedy(params, p1, 8)
+    plain2 = _naive_greedy(params, p2, 8)
+    eng = Engine(params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+                 dtype=jnp.float32, prefill_buckets=(16,))
+    r1 = Request(prompt_tokens=p1, sampling=SamplingParams(
+        max_new_tokens=8, logit_bias=((plain1[0], -100.0),)))
+    r2 = Request(prompt_tokens=p2, sampling=SamplingParams(max_new_tokens=8))
+    eng.run([r1, r2])
+    assert r2.output_tokens == plain2          # unbiased row untouched
+    assert r1.output_tokens != plain1          # bias bit
+    assert plain1[0] not in r1.output_tokens   # banned everywhere

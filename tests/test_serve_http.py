@@ -277,11 +277,111 @@ def test_openai_models_and_sse_stream(served_tok, rng):
     assert chunks[-1]["choices"][0]["finish_reason"] == "length"
 
 
-def test_openai_completions_rejects_n(served_tok):
-    base, _ = served_tok
+def _openai(base, path, body, timeout=120):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_openai_completions_n_and_best_of(served_tok, rng):
+    """``n`` fans out into sibling requests (greedy ⇒ identical choices,
+    indexes 0..n-1); ``best_of > n`` generates best_of candidates, returns
+    the top n by mean logprob, and usage counts EVERY generated token;
+    invalid combinations 400 (n > best_of, streaming with n > 1)."""
+    base, params = served_tok
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    want = generate(
+        params, CFG, [prompt], SamplingParams(max_new_tokens=4),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )[0]
+    text = _ToyTokenizer().decode(want)
+
+    res = _openai(base, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 4, "temperature": 0.0, "n": 2,
+    })
+    assert [c["index"] for c in res["choices"]] == [0, 1]
+    assert all(c["text"] == text for c in res["choices"])
+    assert res["usage"]["completion_tokens"] == 8  # both candidates
+
+    res = _openai(base, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 4, "temperature": 0.0,
+        "n": 1, "best_of": 3,
+    })
+    assert len(res["choices"]) == 1
+    assert res["choices"][0]["text"] == text
+    assert res["usage"]["completion_tokens"] == 12  # all 3 candidates
+
+    for bad in (
+        {"prompt": prompt, "n": 3, "best_of": 2},          # n > best_of
+        {"prompt": prompt, "n": 2, "stream": True},        # stream fan-out
+        {"prompt": prompt, "n": 0},                        # n < 1
+    ):
+        req = urllib.request.Request(
+            base + "/v1/completions", data=json.dumps(bad).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400, bad
+
+
+def test_openai_chat_n_choices(served_chat, rng):
+    base, params = served_chat
+    content = " ".join(str(int(t)) for t in rng.integers(4, 128, size=5))
+    prompt = _ChatToyTokenizer().apply_chat_template(
+        [{"role": "user", "content": content}]
+    )
+    want = generate(
+        params, CFG, [prompt], SamplingParams(max_new_tokens=3),
+        max_batch=2, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )[0]
+    res = _openai(base, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": content}],
+        "max_tokens": 3, "temperature": 0.0, "n": 2,
+    })
+    assert [c["index"] for c in res["choices"]] == [0, 1]
+    assert all(
+        c["message"]["content"] == _ToyTokenizer().decode(want)
+        for c in res["choices"]
+    )
+
+
+def test_logit_bias_http(served_tok, rng):
+    """OpenAI ``logit_bias`` over the wire: −100 bans the greedy stream's
+    first token on both /generate and /v1/completions; out-of-range values
+    400."""
+    base, params = served_tok
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    want = generate(
+        params, CFG, [prompt], SamplingParams(max_new_tokens=5),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )[0]
+    bias = {str(want[0]): -100}
+
+    res = _post(base, {
+        "prompt_tokens": prompt, "max_new_tokens": 5, "logit_bias": bias,
+    })
+    assert want[0] not in res["output_tokens"]
+    assert res["output_tokens"] != want
+
+    res = _openai(base, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 5, "temperature": 0.0,
+        "logit_bias": bias, "logprobs": 1,
+    })
+    toks = res["choices"][0]["logprobs"]["tokens"]
+    assert want[0] not in toks and toks != want
+
     req = urllib.request.Request(
         base + "/v1/completions",
-        data=json.dumps({"prompt": [1, 2], "n": 3}).encode(),
+        data=json.dumps({
+            "prompt": prompt, "logit_bias": {"5": -1000},
+        }).encode(),
         headers={"Content-Type": "application/json"},
     )
     with pytest.raises(urllib.error.HTTPError) as ei:
