@@ -201,6 +201,93 @@ def _reduce_tp(out: jax.Array, tp_axis: Optional[str], reduce: str) -> jax.Array
     raise ValueError(f"unknown reduce mode {reduce!r}")
 
 
+def _ring_ag_matmul(
+    lins, h_sp: jax.Array, tp_axis: str
+) -> List[jax.Array]:
+    """Fused all_gather(T) → column-parallel GEMM(s): collective matmul.
+
+    Megatron-SP's ``all_gather(h, T)`` blocks the following qkv / gate-up
+    GEMMs on the full ICI transfer.  Here the gather runs as a ring instead:
+    each step GEMMs the T-chunk in hand while ``jax.lax.ppermute`` rotates
+    the next chunk in.  The two are data-independent inside one step, so
+    XLA emits the ppermute as an async collective-permute (start/done pair)
+    and the latency-hiding scheduler overlaps the transfer with the Pallas
+    GEMM — only the first chunk's hop is exposed.  (The "collective matmul"
+    schedule of Wang et al., ASPLOS'23, hand-rolled because the GEMM is a
+    Pallas kernel GSPMD cannot decompose.  No reference analogue: the
+    reference is single-device CUDA, SURVEY.md §2.6.)
+
+    ``lins`` share one ring: all GEMMs for the chunk in hand run per hop.
+    h_sp: (B, T/tp, H) this device's T-shard.  Returns one (B, T, N_local)
+    per entry of ``lins``, rows identical to the unfused path (same kernel,
+    same K-accumulation order — only which device computes a row changes;
+    the g128 requant autopick sees M/tp-row calls, see ``_requant_policy``).
+    """
+    tp = jax.lax.axis_size(tp_axis)
+    idx = jax.lax.axis_index(tp_axis)
+    B, Ts, _ = h_sp.shape
+    perm = [(i, (i + 1) % tp) for i in range(tp)]
+    buf = h_sp
+    outs: Optional[List[jax.Array]] = None
+    for s in range(tp):
+        # after s forward hops the chunk in hand is the one owned by idx - s
+        chunk = jax.lax.rem(idx - s + tp, tp)
+        nxt = jax.lax.ppermute(buf, tp_axis, perm) if s + 1 < tp else None
+        ys = [linear_apply(lin, buf) for lin in lins]
+        if outs is None:
+            outs = [
+                jnp.zeros((B, Ts * tp, y.shape[-1]), y.dtype) for y in ys
+            ]
+        outs = [
+            jax.lax.dynamic_update_slice_in_dim(o, y, chunk * Ts, axis=1)
+            for o, y in zip(outs, ys)
+        ]
+        if nxt is not None:
+            buf = nxt
+    return outs
+
+
+def _ring_matmul_rs(lin, h: jax.Array, tp_axis: str) -> jax.Array:
+    """Fused row-parallel GEMM → psum_scatter(T): ring reduce-scatter.
+
+    The partial-sum accumulator rides the ring one hop per step while the
+    next T-chunk's GEMM runs — same overlap argument as
+    :func:`_ring_ag_matmul`, mirrored for the o_proj/down epilogue.  Device
+    ``d`` GEMMs chunk ``(d + tp-1-s) mod tp`` at step ``s``, so every
+    chunk's accumulator visits all devices and lands fully summed on its
+    owner at the last step.
+
+    h: (B, T, K_local) local partial-product input.  Returns (B, T/tp, N):
+    this device's T-shard of the all-summed output — the same contract as
+    ``linear_apply`` + ``psum_scatter`` (partials combine in ring order
+    instead of the collective's internal order: fp32-add reassociation
+    only).
+    """
+    tp = jax.lax.axis_size(tp_axis)
+    idx = jax.lax.axis_index(tp_axis)
+    B, T, _ = h.shape
+    Ts = T // tp
+    perm = [(i, (i + 1) % tp) for i in range(tp)]
+    acc = None
+    for s in range(tp):
+        c = jax.lax.rem(idx + (tp - 1 - s), tp)
+        h_c = jax.lax.dynamic_slice_in_dim(h, c * Ts, Ts, axis=1)
+        part = linear_apply(lin, h_c)
+        acc = part if acc is None else (
+            jax.lax.ppermute(acc, tp_axis, perm) + part
+        )
+    return acc
+
+
+def _row_parallel(lin, h: jax.Array, tp_axis: Optional[str], reduce: str):
+    """Row-parallel linear epilogue: GEMM then combine the partial products
+    per ``reduce`` — ``ring`` fuses the two (collective matmul), the rest
+    GEMM first and collect via :func:`_reduce_tp`."""
+    if reduce == "ring":
+        return _ring_matmul_rs(lin, h, tp_axis)
+    return _reduce_tp(linear_apply(lin, h), tp_axis, reduce)
+
+
 def attention(
     layer: Dict[str, Any],
     x: jax.Array,  # (B, T, H)
@@ -215,22 +302,37 @@ def attention(
     """Under tensor parallelism (``tp_axis`` set, inside shard_map) the
     q/k/v/o weights arrive head-sharded; the o_proj output is partial-summed
     and needs a collective (Megatron-style row-parallel second matmul) —
-    see :func:`_reduce_tp` for the psum vs sequence-parallel variants."""
+    see :func:`_reduce_tp` for the psum vs sequence-parallel variants.
+
+    ``reduce="ring"`` (overlapped sequence parallelism): ``x`` arrives
+    T-SHARDED (B, T/tp, H) and both per-layer collectives fuse with their
+    GEMMs — qkv via :func:`_ring_ag_matmul`, o_proj via
+    :func:`_ring_matmul_rs`."""
     from qqq_tpu.serve import kv_cache as kvc
 
-    B, T, H = x.shape
+    B = x.shape[0]
     tp = 1 if tp_axis is None else jax.lax.axis_size(tp_axis)
     nh = config.num_attention_heads // tp
     nkv = config.num_key_value_heads // tp
     hd = config.head_dim
-    if "qkv_proj" in layer:  # fused single-GEMM projection (single-device)
+    if reduce == "ring":
+        q, k, v = _ring_ag_matmul(
+            [layer["q_proj"], layer["k_proj"], layer["v_proj"]], x, tp_axis
+        )
+        T = q.shape[1]
+        q = q.reshape(B, T, nh, hd)
+        k = k.reshape(B, T, nkv, hd)
+        v = v.reshape(B, T, nkv, hd)
+    elif "qkv_proj" in layer:  # fused single-GEMM projection (single-device)
         assert tp_axis is None, "fused qkv is a single-device optimization"
+        T = x.shape[1]
         qkv = linear_apply(layer["qkv_proj"], x)
         qd, kvd = nh * hd, nkv * hd
         q = qkv[..., :qd].reshape(B, T, nh, hd)
         k = qkv[..., qd : qd + kvd].reshape(B, T, nkv, hd)
         v = qkv[..., qd + kvd :].reshape(B, T, nkv, hd)
     else:
+        T = x.shape[1]
         q = linear_apply(layer["q_proj"], x).reshape(B, T, nh, hd)
         k = linear_apply(layer["k_proj"], x).reshape(B, T, nkv, hd)
         v = linear_apply(layer["v_proj"], x).reshape(B, T, nkv, hd)
@@ -254,8 +356,8 @@ def attention(
                 cache["v"], cache["v_scale"],
                 cache_len + 1,
             )
-            out = linear_apply(layer["o_proj"], out.reshape(B, 1, nh * hd))
-            return _reduce_tp(out, tp_axis, reduce), cache
+            out = out.reshape(B, 1, nh * hd)
+            return _row_parallel(layer["o_proj"], out, tp_axis, reduce), cache
         if "k_scale" in cache:
             # chunked-prefill fast path: causal flash attention straight
             # over the INT8 cache (query t of the chunk is at position
@@ -270,8 +372,7 @@ def attention(
                 cache_len, causal=True,
             )
             out = jnp.swapaxes(out, 1, 2).reshape(B, T, nh * hd)
-            out = linear_apply(layer["o_proj"], out)
-            return _reduce_tp(out, tp_axis, reduce), cache
+            return _row_parallel(layer["o_proj"], out, tp_axis, reduce), cache
         kf, vf = kvc.read(cache, x.dtype)
         S = kf.shape[1]
         # cache slot s holds the token at position s, so slot index doubles
@@ -284,15 +385,19 @@ def attention(
     kf = repeat_kv(kf, config.num_kv_groups)
     vf = repeat_kv(vf, config.num_kv_groups)
     out = _attention_scores(q, kf, vf, mask).reshape(B, T, nh * hd)
-    out = linear_apply(layer["o_proj"], out)
-    return _reduce_tp(out, tp_axis, reduce), cache
+    return _row_parallel(layer["o_proj"], out, tp_axis, reduce), cache
 
 
 def mlp(
     layer: Dict[str, Any], x: jax.Array, tp_axis: Optional[str] = None,
     reduce: str = "psum",
 ) -> jax.Array:
-    if "gate_up_glu" in layer:  # GLU-fused kernel (single-device)
+    if reduce == "ring":  # x T-sharded; both collectives fused (see attention)
+        gate, up = _ring_ag_matmul(
+            [layer["gate_proj"], layer["up_proj"]], x, tp_axis
+        )
+        h = jax.nn.silu(gate) * up
+    elif "gate_up_glu" in layer:  # GLU-fused kernel (single-device)
         assert tp_axis is None, "fused gate/up is a single-device optimization"
         from qqq_tpu.kernels.w4a8_gemm import w4a8_glu_linear
 
@@ -304,8 +409,7 @@ def mlp(
         gate = linear_apply(layer["gate_proj"], x)
         up = linear_apply(layer["up_proj"], x)
         h = jax.nn.silu(gate) * up
-    out = linear_apply(layer["down_proj"], h)
-    return _reduce_tp(out, tp_axis, reduce)
+    return _row_parallel(layer["down_proj"], h, tp_axis, reduce)
 
 
 def decoder_layer(
@@ -468,6 +572,7 @@ def forward_sp(
     cache_len: Optional[jax.Array] = None,
     tp_axis: str = "model",
     gather_logits: bool = True,
+    overlap: bool = False,
 ) -> Tuple[jax.Array, Optional[List[Dict[str, Any]]]]:
     """Sequence-parallel TP forward (Megatron-SP, arXiv:2205.05198 §4),
     TPU-native: the residual stream lives sequence-sharded (B, T/tp, H) on
@@ -479,6 +584,13 @@ def forward_sp(
     Bit-identical to :func:`forward` with ``tp_axis`` (the same partial sums
     are combined, only where they are materialized changes).  Prefill /
     full-sequence scoring only — decode (T=1) keeps the psum path.
+
+    ``overlap=True`` additionally fuses every collective with its adjacent
+    GEMM as a ring "collective matmul" (:func:`_ring_ag_matmul` /
+    :func:`_ring_matmul_rs`): the all_gather/psum_scatter transfers hide
+    behind the per-chunk Pallas GEMMs instead of serializing the layer —
+    ICI latency off the prefill critical path (classic-TP decode stays on
+    the one-shot psum, which is latency- not bandwidth-bound at T=1).
     """
     B, T = tokens.shape
     tp = jax.lax.axis_size(tp_axis)
@@ -499,29 +611,36 @@ def forward_sp(
     tok_sp = jax.lax.dynamic_slice_in_dim(tokens, idx * Ts, Ts, axis=1)
     x_sp = params["embed"][tok_sp]  # (B, Ts, H)
     new_caches = [] if caches is not None else None
+    reduce = "ring" if overlap else "scatter"
     for i, layer in enumerate(params["layers"]):
         cache_i = caches[i] if caches is not None else None
         h = rms_norm(x_sp, layer["input_layernorm"], config.rms_norm_eps)
-        h = jax.lax.all_gather(h, tp_axis, axis=1, tiled=True)  # (B, T, H)
+        if not overlap:  # ring mode gathers inside the qkv collective matmul
+            h = jax.lax.all_gather(h, tp_axis, axis=1, tiled=True)  # (B,T,H)
         attn_out, cache_i = attention(
             layer, h, positions, inv_freq, config, cache_i, cache_len,
-            tp_axis, reduce="scatter",
+            tp_axis, reduce=reduce,
         )
         x_sp = x_sp + attn_out
         h = rms_norm(x_sp, layer["post_attention_layernorm"],
                      config.rms_norm_eps)
-        h = jax.lax.all_gather(h, tp_axis, axis=1, tiled=True)
-        x_sp = x_sp + mlp(layer, h, tp_axis, reduce="scatter")
+        if not overlap:
+            h = jax.lax.all_gather(h, tp_axis, axis=1, tiled=True)
+        x_sp = x_sp + mlp(layer, h, tp_axis, reduce=reduce)
         if new_caches is not None:
             new_caches.append(cache_i)
 
     x_sp = rms_norm(x_sp, params["norm"], config.rms_norm_eps)
-    x = jax.lax.all_gather(x_sp, tp_axis, axis=1, tiled=True)
     if params.get("lm_head") is not None:
-        logits = linear_apply(params["lm_head"], x)
+        if overlap:  # vocab-sharded head rides the same ring schedule
+            logits = _ring_ag_matmul([params["lm_head"]], x_sp, tp_axis)[0]
+        else:
+            x = jax.lax.all_gather(x_sp, tp_axis, axis=1, tiled=True)
+            logits = linear_apply(params["lm_head"], x)
         if gather_logits:
             logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     else:
+        x = jax.lax.all_gather(x_sp, tp_axis, axis=1, tiled=True)
         logits = jnp.dot(x, params["embed"].T.astype(x.dtype))
     return logits.astype(jnp.float32), new_caches
 

@@ -221,6 +221,7 @@ def tp_forward_fn(
     with_cache: bool = False,
     caches_spec: Any = None,
     sp: bool = False,
+    overlap: bool = False,
 ):
     """Build a jitted shard_map-wrapped forward.
 
@@ -232,10 +233,20 @@ def tp_forward_fn(
     the per-layer all-reduces become psum_scatter/all_gather pairs and the
     residual stream is T-sharded across the "model" axis — prefill and
     full-sequence scoring only (needs T divisible by the tp degree).
+    ``overlap=True`` (implies sp) additionally fuses each collective with
+    its adjacent GEMM as a ring collective matmul — the ICI transfers hide
+    behind the per-chunk Pallas GEMMs (llama._ring_ag_matmul /
+    _ring_matmul_rs).
     """
+    from functools import partial
+
     from qqq_tpu.models import llama as M
 
-    fwd_impl = M.forward_sp if sp else M.forward
+    if overlap:
+        sp = True
+        fwd_impl = partial(M.forward_sp, overlap=True)
+    else:
+        fwd_impl = M.forward_sp if sp else M.forward
 
     if with_cache:
         def local_fwd(params, tokens, caches, cache_len):

@@ -177,6 +177,97 @@ def test_sp_forward_matches_tp(rng, mesh):
     )
 
 
+def test_sp_overlap_forward_matches(rng, mesh):
+    """Ring collective-matmul SP (overlap=True: all_gather/psum_scatter fused
+    with their adjacent GEMMs via per-chunk ppermute rings) must match plain
+    SP and the single-device forward — the ring only reassociates the fp32
+    partial-sum order of the row-parallel epilogues."""
+    params = init_params(CFG, jax.random.PRNGKey(5), dtype=jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(4, 12)).astype(np.int32))
+    want, _ = forward(params, CFG, tokens)
+
+    specs = param_pspecs(params)
+    sparams = shard_params(params, mesh, specs)
+    f_ring = tp_forward_fn(CFG, mesh, specs, overlap=True)
+    got = f_ring(sparams, tokens)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+    f_sp = tp_forward_fn(CFG, mesh, specs, sp=True)
+    got_sp = f_sp(sparams, tokens)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(got_sp), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sp_overlap_quantized_pergroup(rng):
+    """The ring path under packed g128 W4A8: per-chunk GEMM calls see T/tp
+    rows (the requant autopick stays on the exact per-group path), and the
+    assembled output must match single-device within activation-quant noise
+    — same bar as the plain TP tests."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = ModelConfig(
+        vocab_size=256,
+        hidden_size=256,
+        intermediate_size=256,
+        num_hidden_layers=1,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    mesh2 = make_mesh(data=2, model=2)
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    calib = jnp.asarray(rng.integers(0, 256, size=(4, 16)).astype(np.int32))
+    qparams, _ = apply_gptq(
+        params, cfg, calib, QuantSpec(bits=4, group_size=128),
+        sample_batch=2, pack=True, dtype=jnp.float32,
+    )
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 8)).astype(np.int32))
+    want, _ = forward(qparams, cfg, tokens)
+
+    specs = param_pspecs(qparams)
+    sq = shard_params(qparams, mesh2, specs)
+    f = tp_forward_fn(cfg, mesh2, specs, overlap=True)
+    got = f(sq, tokens)
+    scale = np.abs(np.asarray(want)).max()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.05 * scale
+    )
+
+
+def test_sp_overlap_prefill_with_cache_matches(rng, mesh):
+    """Ring-overlap prefill writes the same INT8 KV cache as the plain SP
+    path (the cache write consumes the ring-assembled full-T k/v) and the
+    logits agree."""
+    params = init_params(CFG, jax.random.PRNGKey(6), dtype=jnp.float32)
+    tokens = jnp.asarray(rng.integers(0, 256, size=(2, 8)).astype(np.int32))
+
+    specs = param_pspecs(params)
+    sparams = shard_params(params, mesh, specs)
+    caches = kv_cache.init(CFG, batch=2, max_len=16, quantized=True,
+                           dtype=jnp.float32)
+    cspec = cache_pspec(caches)
+    f_ring = tp_forward_fn(CFG, mesh, specs, with_cache=True,
+                           caches_spec=cspec, overlap=True)
+    f_sp = tp_forward_fn(CFG, mesh, specs, with_cache=True, caches_spec=cspec,
+                         sp=True)
+
+    lg_r, c_r = f_ring(sparams, tokens, caches, jnp.zeros((2,), jnp.int32))
+    lg_sp, c_sp = f_sp(sparams, tokens, caches, jnp.zeros((2,), jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(lg_r), np.asarray(lg_sp), rtol=1e-5, atol=1e-5
+    )
+    # INT8 codes must agree exactly; the fp scale leaves may differ by CPU
+    # GEMM blocking noise (chunked vs full-T qkv calls), ~1e-9
+    for a, b in zip(jax.tree.leaves(c_r), jax.tree.leaves(c_sp)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int8:
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+
+
 def test_sp_prefill_with_cache_matches(rng, mesh):
     """SP prefill writes the same KV cache and logits as the psum TP path
     (INT8 cache exercises the flash-prefill kernel under SP)."""
