@@ -301,6 +301,129 @@ def flash_attention_int8(
     )
 
 
+def _paged_flash_kernel(tab_ref, clen_ref, *refs, sblk, qm, T, causal):
+    """Block-table adapter: the pool blocks were already gathered by the
+    table-driven index maps (the DMA engine followed ``tab_ref``), so the
+    body is exactly the S-tiled flash kernel — grid step ``s`` IS virtual
+    sequence block ``s`` of the row."""
+    _flash_attn_kernel(clen_ref, *refs, sblk=sblk, qm=qm, T=T, causal=causal)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "interpret"))
+def paged_flash_attention_int8(
+    q: jax.Array,        # (B, n_heads, T, hd) queries (RoPE'd), any fp dtype
+    k_pool: jax.Array,   # (num_blocks, n_kv, bs, hd) int8
+    k_scale: jax.Array,  # (num_blocks, n_kv, bs) f32
+    v_pool: jax.Array,   # (num_blocks, n_kv, bs, hd) int8
+    v_scale: jax.Array,  # (num_blocks, n_kv, bs) f32
+    tables: jax.Array,   # (B, max_blocks) int32 — pool index per virtual block
+    cache_len: jax.Array,  # (B,) int32 — valid keys BEFORE this chunk
+    *,
+    causal: bool = True,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Paged-KV attention (vLLM PagedAttention, arXiv:2309.06180, TPU-style):
+    the per-request block table drives the K/V BlockSpec index maps via
+    scalar prefetch, so the pool gather happens in the DMA engine's
+    addressing — no materialized contiguous copy.  Kernel body, masks,
+    causal skip, and numerics are exactly :func:`flash_attention_int8` with
+    ``sblk = block_size``; unused table entries point at the null block and
+    their grid steps short-circuit on the ``cache_len`` bound.
+
+    Same contract as :func:`flash_attention_int8` over a
+    ``serve/paged_kv.py`` pool.  Returns (B, n_heads, T, hd) in q.dtype.
+    """
+    B, nh, T, hd = q.shape
+    nkv, bs = k_pool.shape[1], k_pool.shape[2]
+    g = nh // nkv
+    nbmax = tables.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not interpret:
+        assert bs % 32 == 0, f"block_size must be a 32-multiple, got {bs}"
+    M = g * T
+    qm = M
+    if M % 256 == 0 and (not causal or T % 256 == 0):
+        qm = 256
+
+    qg = (
+        (q.reshape(B, nkv, g, T, hd).reshape(B, nkv, M, hd)
+         .astype(jnp.float32) / jnp.sqrt(jnp.float32(hd)))
+        .astype(jnp.bfloat16)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tables, cache_len
+        grid=(B, nkv, nbmax),
+        in_specs=[
+            pl.BlockSpec((1, 1, M, hd),
+                         lambda b, h, s, tab, c: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, hd),
+                         lambda b, h, s, tab, c: (tab[b, s], h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, 1),
+                         lambda b, h, s, tab, c: (tab[b, s], h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, hd),
+                         lambda b, h, s, tab, c: (tab[b, s], h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, 1),
+                         lambda b, h, s, tab, c: (tab[b, s], h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, M, hd), lambda b, h, s, tab, c: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((M, 1), jnp.float32),
+            pltpu.VMEM((M, 1), jnp.float32),
+            pltpu.VMEM((M, hd), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_flash_kernel, sblk=bs, qm=qm, T=T, causal=causal
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nkv, M, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        tables.astype(jnp.int32), cache_len.astype(jnp.int32), qg,
+        k_pool, k_scale[:, :, :, None], v_pool, v_scale[:, :, :, None],
+    )
+
+    return (
+        out.reshape(B, nkv, g, T, hd)
+        .reshape(B, nh, T, hd)
+        .astype(q.dtype)
+    )
+
+
+def paged_decode_attention_int8(
+    q: jax.Array,        # (B, n_heads, hd)
+    k_pool: jax.Array, k_scale: jax.Array,
+    v_pool: jax.Array, v_scale: jax.Array,
+    tables: jax.Array,
+    cache_len: jax.Array,  # (B,) int32 — valid tokens INCLUDING current
+    *,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Decode over the paged pool: T=1 case of
+    :func:`paged_flash_attention_int8` (single query row sees every valid
+    key — no causal masking needed)."""
+    out = paged_flash_attention_int8(
+        q[:, :, None, :], k_pool, k_scale, v_pool, v_scale, tables,
+        cache_len - 1, causal=False, interpret=interpret,
+    )
+    return out[:, :, 0, :]
+
+
 #: decode_attention_int8 keeps the whole (hblk, S, hd) cache block in VMEM —
 #: past this sequence length the S-tiled kernel takes over
 _DECODE_WHOLE_S_LIMIT = 8192

@@ -1,0 +1,201 @@
+"""Paged KV cache (block pool + block tables) and the paged flash kernel:
+write/read round-trips vs the slot cache, and the table-driven kernel vs the
+contiguous-cache kernel on the same logical contents."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qqq_tpu.serve import kv_cache, paged_kv
+from qqq_tpu.serve.paged_kv import BlockAllocator
+from qqq_tpu.kernels.attention import (
+    flash_attention_int8,
+    paged_flash_attention_int8,
+    paged_decode_attention_int8,
+    decode_attention_int8,
+)
+
+
+class _Cfg:
+    num_key_value_heads = 2
+    head_dim = 64
+    num_hidden_layers = 1
+
+
+def _rand_tables(rng, B, nbmax, alloc):
+    """Distinct shuffled physical blocks per row — the pool layout a real
+    allocator produces (non-contiguous, interleaved across rows)."""
+    t = np.zeros((B, nbmax), np.int32)
+    for b in range(B):
+        blocks = alloc.alloc(nbmax)
+        rng.shuffle(blocks)
+        t[b] = blocks
+    return jnp.asarray(t)
+
+
+def test_write_read_roundtrip_matches_slot_cache(rng):
+    """Writing the same (k, v, offsets) stream into the slot cache and the
+    paged pool must produce identical dequantized contents — same
+    quantization, different placement."""
+    B, T, bs, nbmax = 3, 10, 8, 4
+    cfg = _Cfg()
+    nkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    slot = kv_cache.init(cfg, B, max_len=bs * nbmax, quantized=True,
+                         dtype=jnp.float32)[0]
+    pool = paged_kv.init(cfg, num_blocks=1 + B * nbmax, block_size=bs,
+                         quantized=True)[0]
+    alloc = BlockAllocator(1 + B * nbmax)
+    tables = _rand_tables(rng, B, nbmax, alloc)
+
+    offsets = jnp.asarray([0, 5, 12], jnp.int32)  # ends stay within S=32
+    for _ in range(2):  # two writes: second appends mid-sequence
+        k = jnp.asarray(rng.normal(size=(B, T, nkv, hd)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, T, nkv, hd)).astype(np.float32))
+        slot = kv_cache.write(slot, k, v, offsets)
+        pool = paged_kv.write(pool, k, v, offsets, tables)
+        offsets = offsets + T
+
+    ks, vs = kv_cache.read(slot, jnp.float32)   # (B, S, nkv, hd)
+    kp, vp = paged_kv.read(pool, tables, bs * nbmax, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(kp))
+    np.testing.assert_array_equal(np.asarray(vs), np.asarray(vp))
+
+
+def test_write_unquantized_and_null_block_isolation(rng):
+    """fp pools round-trip exactly, and a row whose table is all null blocks
+    (masked slot) never corrupts other rows' data."""
+    B, T, bs, nbmax = 2, 6, 4, 3
+    cfg = _Cfg()
+    nkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    pool = paged_kv.init(cfg, num_blocks=1 + 2 * nbmax, block_size=bs,
+                         quantized=False, dtype=jnp.float32)[0]
+    alloc = BlockAllocator(1 + 2 * nbmax)
+    tables = np.zeros((B, nbmax), np.int32)
+    tables[0] = alloc.alloc(nbmax)  # row 1 stays on the null block
+    tables = jnp.asarray(tables)
+
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, hd)).astype(np.float32))
+    pool = paged_kv.write(pool, k, v, jnp.zeros((B,), jnp.int32), tables)
+    kr, _ = paged_kv.read(pool, tables, bs * nbmax, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(kr[0, :T]), np.asarray(k[0]))
+    # row 0's live blocks contain row 0's data only — row 1's writes all
+    # landed in block 0, which row 0's table never references
+    assert not np.array_equal(np.asarray(kr[0, :T]), np.asarray(k[1]))
+
+
+def test_allocator_invariants():
+    a = BlockAllocator(8)
+    assert a.available == 7  # null block reserved
+    blocks = a.alloc(7)
+    assert 0 not in blocks and sorted(blocks) == list(range(1, 8))
+    with pytest.raises(RuntimeError):
+        a.alloc(1)
+    a.free(blocks[:3])
+    assert a.available == 3
+    with pytest.raises(ValueError):
+        a.free([0])
+
+
+@pytest.mark.parametrize("B,nh,nkv,bs,nbmax,T,causal", [
+    (2, 8, 4, 128, 4, 1, False),    # decode shape
+    (2, 8, 4, 128, 4, 16, True),    # chunked prefill, GQA
+    (1, 4, 4, 64, 6, 8, True),      # MHA, small blocks
+])
+def test_paged_flash_matches_contiguous(rng, B, nh, nkv, bs, nbmax, T,
+                                        causal):
+    """The paged kernel over a shuffled pool == the contiguous flash kernel
+    over the same logical cache (bit-identical: same body, same tile walk —
+    only the DMA addressing differs)."""
+    hd = 64
+    S = bs * nbmax
+    k8 = rng.integers(-127, 128, size=(B, nkv, S, hd)).astype(np.int8)
+    v8 = rng.integers(-127, 128, size=(B, nkv, S, hd)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, size=(B, nkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, size=(B, nkv, S)).astype(np.float32)
+    q = rng.normal(size=(B, nh, T, hd)).astype(np.float32)
+    clen = rng.integers(T, S - bs - T, size=(B,)).astype(np.int32)
+
+    want = flash_attention_int8(
+        jnp.asarray(q), jnp.asarray(k8), jnp.asarray(ks),
+        jnp.asarray(v8), jnp.asarray(vs), jnp.asarray(clen),
+        causal=causal, sblk=bs,
+    )
+
+    # scatter the contiguous cache into a shuffled pool
+    alloc = BlockAllocator(1 + B * nbmax)
+    rngs = np.random.default_rng(0)
+    tables = np.zeros((B, nbmax), np.int32)
+    nb_pool = 1 + B * nbmax
+    kp = np.zeros((nb_pool, nkv, bs, hd), np.int8)
+    vp = np.zeros((nb_pool, nkv, bs, hd), np.int8)
+    ksp = np.zeros((nb_pool, nkv, bs), np.float32)
+    vsp = np.zeros((nb_pool, nkv, bs), np.float32)
+    for b in range(B):
+        blocks = alloc.alloc(nbmax)
+        rngs.shuffle(blocks)
+        tables[b] = blocks
+        for s, blk in enumerate(blocks):
+            kp[blk] = k8[b, :, s * bs:(s + 1) * bs]
+            vp[blk] = v8[b, :, s * bs:(s + 1) * bs]
+            ksp[blk] = ks[b, :, s * bs:(s + 1) * bs]
+            vsp[blk] = vs[b, :, s * bs:(s + 1) * bs]
+
+    got = paged_flash_attention_int8(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(ksp),
+        jnp.asarray(vp), jnp.asarray(vsp), jnp.asarray(tables),
+        jnp.asarray(clen), causal=causal,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_paged_decode_matches_whole_cache_kernel(rng):
+    """End-to-end decode convention check: paged decode (cache_len INCLUDES
+    the current token) vs the whole-cache decode kernel on identical
+    contents."""
+    B, nh, nkv, bs, nbmax, hd = 2, 8, 4, 128, 2, 64
+    S = bs * nbmax
+    cfg = _Cfg()
+    k8 = rng.integers(-127, 128, size=(B, nkv, S, hd)).astype(np.int8)
+    v8 = rng.integers(-127, 128, size=(B, nkv, S, hd)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, size=(B, nkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, size=(B, nkv, S)).astype(np.float32)
+    q = rng.normal(size=(B, nh, hd)).astype(np.float32)
+    clen = np.asarray([37, 190], np.int32)
+
+    want = flash_attention_int8(
+        jnp.asarray(q)[:, :, None, :], jnp.asarray(k8), jnp.asarray(ks),
+        jnp.asarray(v8), jnp.asarray(vs), jnp.asarray(clen) - 1,
+        causal=False, sblk=bs,
+    )[:, :, 0, :]
+    # convention pin vs the f32 whole-cache decode kernel (different
+    # numerics family: bf16 flash tiles, ≲0.5% relative)
+    whole = decode_attention_int8(
+        jnp.asarray(q), jnp.asarray(k8), jnp.asarray(ks),
+        jnp.asarray(v8), jnp.asarray(vs), jnp.asarray(clen),
+    )
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(whole), atol=2e-2
+    )
+
+    tables = np.asarray([[2, 1], [3, 4]], np.int32)
+    nb_pool = 5
+    kp = np.zeros((nb_pool, nkv, bs, hd), np.int8)
+    vp = np.zeros((nb_pool, nkv, bs, hd), np.int8)
+    ksp = np.zeros((nb_pool, nkv, bs), np.float32)
+    vsp = np.zeros((nb_pool, nkv, bs), np.float32)
+    for b in range(B):
+        for s in range(nbmax):
+            blk = tables[b, s]
+            kp[blk] = k8[b, :, s * bs:(s + 1) * bs]
+            vp[blk] = v8[b, :, s * bs:(s + 1) * bs]
+            ksp[blk] = ks[b, :, s * bs:(s + 1) * bs]
+            vsp[blk] = vs[b, :, s * bs:(s + 1) * bs]
+
+    got = paged_decode_attention_int8(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(ksp),
+        jnp.asarray(vp), jnp.asarray(vsp), jnp.asarray(tables),
+        jnp.asarray(clen),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
