@@ -801,6 +801,15 @@ def parse_args():
     p.add_argument("--spec_k", type=int, default=4,
                    help="max draft tokens verified per speculative tick")
     p.add_argument("--kv_int8", action="store_true", default=True)
+    p.add_argument("--paged", action="store_true",
+                   help="paged KV cache (block pool + block tables, "
+                        "serve/paged_kv.py): KV memory scales with tokens "
+                        "in flight; pool exhaustion preempts (recompute)")
+    p.add_argument("--block_size", type=int, default=128,
+                   help="paged-KV tokens per block")
+    p.add_argument("--num_blocks", type=int, default=0,
+                   help="paged-KV pool size in blocks (0 = cover "
+                        "max_batch x max_length; smaller oversubscribes)")
     p.add_argument("--dtype", default="bfloat16")
     return p.parse_args()
 
@@ -830,6 +839,8 @@ def main():
         kv_quantized=args.kv_int8, steps_per_tick=args.steps_per_tick,
         prefill_chunk=args.prefill_chunk, spec_ngram=args.spec_ngram,
         spec_k=args.spec_k, prefix_cache=args.prefix_cache, dtype=dtype,
+        paged=args.paged, block_size=args.block_size,
+        num_blocks=args.num_blocks or None,
     )
     import os
 

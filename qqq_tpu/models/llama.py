@@ -298,6 +298,7 @@ def attention(
     cache_len: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
     reduce: str = "psum",
+    block_tables: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     """Under tensor parallelism (``tp_axis`` set, inside shard_map) the
     q/k/v/o weights arrive head-sharded; the o_proj output is partial-summed
@@ -342,6 +343,44 @@ def attention(
         kf, vf = k, v
         key_pos = positions  # (B, T)
         mask = key_pos[:, None, :] <= positions[:, :, None]
+    elif block_tables is not None:
+        # paged cache (serve/paged_kv.py): the block table routes writes and
+        # the attention kernels' DMA through the shared pool
+        from qqq_tpu.serve import paged_kv as pkv
+
+        cache = pkv.write(cache, k, v, cache_len, block_tables)
+        if "k_scale" in cache:
+            from qqq_tpu.kernels.attention import (
+                paged_decode_attention_int8, paged_flash_attention_int8,
+            )
+
+            if T == 1:
+                out = paged_decode_attention_int8(
+                    q[:, 0],
+                    cache["k"], cache["k_scale"],
+                    cache["v"], cache["v_scale"],
+                    block_tables, cache_len + 1,
+                )
+                out = out.reshape(B, 1, nh * hd)
+            else:
+                out = paged_flash_attention_int8(
+                    jnp.swapaxes(q, 1, 2),  # (B, nh, T, hd)
+                    cache["k"], cache["k_scale"],
+                    cache["v"], cache["v_scale"],
+                    block_tables, cache_len, causal=True,
+                )
+                out = jnp.swapaxes(out, 1, 2).reshape(B, T, nh * hd)
+            return _row_parallel(layer["o_proj"], out, tp_axis, reduce), cache
+        # fp pool: dense gather fallback (same mask math as the slot cache)
+        S = block_tables.shape[1] * cache["k"].shape[2]
+        kf, vf = pkv.read(cache, block_tables, S, x.dtype)
+        key_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
+        valid = key_idx < (cache_len + T)[:, None]
+        mask = valid[:, None, :] & (key_idx[:, None, :] <= positions[:, :, None])
+        kf = repeat_kv(kf, config.num_kv_groups)
+        vf = repeat_kv(vf, config.num_kv_groups)
+        out = _attention_scores(q, kf, vf, mask).reshape(B, T, nh * hd)
+        return _row_parallel(layer["o_proj"], out, tp_axis, reduce), cache
     else:
         cache = kvc.write(cache, k, v, cache_len)
         if T == 1 and "k_scale" in cache:
@@ -421,10 +460,12 @@ def decoder_layer(
     cache: Optional[Dict[str, Any]] = None,
     cache_len: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
+    block_tables: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     h = rms_norm(x, layer["input_layernorm"], config.rms_norm_eps)
     attn_out, cache = attention(
-        layer, h, positions, inv_freq, config, cache, cache_len, tp_axis
+        layer, h, positions, inv_freq, config, cache, cache_len, tp_axis,
+        block_tables=block_tables,
     )
     x = x + attn_out
     h = rms_norm(x, layer["post_attention_layernorm"], config.rms_norm_eps)
@@ -516,11 +557,14 @@ def forward(
     return_hidden: bool = False,
     tp_axis: Optional[str] = None,
     gather_logits: bool = True,
+    block_tables: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[List[Dict[str, Any]]]]:
     """Returns (logits (B, T, V) f32, updated caches).
 
     With ``caches=None`` this is the full-sequence scoring path (PPL eval,
     calibration); with caches it is prefill (T>1) or decode (T=1).
+    With ``block_tables`` (B, max_blocks) the caches are paged block pools
+    (serve/paged_kv.py) instead of fixed slots.
 
     ``gather_logits=False`` under TP returns this shard's vocab slice
     (B, T, V/tp) instead of all-gathering — pair with
@@ -544,7 +588,8 @@ def forward(
     for i, layer in enumerate(params["layers"]):
         cache_i = caches[i] if caches is not None else None
         x, cache_i = decoder_layer(
-            layer, x, positions, inv_freq, config, cache_i, cache_len, tp_axis
+            layer, x, positions, inv_freq, config, cache_i, cache_len,
+            tp_axis, block_tables=block_tables,
         )
         if new_caches is not None:
             new_caches.append(cache_i)

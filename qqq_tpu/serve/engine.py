@@ -66,6 +66,11 @@ class Request:
     #: set via Engine.cancel (or an ``on_token`` hook returning from a stop
     #: condition): the request finishes at the last emitted token
     cancelled: bool = False
+    #: set when the engine PREEMPTS the request (paged mode, pool
+    #: exhausted): the token stream to re-prefill on re-admission
+    #: (prompt + generated so far) — generation continues exactly where it
+    #: left off
+    _resume: Optional[List[int]] = None
     _emitted: int = 0  # tokens already delivered through Engine.on_token
     # latency bookkeeping (monotonic seconds, filled by the engine)
     t_enqueue: Optional[float] = None
@@ -120,6 +125,9 @@ class Engine:
         spec_ngram: int = 0,
         spec_k: int = 4,
         prefix_cache: bool = False,
+        paged: bool = False,
+        block_size: int = 128,
+        num_blocks: Optional[int] = None,
     ):
         """``steps_per_tick > 1`` decodes that many tokens per device call
         (fused scan) — higher throughput, at the cost of EOS/admission checks
@@ -159,7 +167,21 @@ class Engine:
         are EXACTLY the plain-greedy stream but cost one weight pass per
         accepted run.  Sampled rows (temperature > 0) ignore drafts and
         behave as plain decode.  Decode-bound W4A8 serving reads ~3.6 GB of
-        weights per step at 7B; verification's extra FLOPs are ~free."""
+        weights per step at 7B; verification's extra FLOPs are ~free.
+
+        ``paged=True`` replaces the per-slot contiguous KV with a PAGED
+        block pool (serve/paged_kv.py, the vLLM PagedAttention design):
+        ``num_blocks`` blocks of ``block_size`` tokens shared by all slots,
+        with per-slot block tables grown on demand — KV memory scales with
+        TOKENS IN FLIGHT, not max_batch × max_len.  Implies chunked prefill
+        (admission prefills straight into the pool).  When the pool runs
+        dry the engine first reclaims freed slots' cached prefixes, then
+        PREEMPTS the youngest active request (vLLM recompute policy: its
+        blocks free immediately and it re-enters the queue to re-prefill
+        prompt + generated-so-far, continuing exactly where it left off —
+        greedy and seeded streams are unchanged).  Default ``num_blocks``
+        covers max_batch × max_len (no preemption possible); size it down
+        to oversubscribe.  Single-device only (no TP mesh) for now."""
         if fuse and mesh is None:
             from qqq_tpu.models.llama import fuse_inference_params
 
@@ -172,9 +194,37 @@ class Engine:
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= max_len
         ) or (max_len,)
-        self.caches = kv_cache.init(
-            config, max_batch, max_len, quantized=kv_quantized, dtype=dtype
-        )
+        self.paged = paged
+        if paged:
+            from qqq_tpu.serve import paged_kv
+            from qqq_tpu.serve.paged_kv import BlockAllocator
+
+            assert mesh is None, "paged KV is single-device for now"
+            assert max_len % block_size == 0, \
+                "max_len must be a multiple of block_size"
+            if not prefill_chunk:
+                # block-sized chunks divide max_len (asserted below) and
+                # fill whole blocks per tick
+                prefill_chunk = block_size
+            self.block_size = block_size
+            #: per-slot virtual-block capacity (max_len tokens)
+            self._nbmax = max_len // block_size
+            if num_blocks is None:
+                num_blocks = 1 + max_batch * self._nbmax
+            self.num_blocks = num_blocks
+            self.allocator = BlockAllocator(num_blocks)
+            #: (B, nbmax) physical block per (slot, virtual block); 0 = null
+            self.tables = np.zeros((max_batch, self._nbmax), np.int32)
+            self.slot_blocks: List[List[int]] = [[] for _ in range(max_batch)]
+            self.caches = paged_kv.init(
+                config, num_blocks, block_size, quantized=kv_quantized,
+                dtype=dtype,
+            )
+        else:
+            self.caches = kv_cache.init(
+                config, max_batch, max_len, quantized=kv_quantized,
+                dtype=dtype,
+            )
         self.kv_quantized = kv_quantized
         # slot state (host)
         self.slot_req: List[Optional[Request]] = [None] * max_batch
@@ -235,6 +285,7 @@ class Engine:
             "generated_tokens": 0, "decode_ticks": 0,
             "spec_drafted": 0, "spec_accepted": 0,
             "prefix_hits": 0, "prefix_tokens_reused": 0,
+            "preemptions": 0,
         }
 
         self.mesh = mesh
@@ -300,8 +351,9 @@ class Engine:
                 check_vma=False,
             )
         else:
-            self._fwd = lambda p, t, c, cl, pos: M.forward(
-                p, self.config, t, positions=pos, caches=c, cache_len=cl
+            self._fwd = lambda p, t, c, cl, pos, tables=None: M.forward(
+                p, self.config, t, positions=pos, caches=c, cache_len=cl,
+                block_tables=tables,
             )
 
         # donate the cache buffers: the update aliases in place instead of
@@ -310,6 +362,12 @@ class Engine:
         self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2, 10))
         self._prefill_chunk_fn = jax.jit(
             self._prefill_chunk_step, donate_argnums=(2,)
+        )
+        self._prefill_chunk_paged_fn = jax.jit(
+            self._prefill_chunk_paged, donate_argnums=(2,)
+        )
+        self._set_counts_fn = jax.jit(
+            lambda c, slot, row: c.at[slot].set(row), donate_argnums=(0,)
         )
         self._spec_fn = jax.jit(self._spec_verify_step, donate_argnums=(2, 10))
         self._count_fn = jax.jit(
@@ -333,13 +391,21 @@ class Engine:
 
     # -- jitted programs ----------------------------------------------------
 
+    def _fwd_t(self, params, tokens, caches, cache_len, positions, tables):
+        """Forward with an optional paged block table (tables only exist in
+        paged mode, which is mesh-free — the shard_map _fwd never sees
+        them)."""
+        if tables is None:
+            return self._fwd(params, tokens, caches, cache_len, positions)
+        return self._fwd(params, tokens, caches, cache_len, positions, tables)
+
     def _decode_step(self, params, tokens, caches, cache_len, key, active,
                      temp, topk, topp, minp, counts, rep_mask, pres,
                      freq, rep, seeded, seeds, ngen,
-                     bias_ids=None, bias_vals=None):
+                     bias_ids=None, bias_vals=None, tables=None):
         positions = cache_len[:, None]  # T == 1
-        logits, caches = self._fwd(
-            params, tokens, caches, cache_len, positions
+        logits, caches = self._fwd_t(
+            params, tokens, caches, cache_len, positions, tables
         )
         last = logits[:, -1, :]
         penal = apply_penalties(last, counts, rep_mask, pres, freq, rep)
@@ -389,7 +455,7 @@ class Engine:
     def _decode_multi(self, params, tokens, caches, cache_len, key, active,
                       temp, topk, topp, minp, counts, rep_mask, pres,
                       freq, rep, seeded, seeds, ngen, bias_ids, bias_vals,
-                      n_steps: int):
+                      tables, n_steps: int):
         """n decode steps fused in one on-device ``lax.scan`` — amortizes
         dispatch overhead (one launch per chunk instead of per token)."""
 
@@ -399,7 +465,7 @@ class Engine:
             nxt, lp, caches, counts = self._decode_step(
                 params, tok[:, None], caches, clen, sub, active,
                 temp, topk, topp, minp, counts, rep_mask, pres, freq, rep,
-                seeded, seeds, ng, bias_ids, bias_vals,
+                seeded, seeds, ng, bias_ids, bias_vals, tables,
             )
             ng_next = None if ng is None else ng + 1  # None = no seeded rows
             return (nxt, caches, clen + 1, key, counts, ng_next), (nxt, lp)
@@ -413,7 +479,7 @@ class Engine:
     def _spec_verify_step(self, params, tokens, caches, cache_len, key,
                           active, temp, topk, topp, minp, counts,
                           rep_mask, pres, freq, rep, seeded, seeds, ngen,
-                          bias_ids=None, bias_vals=None):
+                          bias_ids=None, bias_vals=None, tables=None):
         """Verify a (B, 1+k) [last_token, draft…] batch in one forward.
         Returns the model's greedy continuation at every position (+ its
         logprobs) for draft acceptance, and the position-0 sampled token
@@ -424,7 +490,8 @@ class Engine:
         argument as chunked prefill)."""
         B, T = tokens.shape
         pos = cache_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        logits, caches = self._fwd(params, tokens, caches, cache_len, pos)
+        logits, caches = self._fwd_t(params, tokens, caches, cache_len, pos,
+                                     tables)
         lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
         glp = jnp.take_along_axis(lsm, greedy[..., None], axis=-1)[..., 0]
@@ -485,6 +552,27 @@ class Engine:
             )
 
         return tok, lp, jax.tree.map(ins, caches, c1)
+
+    def _prefill_chunk_paged(self, params, tokens, caches, k, true_n,
+                             tables, key, temp, topk, topp, minp, seeded,
+                             seeds, ngen, bias_ids=None, bias_vals=None):
+        """Paged-mode chunked prefill: the pool is global and shared, so no
+        slot slicing — a (1, C) forward writes straight into this slot's
+        blocks through its table row (donated pool, in-place scatter).
+        Padded tail positions land in unallocated virtual blocks → the null
+        block (paged_kv.py), harmless by construction."""
+        clen = jnp.broadcast_to(k, (1,))
+        pos = (k + jnp.arange(tokens.shape[1], dtype=jnp.int32))[None, :]
+        logits, caches = self._fwd(params, tokens, caches, clen, pos, tables)
+        last = jnp.take_along_axis(
+            logits, (true_n - 1)[None, None, None], axis=1
+        )[:, 0, :]
+        samp_in = last if bias_ids is None else apply_logit_bias(
+            last, bias_ids, bias_vals
+        )
+        tok = sample_batched(samp_in, key, temp, topk, topp, minp,
+                             seeded, seeds, ngen)
+        return tok, chosen_logprob(last, tok), caches
 
     def _prefill(self, params, tokens, true_len, caches1, key,
                  temp, topk, topp, minp, seeded, seeds, ngen,
@@ -648,6 +736,75 @@ class Engine:
             [r.sampling if r is not None else None for r in rows], n
         )
 
+    # -- paged block management (host side) ----------------------------------
+
+    def _tables_arg(self):
+        """Current block tables as the device arg of the jitted programs
+        (None in slot mode — the programs compile without a paged branch)."""
+        return jnp.asarray(self.tables) if self.paged else None
+
+    def _release_blocks(self, slot: int) -> None:
+        if self.slot_blocks[slot]:
+            self.allocator.free(self.slot_blocks[slot])
+            self.slot_blocks[slot] = []
+            self.tables[slot, :] = 0
+
+    def _reclaim_cached(self, n: int) -> None:
+        """Free blocks held by FREED slots' cached prefixes (prefix_cache
+        mode) until ``n`` are available — cached prefixes are a best-effort
+        optimization, live requests win."""
+        for i, r in enumerate(self.slot_req):
+            if self.allocator.available >= n:
+                return
+            if r is None and self.slot_blocks[i]:
+                self._release_blocks(i)
+                self.slot_tokens[i] = []
+                self.slot_len[i] = 0
+
+    def _preempt(self, protect: int) -> bool:
+        """Free the cheapest-to-recompute active request (fewest cached
+        tokens) other than ``protect`` and requeue it at the FRONT of the
+        queue with its resume stream (prompt + generated) — the vLLM
+        recompute-preemption policy.  Greedy/seeded outputs are unchanged:
+        re-prefill rebuilds the identical KV and the seeded noise is keyed
+        on the generation index, not the schedule."""
+        cands = [i for i, r in enumerate(self.slot_req)
+                 if r is not None and i != protect]
+        if not cands:
+            return False
+        victim = min(cands, key=lambda i: int(self.slot_len[i]))
+        req = self.slot_req[victim]
+        self.slot_prefill.pop(victim, None)
+        req._resume = list(req.prompt_tokens) + list(req.output_tokens)
+        self._pending.insert(0, req)
+        self._release_blocks(victim)
+        self.slot_req[victim] = None
+        self.slot_len[victim] = 0
+        self.slot_tokens[victim] = []
+        self.stats["preemptions"] += 1
+        return True
+
+    def _ensure_blocks(self, slot: int, upto: int) -> None:
+        """Grow ``slot``'s block table to cover positions [0, upto),
+        reclaiming cached prefixes and preempting other requests if the
+        pool is dry.  Raises if the slot can't fit even alone."""
+        bs = self.block_size
+        need = min(-(-upto // bs), self._nbmax) - len(self.slot_blocks[slot])
+        if need <= 0:
+            return
+        if self.allocator.available < need:
+            self._reclaim_cached(need)
+        while self.allocator.available < need:
+            if not self._preempt(protect=slot):
+                raise RuntimeError(
+                    f"KV pool too small: slot needs {need} more blocks, "
+                    f"{self.allocator.available} free, nothing to preempt"
+                )
+        got = self.allocator.alloc(need)
+        base = len(self.slot_blocks[slot])
+        self.slot_blocks[slot].extend(got)
+        self.tables[slot, base : base + len(got)] = got
+
     def _propose_draft(self, req: Request) -> List[int]:
         """Prompt-lookup drafting (vLLM's "[ngram]" speculative model): find
         the most recent earlier occurrence of the last ``spec_ngram`` tokens
@@ -693,6 +850,7 @@ class Engine:
             jnp.asarray(active), *samp, self.counts, self.rep_mask,
             *pens, *self._seed_arrays(self.slot_req, B),
             *self._bias_arrays(self.slot_req, B),
+            self._tables_arg(),
         )
         g, glp_np = np.asarray(greedy), np.asarray(glp)
         s0_np, slp0_np = np.asarray(s0), np.asarray(slp0)
@@ -738,28 +896,51 @@ class Engine:
             toks[0, : len(part)] = part
             k = int(self.slot_len[slot])
             self.key, kk = jax.random.split(self.key)
-            tok, lp, self.caches = self._prefill_chunk_fn(
-                self.params, jnp.asarray(toks), self.caches,
-                jnp.int32(k), jnp.int32(len(part)), jnp.int32(slot), kk,
-                *sampling_arrays([req.sampling]),
-                *self._seed_arrays([req], 1),
-                *self._bias_arrays([req], 1),
-            )
+            if self.paged:
+                self._ensure_blocks(slot, k + len(part))
+                tok, lp, self.caches = self._prefill_chunk_paged_fn(
+                    self.params, jnp.asarray(toks), self.caches,
+                    jnp.int32(k), jnp.int32(len(part)),
+                    jnp.asarray(self.tables[slot : slot + 1]), kk,
+                    *sampling_arrays([req.sampling]),
+                    *self._seed_arrays([req], 1),
+                    *self._bias_arrays([req], 1),
+                )
+            else:
+                tok, lp, self.caches = self._prefill_chunk_fn(
+                    self.params, jnp.asarray(toks), self.caches,
+                    jnp.int32(k), jnp.int32(len(part)), jnp.int32(slot), kk,
+                    *sampling_arrays([req.sampling]),
+                    *self._seed_arrays([req], 1),
+                    *self._bias_arrays([req], 1),
+                )
             self.slot_len[slot] = k + len(part)
             self.slot_prefill[slot] = remaining[C:]
             self.stats["prefill_chunks"] += 1
             self.stats["prefill_tokens"] += len(part)
             if not self.slot_prefill[slot]:  # prompt fully cached
                 del self.slot_prefill[slot]
+                req._resume = None
                 firsts, lps = np.asarray(tok), np.asarray(lp)
                 first = int(firsts[0])
                 if req.sampling.has_penalties:
-                    self.counts = self._reset_count_fn(
-                        self.counts, jnp.int32(slot)
-                    )
-                    self.counts = self._count_fn(
-                        self.counts, jnp.int32(slot), jnp.int32(first)
-                    )
+                    if req.output_tokens:
+                        # resumed after preemption: rebuild the generated-
+                        # token counts for everything emitted so far
+                        row = np.bincount(
+                            np.asarray(req.output_tokens + [first]),
+                            minlength=self.config.vocab_size,
+                        ).astype(np.int32)
+                        self.counts = self._set_counts_fn(
+                            self.counts, jnp.int32(slot), jnp.asarray(row)
+                        )
+                    else:
+                        self.counts = self._reset_count_fn(
+                            self.counts, jnp.int32(slot)
+                        )
+                        self.counts = self._count_fn(
+                            self.counts, jnp.int32(slot), jnp.int32(first)
+                        )
                     if req.sampling.repetition_penalty != 1.0:
                         pt = np.zeros((self.max_len,), np.int32)
                         n_p = len(req.prompt_tokens)
@@ -814,7 +995,7 @@ class Engine:
                 if r.cancelled:
                     r.done = True
                     r.finish_reason = "stop"
-                elif len(r.prompt_tokens) + 1 > self.max_len or (
+                elif len(r._resume or r.prompt_tokens) + 1 > self.max_len or (
                     not self.prefill_chunk
                     and len(r.prompt_tokens) > self.prefill_buckets[-1]
                 ):
@@ -831,10 +1012,11 @@ class Engine:
                 # never stalls behind a whole-bucket prefill
                 while self._pending and None in self.slot_req:
                     req = self._pending.pop(0)
-                    slot, reuse = self._pick_slot(req.prompt_tokens)
+                    stream = req._resume or req.prompt_tokens
+                    slot, reuse = self._pick_slot(stream)
                     self.slot_req[slot] = req
                     self.slot_len[slot] = reuse
-                    self.slot_prefill[slot] = list(req.prompt_tokens[reuse:])
+                    self.slot_prefill[slot] = list(stream[reuse:])
                     self.slot_tokens[slot] = []
                     if reuse:
                         self.stats["prefix_hits"] += 1
@@ -869,6 +1051,19 @@ class Engine:
                     self._admit_batch(group[:pb], free[:pb], bucket)
                     group, free = group[pb:], free[pb:]
 
+            if self.paged:
+                # grow block tables for this tick's writes up front; a
+                # preemption inside _ensure_blocks frees some other slot,
+                # which then simply drops out of `active` below
+                need = (1 + self.spec_k) if self.spec_ngram \
+                    else self.steps_per_tick
+                for slot, r in enumerate(self.slot_req):
+                    if r is not None and slot not in self.slot_prefill:
+                        self._ensure_blocks(
+                            slot,
+                            min(int(self.slot_len[slot]) + need,
+                                self.max_len),
+                        )
             active = np.array(
                 [r is not None and i not in self.slot_prefill
                  for i, r in enumerate(self.slot_req)], bool
@@ -930,6 +1125,7 @@ class Engine:
                     self.rep_mask, *pens,
                     *self._seed_arrays(self.slot_req, self.max_batch),
                     *self._bias_arrays(self.slot_req, self.max_batch),
+                    self._tables_arg(),
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
                 lp_np = np.asarray(lp)[:, None]
@@ -947,6 +1143,7 @@ class Engine:
                     self.rep_mask, *pens,
                     *self._seed_arrays(self.slot_req, self.max_batch),
                     *self._bias_arrays(self.slot_req, self.max_batch),
+                    self._tables_arg(),
                     n_steps=chunk,
                 )
                 chunk_np = np.asarray(toks)
@@ -1011,8 +1208,18 @@ class Engine:
                               self.max_len - self._free_margin))
             self.slot_tokens[slot] = seq[:keep]
             self.slot_len[slot] = keep
+            if self.paged:
+                # trim blocks past the preserved prefix back into the pool
+                nkeep = -(-keep // self.block_size) if keep else 0
+                tail = self.slot_blocks[slot][nkeep:]
+                if tail:
+                    self.allocator.free(tail)
+                    del self.slot_blocks[slot][nkeep:]
+                    self.tables[slot, nkeep:] = 0
         else:
             self.slot_len[slot] = 0
+            if self.paged:
+                self._release_blocks(slot)
         self.slot_req[slot] = None
 
     def _release_if_cancelled(self, slot: int) -> None:

@@ -130,7 +130,8 @@ def run_once(eng, config, bs, in_len, out_len, seed=1):
 
 def bench_config(config, *, quantize, group_size, bs, in_len, out_len,
                  steps_per_tick, params=None, prefill_chunk=0,
-                 prefix_cache=False, spec_ngram=0, spec_k=4):
+                 prefix_cache=False, spec_ngram=0, spec_k=4, paged=False,
+                 block_size=128, num_blocks=None):
     from qqq_tpu.serve.engine import Engine
 
     if params is None:
@@ -146,7 +147,8 @@ def bench_config(config, *, quantize, group_size, bs, in_len, out_len,
         kv_quantized=quantize, prefill_buckets=(in_len,),
         steps_per_tick=1 if spec_ngram else steps_per_tick,
         prefill_chunk=prefill_chunk, prefix_cache=prefix_cache,
-        spec_ngram=spec_ngram, spec_k=spec_k,
+        spec_ngram=spec_ngram, spec_k=spec_k, paged=paged,
+        block_size=block_size, num_blocks=num_blocks,
     )
     run_once(eng, config, bs, in_len, min(out_len, 2 * steps_per_tick))
     dt = min(run_once(eng, config, bs, in_len, out_len, seed=s)
@@ -177,6 +179,11 @@ def main():
                          "steps-per-tick=1; acceptance on random weights "
                          "comes from argmax cycles — see spec_accepted)")
     ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--paged", action="store_true",
+                    help="paged KV cache (block pool + block tables)")
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--num-blocks", type=int, default=0,
+                    help="pool blocks (0 = cover max_batch x max_len)")
     ap.add_argument("--mode", default="w4a8", choices=("w4a8", "bf16"),
                     help="run ONE precision per process — HBM from a "
                          "released engine is not reliably reclaimed by the "
@@ -200,6 +207,8 @@ def main():
             prefill_chunk=args.prefill_chunk,
             prefix_cache=args.prefix_cache,
             spec_ngram=args.spec_ngram, spec_k=args.spec_k,
+            paged=args.paged, block_size=args.block_size,
+            num_blocks=args.num_blocks or None,
         )
         out_tps = bs * args.out_len / dt
         total_tps = bs * (args.in_len + args.out_len) / dt
@@ -218,6 +227,8 @@ def main():
             rec["decode_ticks"] = stats["decode_ticks"]
         if args.prefix_cache:
             rec["prefix_tokens_reused"] = stats["prefix_tokens_reused"]
+        if args.paged:
+            rec["preemptions"] = stats["preemptions"]
         print(json.dumps(rec), flush=True)
 
 

@@ -1,0 +1,148 @@
+"""Paged-KV engine mode: block-pool continuous batching must reproduce the
+naive greedy stream through every scheduler combination, including under
+pool-exhaustion preemption."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qqq_tpu.models import ModelConfig, forward, init_params
+from qqq_tpu.serve.engine import Engine, Request, generate
+from qqq_tpu.serve.sampling import SamplingParams
+
+CFG = ModelConfig(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=96,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=128,
+)
+
+
+def _naive_greedy(params, prompt, n_new):
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits, _ = forward(params, CFG, jnp.asarray([toks], jnp.int32))
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def prompts(rng_module):
+    return [
+        [int(t) for t in rng_module.integers(0, 128, size=n)]
+        for n in (6, 11, 3)
+    ]
+
+
+@pytest.fixture(scope="module")
+def rng_module():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="module")
+def want(params, prompts):
+    return [_naive_greedy(params, p, 8) for p in prompts]
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),                                     # plain paged (chunked admit)
+    dict(steps_per_tick=3),                     # fused multi-step decode
+    dict(spec_ngram=2, spec_k=3),               # speculative decoding
+    dict(prefix_cache=True),                    # slot-level prefix reuse
+])
+def test_paged_matches_naive_greedy(params, prompts, want, kw):
+    outs = generate(
+        params, CFG, prompts, SamplingParams(max_new_tokens=8),
+        max_batch=4, max_len=64, kv_quantized=True, dtype=jnp.float32,
+        paged=True, block_size=8, **kw,
+    )
+    assert outs == want, kw
+
+
+def test_paged_preemption_exact(params, prompts, want):
+    """A pool sized for ~1.5 requests forces recompute-preemption while 3
+    requests run; the greedy streams must be IDENTICAL to the roomy pool
+    (re-prefill rebuilds the same KV)."""
+    eng = Engine(params, CFG, max_batch=4, max_len=64, kv_quantized=True,
+                 dtype=jnp.float32, paged=True, block_size=8, num_blocks=7)
+    reqs = [Request(prompt_tokens=p, sampling=SamplingParams(max_new_tokens=8))
+            for p in prompts]
+    eng.run(reqs)
+    assert [r.output_tokens for r in reqs] == want
+    assert eng.stats["preemptions"] > 0
+    # every slot freed → all non-null blocks back in the pool
+    assert eng.allocator.available == eng.num_blocks - 1
+
+
+def test_paged_preemption_seeded_and_penalized(params, prompts):
+    """Preemption must not disturb (a) seeded sampling — the noise is keyed
+    on the generation index — or (b) penalty state, which is rebuilt from
+    the resumed request's generated tokens."""
+    sps = [
+        SamplingParams(max_new_tokens=8, temperature=0.9, seed=7),
+        SamplingParams(max_new_tokens=8, presence_penalty=0.8,
+                       frequency_penalty=0.3),
+        SamplingParams(max_new_tokens=8),
+    ]
+
+    def run(num_blocks):
+        eng = Engine(params, CFG, max_batch=4, max_len=64, kv_quantized=True,
+                     dtype=jnp.float32, paged=True, block_size=8,
+                     num_blocks=num_blocks)
+        reqs = [Request(prompt_tokens=p, sampling=sp)
+                for p, sp in zip(prompts, sps)]
+        eng.run(reqs)
+        return [r.output_tokens for r in reqs], eng.stats["preemptions"]
+
+    roomy, pre0 = run(num_blocks=1 + 4 * 8)
+    tight, pre1 = run(num_blocks=7)
+    assert pre0 == 0 and pre1 > 0
+    assert tight == roomy
+
+
+def test_paged_pool_too_small_raises(params):
+    """A single request that cannot fit in the pool even alone fails loudly
+    (nothing to preempt)."""
+    eng = Engine(params, CFG, max_batch=2, max_len=64, kv_quantized=True,
+                 dtype=jnp.float32, paged=True, block_size=8, num_blocks=3)
+    req = Request(prompt_tokens=list(range(1, 30)),
+                  sampling=SamplingParams(max_new_tokens=4))
+    with pytest.raises(RuntimeError, match="pool too small"):
+        eng.run([req])
+
+
+def test_paged_prefix_cache_reuses_blocks(params, rng_module):
+    """Multi-turn traffic on one paged engine: the second request shares the
+    first's prompt+output prefix, reuses its freed slot's blocks, and only
+    the tail prefills — outputs stay exact."""
+    base = [int(t) for t in rng_module.integers(0, 128, size=16)]
+    eng = Engine(params, CFG, max_batch=2, max_len=64, kv_quantized=True,
+                 dtype=jnp.float32, paged=True, block_size=8,
+                 prefill_chunk=8, prefix_cache=True)
+    r1 = Request(prompt_tokens=base, sampling=SamplingParams(max_new_tokens=4))
+    eng.run([r1])
+    follow = base + r1.output_tokens + [5, 9]
+    r2 = Request(prompt_tokens=follow,
+                 sampling=SamplingParams(max_new_tokens=4))
+    eng.run([r2])
+    assert eng.stats["prefix_hits"] >= 1
+    assert eng.stats["prefix_tokens_reused"] > 0
+    assert r2.output_tokens == _naive_greedy(params, follow, 4)
+
+
+def test_paged_pool_memory_is_smaller(params):
+    """The point of paging: a 4-slot × 64-token engine with a 17-block pool
+    allocates 17·8 = 136 KV token slots instead of 4·64 = 256."""
+    eng = Engine(params, CFG, max_batch=4, max_len=64, kv_quantized=True,
+                 dtype=jnp.float32, paged=True, block_size=8, num_blocks=17)
+    slots = eng.caches[0]["k"].shape[0] * eng.caches[0]["k"].shape[2]
+    assert slots == 17 * 8 < 4 * 64
