@@ -144,6 +144,23 @@ def cache_pspec(caches) -> Any:
     return [one(c) for c in caches]
 
 
+def paged_cache_pspec(caches) -> Any:
+    """Paged KV pools (serve/paged_kv.py, (num_blocks, n_kv, bs[, hd])):
+    blocks replicated across the mesh, kv heads sharded on "model" — every
+    device holds the whole pool for ITS heads, so the per-slot block tables
+    stay replicated host-side integers."""
+    def one(c):
+        return {
+            k: (
+                P(None, "model", None, None)
+                if caches[0][k].ndim == 4
+                else P(None, "model", None)
+            )
+            for k in c
+        }
+    return [one(c) for c in caches]
+
+
 def shard_params(
     params: Dict[str, Any], mesh: Mesh, specs: Optional[Dict[str, Any]] = None
 ) -> Dict[str, Any]:

@@ -181,7 +181,10 @@ class Engine:
         prompt + generated-so-far, continuing exactly where it left off —
         greedy and seeded streams are unchanged).  Default ``num_blocks``
         covers max_batch × max_len (no preemption possible); size it down
-        to oversubscribe.  Single-device only (no TP mesh) for now."""
+        to oversubscribe.  Composes with a TP ``mesh``: pools shard on kv
+        heads, block tables replicate (decode uses the gathered-logits
+        program — the vocab-sharded sampling fast path is slot-cache
+        only)."""
         if fuse and mesh is None:
             from qqq_tpu.models.llama import fuse_inference_params
 
@@ -199,7 +202,6 @@ class Engine:
             from qqq_tpu.serve import paged_kv
             from qqq_tpu.serve.paged_kv import BlockAllocator
 
-            assert mesh is None, "paged KV is single-device for now"
             assert max_len % block_size == 0, \
                 "max_len must be a multiple of block_size"
             if not prefill_chunk:
@@ -294,7 +296,7 @@ class Engine:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from qqq_tpu.parallel import (
-                cache_pspec, param_pspecs, shard_params,
+                cache_pspec, paged_cache_pspec, param_pspecs, shard_params,
             )
 
             assert dict(zip(mesh.axis_names, mesh.devices.shape)).get(
@@ -302,26 +304,47 @@ class Engine:
             ) == 1, "Engine TP mesh needs data=1 (replicate engines for DP)"
             pspec = param_pspecs(params)
             self.params = shard_params(params, mesh, pspec)
-            self._cspec = cache_pspec(self.caches)
+            self._cspec = (paged_cache_pspec if paged else cache_pspec)(
+                self.caches
+            )
             self.caches = jax.tree.map(
                 lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
                 self.caches, self._cspec,
             )
 
-            def local_fwd(p, t, c, cl, pos):
-                return M.forward(
-                    p, self.config, t, positions=pos, caches=c,
-                    cache_len=cl, tp_axis="model",
-                )
+            if paged:
+                # pools kv-head-sharded, tables replicated (the sharded-
+                # sampling fast path is slot-cache-only; paged+TP decodes
+                # through the gathered-logits program)
+                def local_fwd(p, t, c, cl, pos, tables):
+                    return M.forward(
+                        p, self.config, t, positions=pos, caches=c,
+                        cache_len=cl, tp_axis="model", block_tables=tables,
+                    )
 
-            self._fwd = shard_map(
-                local_fwd,
-                mesh=mesh,
-                in_specs=(pspec, P(None, None), self._cspec, P(None),
-                          P(None, None)),
-                out_specs=(P(None, None, None), self._cspec),
-                check_vma=False,
-            )
+                self._fwd = shard_map(
+                    local_fwd,
+                    mesh=mesh,
+                    in_specs=(pspec, P(None, None), self._cspec, P(None),
+                              P(None, None), P(None, None)),
+                    out_specs=(P(None, None, None), self._cspec),
+                    check_vma=False,
+                )
+            else:
+                def local_fwd(p, t, c, cl, pos):
+                    return M.forward(
+                        p, self.config, t, positions=pos, caches=c,
+                        cache_len=cl, tp_axis="model",
+                    )
+
+                self._fwd = shard_map(
+                    local_fwd,
+                    mesh=mesh,
+                    in_specs=(pspec, P(None, None), self._cspec, P(None),
+                              P(None, None)),
+                    out_specs=(P(None, None, None), self._cspec),
+                    check_vma=False,
+                )
 
             # decode with IN-MAP sampling: the vocab-sharded logits never
             # leave their shard — Gumbel-max + 2-collective distributed
@@ -1103,7 +1126,7 @@ class Engine:
             # vocab-sharded sampling path: exact for greedy/temperature rows
             # (top-k/top-p order statistics and penalties need the full
             # row → gathered path)
-            sharded = self.mesh is not None and all(
+            sharded = self.mesh is not None and not self.paged and all(
                 r is None or (r.sampling.top_k == 0
                               and r.sampling.top_p >= 1.0
                               and r.sampling.min_p == 0.0

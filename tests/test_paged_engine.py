@@ -139,6 +139,22 @@ def test_paged_prefix_cache_reuses_blocks(params, rng_module):
     assert r2.output_tokens == _naive_greedy(params, follow, 4)
 
 
+def test_paged_with_tp_mesh(params, prompts, want):
+    """Paged pools compose with a TP mesh: kv heads shard across devices,
+    block tables replicate, and the greedy stream matches single-device."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, model=2)
+    outs = generate(
+        params, CFG, prompts, SamplingParams(max_new_tokens=8),
+        max_batch=4, max_len=64, kv_quantized=True, dtype=jnp.float32,
+        paged=True, block_size=8, mesh=mesh,
+    )
+    assert outs == want
+
+
 def test_paged_pool_memory_is_smaller(params):
     """The point of paging: a 4-slot × 64-token engine with a 17-block pool
     allocates 17·8 = 136 KV token slots instead of 4·64 = 256."""
