@@ -218,6 +218,28 @@ class Engine:
             #: (B, nbmax) physical block per (slot, virtual block); 0 = null
             self.tables = np.zeros((max_batch, self._nbmax), np.int32)
             self.slot_blocks: List[List[int]] = [[] for _ in range(max_batch)]
+            # block-level prefix cache (paged + prefix_cache): FULL blocks
+            # register under the hash of their whole token prefix and are
+            # adopted read-only by later requests — cross-request dedup,
+            # not just freed-slot reuse.  Tail blocks are never shared, so
+            # no copy-on-write is needed.
+            if prefix_cache and prefill_chunk \
+                    and prefill_chunk % block_size != 0:
+                raise ValueError(
+                    "paged prefix_cache needs prefill_chunk % block_size "
+                    f"== 0, got {prefill_chunk} % {block_size}"
+                )
+            from collections import OrderedDict
+
+            #: prefix-tuple → physical block holding its last block of KV
+            self._bh_key2blk: Dict[tuple, int] = {}
+            self._bh_blk2key: Dict[int, tuple] = {}
+            #: slot-owner count per registered block; 0 = evictable (LRU)
+            self._bh_ref: Dict[int, int] = {}
+            self._bh_lru: "OrderedDict[int, None]" = OrderedDict()
+            #: per slot: leading slot_blocks entries already registered /
+            #: adopted (skipped by _register_blocks)
+            self.slot_reg = [0] * max_batch
             self.caches = paged_kv.init(
                 config, num_blocks, block_size, quantized=kv_quantized,
                 dtype=dtype,
@@ -767,10 +789,81 @@ class Engine:
         return jnp.asarray(self.tables) if self.paged else None
 
     def _release_blocks(self, slot: int) -> None:
-        if self.slot_blocks[slot]:
-            self.allocator.free(self.slot_blocks[slot])
-            self.slot_blocks[slot] = []
-            self.tables[slot, :] = 0
+        """Drop the slot's block ownership.  Registered (prefix-cache)
+        blocks survive in the hash map with their refcount decremented —
+        rc==0 parks them on the eviction LRU; unregistered blocks return to
+        the allocator immediately."""
+        for blk in self.slot_blocks[slot]:
+            if blk in self._bh_blk2key:
+                self._bh_ref[blk] -= 1
+                if self._bh_ref[blk] == 0:
+                    self._bh_lru[blk] = None
+            else:
+                self.allocator.free([blk])
+        self.slot_blocks[slot] = []
+        self.tables[slot, :] = 0
+        self.slot_reg[slot] = 0
+
+    def _evict_cached_blocks(self, need: int) -> None:
+        """Free rc==0 prefix-cache blocks (oldest first) until ``need``
+        blocks are available."""
+        while self.allocator.available < need and self._bh_lru:
+            blk, _ = self._bh_lru.popitem(last=False)
+            del self._bh_key2blk[self._bh_blk2key.pop(blk)]
+            del self._bh_ref[blk]
+            self.allocator.free([blk])
+
+    def _register_blocks(self, slot: int) -> None:
+        """Register the slot's newly COMPLETED blocks in the prefix hash
+        map (paged prefix_cache).  A block's key is the tuple of ALL tokens
+        up to its end — KV depends on (token, position), so equal prefixes
+        have bit-equal KV.  Full blocks are immutable (every write lands at
+        clen and beyond, i.e. in the exclusive tail), so sharing is safe
+        without copy-on-write."""
+        if not self.prefix_cache:
+            return
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        bs = self.block_size
+        n_full = int(self.slot_len[slot]) // bs
+        if n_full <= self.slot_reg[slot]:
+            return
+        stream = (req._resume or req.prompt_tokens) + req.output_tokens
+        for i in range(self.slot_reg[slot], n_full):
+            blk = self.slot_blocks[slot][i]
+            if blk not in self._bh_blk2key:
+                key = tuple(stream[: (i + 1) * bs])
+                if key not in self._bh_key2blk:
+                    self._bh_key2blk[key] = blk
+                    self._bh_blk2key[blk] = key
+                    self._bh_ref[blk] = 1
+                # else: an identical block is already registered; this copy
+                # stays exclusive and returns to the allocator on release
+        self.slot_reg[slot] = n_full
+
+    def _adopt_prefix(self, slot: int, stream: List[int]) -> int:
+        """Block-level prefix reuse at admission: walk the stream's full
+        blocks through the hash map, adopt every hit read-only (rc++), and
+        return the reused token count (rounded down to the chunk multiple;
+        capped so at least one token still prefills)."""
+        bs, C = self.block_size, self.prefill_chunk
+        limit = min(len(stream) - 1, self._nbmax * bs)
+        matched = 0
+        while (matched + 1) * bs <= limit \
+                and tuple(stream[: (matched + 1) * bs]) in self._bh_key2blk:
+            matched += 1
+        reuse = ((matched * bs) // C) * C
+        nblk = reuse // bs
+        for i in range(nblk):
+            blk = self._bh_key2blk[tuple(stream[: (i + 1) * bs])]
+            if self._bh_ref[blk] == 0:
+                self._bh_lru.pop(blk, None)
+            self._bh_ref[blk] += 1
+            self.slot_blocks[slot].append(blk)
+            self.tables[slot, i] = blk
+        self.slot_reg[slot] = nblk
+        return reuse
 
     def _reclaim_cached(self, n: int) -> None:
         """Free blocks held by FREED slots' cached prefixes (prefix_cache
@@ -800,6 +893,7 @@ class Engine:
         self.slot_prefill.pop(victim, None)
         req._resume = list(req.prompt_tokens) + list(req.output_tokens)
         self._pending.insert(0, req)
+        self._register_blocks(victim)  # resume adoption gets them back free
         self._release_blocks(victim)
         self.slot_req[victim] = None
         self.slot_len[victim] = 0
@@ -817,6 +911,7 @@ class Engine:
             return
         if self.allocator.available < need:
             self._reclaim_cached(need)
+            self._evict_cached_blocks(need)
         while self.allocator.available < need:
             if not self._preempt(protect=slot):
                 raise RuntimeError(
@@ -899,6 +994,8 @@ class Engine:
                 self.slot_len[slot] += 1
                 self.slot_last_tok[slot] = tok
                 self._maybe_finish(slot)
+            if self.paged:
+                self._register_blocks(slot)
             self._emit(req)
             self._release_if_cancelled(slot)
 
@@ -938,6 +1035,8 @@ class Engine:
                     *self._bias_arrays([req], 1),
                 )
             self.slot_len[slot] = k + len(part)
+            if self.paged:  # freshly completed blocks become adoptable now
+                self._register_blocks(slot)
             self.slot_prefill[slot] = remaining[C:]
             self.stats["prefill_chunks"] += 1
             self.stats["prefill_tokens"] += len(part)
@@ -1036,7 +1135,13 @@ class Engine:
                 while self._pending and None in self.slot_req:
                     req = self._pending.pop(0)
                     stream = req._resume or req.prompt_tokens
-                    slot, reuse = self._pick_slot(stream)
+                    if self.paged and self.prefix_cache:
+                        # block-level adoption: any free slot, reuse from
+                        # the content-hash map (cross-request dedup)
+                        slot = self.slot_req.index(None)
+                        reuse = self._adopt_prefix(slot, stream)
+                    else:
+                        slot, reuse = self._pick_slot(stream)
                     self.slot_req[slot] = req
                     self.slot_len[slot] = reuse
                     self.slot_prefill[slot] = list(stream[reuse:])
@@ -1184,6 +1289,8 @@ class Engine:
                     self.slot_len[slot] += 1
                     self.slot_last_tok[slot] = tok
                     self._maybe_finish(slot)
+                if self.paged:
+                    self._register_blocks(slot)
                 self._emit(req)
                 self._release_if_cancelled(slot)
         return requests
@@ -1225,24 +1332,22 @@ class Engine:
         if req.ttft is not None:
             self._latency.append((req.ttft, req.tpot))
             del self._latency[:-1000]  # bounded window
-        if self.prefix_cache:
+        if self.paged:
+            # block-level: registered full blocks survive in the hash map
+            # (prefix_cache) or everything returns to the pool; either way
+            # the slot's table zeroes, so masked writes land in the null
+            # block — no slot-level keep/margin bookkeeping
+            self._register_blocks(slot)
+            self.slot_len[slot] = 0
+            self._release_blocks(slot)
+        elif self.prefix_cache:
             seq = req.prompt_tokens + req.output_tokens
             keep = max(0, min(int(self.slot_len[slot]), len(seq),
                               self.max_len - self._free_margin))
             self.slot_tokens[slot] = seq[:keep]
             self.slot_len[slot] = keep
-            if self.paged:
-                # trim blocks past the preserved prefix back into the pool
-                nkeep = -(-keep // self.block_size) if keep else 0
-                tail = self.slot_blocks[slot][nkeep:]
-                if tail:
-                    self.allocator.free(tail)
-                    del self.slot_blocks[slot][nkeep:]
-                    self.tables[slot, nkeep:] = 0
         else:
             self.slot_len[slot] = 0
-            if self.paged:
-                self._release_blocks(slot)
         self.slot_req[slot] = None
 
     def _release_if_cancelled(self, slot: int) -> None:

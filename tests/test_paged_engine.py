@@ -122,7 +122,7 @@ def test_paged_pool_too_small_raises(params):
 
 def test_paged_prefix_cache_reuses_blocks(params, rng_module):
     """Multi-turn traffic on one paged engine: the second request shares the
-    first's prompt+output prefix, reuses its freed slot's blocks, and only
+    first's prompt+output prefix, adopts its registered blocks, and only
     the tail prefills — outputs stay exact."""
     base = [int(t) for t in rng_module.integers(0, 128, size=16)]
     eng = Engine(params, CFG, max_batch=2, max_len=64, kv_quantized=True,
@@ -137,6 +137,43 @@ def test_paged_prefix_cache_reuses_blocks(params, rng_module):
     assert eng.stats["prefix_hits"] >= 1
     assert eng.stats["prefix_tokens_reused"] > 0
     assert r2.output_tokens == _naive_greedy(params, follow, 4)
+
+
+def test_paged_prefix_cross_request_dedup(params, rng_module):
+    """Block-level prefix caching is CONTENT-hashed, not slot-bound: two
+    different requests sharing a system-prompt prefix dedup their KV blocks
+    — the second adopts the first's registered blocks even though it never
+    saw that slot, and the shared blocks carry ONE refcount per owner."""
+    system = [int(t) for t in rng_module.integers(0, 128, size=24)]
+    p1 = system + [3, 7]
+    p2 = system + [9, 11, 2]
+    eng = Engine(params, CFG, max_batch=1, max_len=64, kv_quantized=True,
+                 dtype=jnp.float32, paged=True, block_size=8,
+                 prefix_cache=True)
+    r1 = Request(prompt_tokens=p1, sampling=SamplingParams(max_new_tokens=4))
+    r2 = Request(prompt_tokens=p2, sampling=SamplingParams(max_new_tokens=4))
+    eng.run([r1, r2])  # max_batch=1: r2 admits after r1 frees
+    assert eng.stats["prefix_hits"] >= 1
+    # 24 shared tokens = 3 whole blocks adopted by r2
+    assert eng.stats["prefix_tokens_reused"] >= 24
+    assert r1.output_tokens == _naive_greedy(params, p1, 4)
+    assert r2.output_tokens == _naive_greedy(params, p2, 4)
+
+
+def test_paged_prefix_eviction_under_pressure(params, rng_module):
+    """Cached (rc==0) blocks are evicted LRU when the pool runs dry; live
+    traffic keeps running exactly."""
+    eng = Engine(params, CFG, max_batch=2, max_len=64, kv_quantized=True,
+                 dtype=jnp.float32, paged=True, block_size=8, num_blocks=9,
+                 prefix_cache=True)
+    for i in range(4):  # each run leaves cached blocks behind
+        p = [int(t) for t in rng_module.integers(0, 128, size=14)] + [i]
+        r = Request(prompt_tokens=p, sampling=SamplingParams(max_new_tokens=4))
+        eng.run([r])
+        assert r.output_tokens == _naive_greedy(params, p, 4)
+    # pool of 8 usable blocks served 4 requests of ≥2 blocks each — only
+    # eviction makes that possible
+    assert len(eng._bh_lru) <= 8
 
 
 def test_paged_with_tp_mesh(params, prompts, want):
