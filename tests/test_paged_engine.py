@@ -192,6 +192,60 @@ def test_paged_with_tp_mesh(params, prompts, want):
     assert outs == want
 
 
+def test_paged_scheduler_fuzz(params):
+    """Randomized soak on the paged engine with an UNDERSIZED pool: ragged
+    prompts, staggered arrivals, mixed greedy/sampled rows, speculative
+    decoding, block-level prefix cache — under live preemption and LRU
+    eviction.  Every greedy request must still match naive greedy exactly."""
+    rng = np.random.default_rng(99)
+    eng = Engine(
+        params, CFG, max_batch=3, max_len=64, kv_quantized=True,
+        dtype=jnp.float32, paged=True, block_size=8, num_blocks=13,
+        prefix_cache=True, spec_ngram=2, spec_k=3,
+    )
+    reqs = []
+    for i in range(8):
+        n = int(rng.integers(2, 30))
+        prompt = [int(t) for t in rng.integers(0, 128, size=n)]
+        greedy = bool(rng.integers(0, 2))
+        sp = SamplingParams(
+            max_new_tokens=int(rng.integers(1, 9)),
+            temperature=0.0 if greedy else 0.8,
+            top_k=0 if greedy else int(rng.integers(0, 12)),
+        )
+        reqs.append(Request(prompt_tokens=prompt, sampling=sp))
+
+    feed = list(reqs[3:])
+
+    def hook(req, tok):
+        if feed and rng.integers(0, 3) == 0:
+            eng.add_request(feed.pop(0))
+
+    eng.on_token = hook
+    eng.run(reqs[:3])
+    while feed:
+        eng.add_request(feed.pop(0))
+    eng.run([])
+
+    for r in reqs:
+        assert r.done
+        assert len(r.output_tokens) <= r.sampling.max_new_tokens
+        assert len(r.token_logprobs) == len(r.output_tokens)
+        if r.sampling.temperature == 0.0:
+            want = _naive_greedy(
+                params, r.prompt_tokens, r.sampling.max_new_tokens
+            )
+            assert r.output_tokens == want, (r.prompt_tokens, r.output_tokens)
+        else:
+            assert len(r.output_tokens) == r.sampling.max_new_tokens
+    # bookkeeping invariants after the storm: every owner released, pool
+    # consistent (free + cached-registered = usable)
+    assert all(r is None for r in eng.slot_req)
+    cached = len(eng._bh_lru)
+    assert eng.allocator.available + cached == eng.num_blocks - 1
+    assert all(v == 0 for v in eng._bh_ref.values())
+
+
 def test_paged_pool_memory_is_smaller(params):
     """The point of paging: a 4-slot × 64-token engine with a 17-block pool
     allocates 17·8 = 136 KV token slots instead of 4·64 = 256."""
