@@ -108,6 +108,14 @@ class EngineWorker:
         self._stops.pop(id(req), None)
         self._stop_text.pop(id(req), None)
 
+    def cancel(self, req: Request) -> None:
+        """Abandon a request from an error/disconnect path: stop the engine
+        from generating further tokens for it (otherwise a timed-out
+        best_of=64 burst keeps burning decode ticks to completion) AND drop
+        its stop-watcher state."""
+        self.engine.cancel(req)
+        self.clear_stops(req)
+
     # -- streaming ----------------------------------------------------------
 
     def open_stream(self, req: Request) -> "queue.Queue[int]":
@@ -175,7 +183,8 @@ def _num(body: Dict[str, Any], key: str, default, cast):
 
 
 def _parse_sampling(body: Dict[str, Any], *, temp_default: float,
-                    max_key: str, max_default: int, eos) -> SamplingParams:
+                    max_key: str, max_default: int, eos,
+                    vocab: Optional[int] = None) -> SamplingParams:
     """Shared request→SamplingParams parsing for all three endpoints —
     raises ValueError/TypeError on bad values (callers reply 400)."""
     mp = _num(body, "min_p", 0.0, float)
@@ -190,7 +199,13 @@ def _parse_sampling(body: Dict[str, Any], *, temp_default: float,
         if not -100.0 <= b <= 100.0:
             raise ValueError(f"logit_bias values must be in [-100, 100], "
                              f"got {b}")
-        bias.append((int(k), b))
+        tid = int(k)
+        # invalid ids must 400 (OpenAI/vLLM behavior), not silently drop
+        # (scatter-add out-of-bounds) or wrap (negative JAX indexing)
+        if tid < 0 or (vocab is not None and tid >= vocab):
+            raise ValueError(f"logit_bias token id {tid} out of range "
+                             f"[0, {vocab})")
+        bias.append((tid, b))
     return SamplingParams(
         temperature=_num(body, "temperature", temp_default, float),
         top_k=_num(body, "top_k", 0, int),  # vLLM extension
@@ -324,6 +339,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     body, temp_default=0.0,
                     max_key="max_new_tokens", max_default=128,
                     eos=body.get("eos_token_id", default_eos),
+                    vocab=worker.engine.config.vocab_size,
                 )
             except (TypeError, ValueError) as e:
                 return self._reply(400, {"error": f"bad parameter: {e}"})
@@ -336,7 +352,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                 worker.submit(req)
                 worker.wait(req)
             except (RuntimeError, TimeoutError) as e:
-                worker.clear_stops(req)
+                worker.cancel(req)
                 return self._reply(500, {"error": str(e)})
             out: Dict[str, Any] = {
                 "output_tokens": req.output_tokens,
@@ -471,6 +487,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     body, temp_default=1.0,
                     max_key="max_tokens", max_default=16,
                     eos=default_eos,
+                    vocab=worker.engine.config.vocab_size,
                 )
                 n_out = _num(body, "n", 1, int)
                 best_of = _num(body, "best_of", n_out, int)
@@ -502,7 +519,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     worker.wait(r)
             except (RuntimeError, TimeoutError) as e:
                 for r in reqs:
-                    worker.clear_stops(r)
+                    worker.cancel(r)
                 return self._reply(500, {"error": str(e)})
             # best_of > n: keep the n candidates with the highest mean
             # logprob (OpenAI's "highest log probability per token")
@@ -596,6 +613,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     body, temp_default=1.0,
                     max_key="max_tokens", max_default=128,
                     eos=default_eos,
+                    vocab=worker.engine.config.vocab_size,
                 )
                 n_out = _num(body, "n", 1, int)
                 if not 1 <= n_out <= 64:
@@ -624,7 +642,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     worker.wait(r)
             except (RuntimeError, TimeoutError) as e:
                 for r in reqs:
-                    worker.clear_stops(r)
+                    worker.cancel(r)
                 return self._reply(500, {"error": str(e)})
             choices = []
             for idx, r in enumerate(reqs):

@@ -148,7 +148,9 @@ class Engine:
         prompt no longer stalls every batchmate's decode for a full-bucket
         prefill.  One (1, chunk) program compiles total (vs one per
         bucket×sub-batch); whole-bucket mode usually wins single-request
-        TTFT, chunked mode wins tail decode latency under load.
+        TTFT, chunked mode wins tail decode latency under load.  Chunked
+        admission also stamps ``slot_seq`` (admission order) — the paged
+        preemption priority.
 
         ``prefix_cache=True`` (chunked mode only) keeps a freed slot's KV
         intact and records which tokens it holds; a new prompt sharing a
@@ -175,11 +177,12 @@ class Engine:
         with per-slot block tables grown on demand — KV memory scales with
         TOKENS IN FLIGHT, not max_batch × max_len.  Implies chunked prefill
         (admission prefills straight into the pool).  When the pool runs
-        dry the engine first reclaims freed slots' cached prefixes, then
-        PREEMPTS the youngest active request (vLLM recompute policy: its
-        blocks free immediately and it re-enters the queue to re-prefill
-        prompt + generated-so-far, continuing exactly where it left off —
-        greedy and seeded streams are unchanged).  Default ``num_blocks``
+        dry the engine first evicts unreferenced prefix-cache blocks (LRU),
+        then PREEMPTS the latest-admitted active request (vLLM recompute
+        policy: its blocks free immediately and it re-enters the queue to
+        re-prefill prompt + generated-so-far, continuing exactly where it
+        left off — greedy and seeded streams are unchanged; the oldest
+        requests are never starved).  Default ``num_blocks``
         covers max_batch × max_len (no preemption possible); size it down
         to oversubscribe.  Composes with a TP ``mesh``: pools shard on kv
         heads, block tables replicate (decode uses the gathered-logits
@@ -282,6 +285,10 @@ class Engine:
         #: slot → prompt tokens not yet prefilled (chunked mode only);
         #: a slot present here is mid-prefill and excluded from decode
         self.slot_prefill: Dict[int, List[int]] = {}
+        #: admission order (monotonic) per slot — preemption evicts the
+        #: LATEST-admitted request (vLLM recompute priority: oldest first)
+        self._admit_seq = 0
+        self.slot_seq = [0] * max_batch
         self.key = jax.random.PRNGKey(0)
         self._pending: List[Request] = []
         #: (ttft, tpot) of the last ≤1000 completed requests
@@ -719,6 +726,8 @@ class Engine:
             req.output_tokens.append(first)
             req.token_logprobs.append(float(lps[i]))
             self.slot_req[slot] = req
+            self._admit_seq += 1
+            self.slot_seq[slot] = self._admit_seq
             self.slot_len[slot] = int(lens[i])
             self.slot_tokens[slot] = []
             self.slot_last_tok[slot] = first
@@ -865,30 +874,19 @@ class Engine:
         self.slot_reg[slot] = nblk
         return reuse
 
-    def _reclaim_cached(self, n: int) -> None:
-        """Free blocks held by FREED slots' cached prefixes (prefix_cache
-        mode) until ``n`` are available — cached prefixes are a best-effort
-        optimization, live requests win."""
-        for i, r in enumerate(self.slot_req):
-            if self.allocator.available >= n:
-                return
-            if r is None and self.slot_blocks[i]:
-                self._release_blocks(i)
-                self.slot_tokens[i] = []
-                self.slot_len[i] = 0
-
     def _preempt(self, protect: int) -> bool:
-        """Free the cheapest-to-recompute active request (fewest cached
-        tokens) other than ``protect`` and requeue it at the FRONT of the
-        queue with its resume stream (prompt + generated) — the vLLM
-        recompute-preemption policy.  Greedy/seeded outputs are unchanged:
-        re-prefill rebuilds the identical KV and the seeded noise is keyed
-        on the generation index, not the schedule."""
+        """Free the LATEST-ADMITTED active request other than ``protect``
+        and requeue it at the FRONT of the queue with its resume stream
+        (prompt + generated) — the vLLM recompute-preemption policy (oldest
+        requests keep their blocks; re-preemption cannot starve them).
+        Greedy/seeded outputs are unchanged: re-prefill rebuilds the
+        identical KV and the seeded noise is keyed on the generation index,
+        not the schedule."""
         cands = [i for i, r in enumerate(self.slot_req)
                  if r is not None and i != protect]
         if not cands:
             return False
-        victim = min(cands, key=lambda i: int(self.slot_len[i]))
+        victim = max(cands, key=lambda i: self.slot_seq[i])
         req = self.slot_req[victim]
         self.slot_prefill.pop(victim, None)
         req._resume = list(req.prompt_tokens) + list(req.output_tokens)
@@ -910,7 +908,6 @@ class Engine:
         if need <= 0:
             return
         if self.allocator.available < need:
-            self._reclaim_cached(need)
             self._evict_cached_blocks(need)
         while self.allocator.available < need:
             if not self._preempt(protect=slot):
@@ -1005,6 +1002,11 @@ class Engine:
         request's first token and hands the slot to decode."""
         C = self.prefill_chunk
         for slot in list(self.slot_prefill):
+            if slot not in self.slot_prefill:
+                # preempted by an earlier iteration's _ensure_blocks (pool
+                # pressure evicted this mid-prefill slot) — it re-entered
+                # the queue and will re-admit
+                continue
             req = self.slot_req[slot]
             if req.cancelled:
                 del self.slot_prefill[slot]
@@ -1120,11 +1122,19 @@ class Engine:
                 elif len(r._resume or r.prompt_tokens) + 1 > self.max_len or (
                     not self.prefill_chunk
                     and len(r.prompt_tokens) > self.prefill_buckets[-1]
+                ) or (
+                    # paged: a prompt that cannot fit the pool even with
+                    # every other request preempted can never run
+                    self.paged
+                    and -(-(len(r._resume or r.prompt_tokens) + 1)
+                          // self.block_size) > self.num_blocks - 1
                 ):
                     # reject oversized prompts here; raising in the shared
                     # loop would kill the serving worker thread for everyone
+                    # (a preempted request that grew past pool capacity has
+                    # simply run out of room: "length", keeping its output)
                     r.done = True
-                    r.finish_reason = "error"
+                    r.finish_reason = "length" if r._resume else "error"
                 else:
                     keep.append(r)
             self._pending = keep
@@ -1143,6 +1153,8 @@ class Engine:
                     else:
                         slot, reuse = self._pick_slot(stream)
                     self.slot_req[slot] = req
+                    self._admit_seq += 1
+                    self.slot_seq[slot] = self._admit_seq
                     self.slot_len[slot] = reuse
                     self.slot_prefill[slot] = list(stream[reuse:])
                     self.slot_tokens[slot] = []

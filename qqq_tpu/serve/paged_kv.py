@@ -78,8 +78,13 @@ def write(
     quantized = "k_scale" in cache
 
     pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B, T)
-    vblock = jnp.clip(pos // bs, 0, tables.shape[1] - 1)
-    phys = jnp.take_along_axis(tables, vblock, axis=1)  # (B, T) pool index
+    vblock = pos // bs
+    phys = jnp.take_along_axis(
+        tables, jnp.clip(vblock, 0, tables.shape[1] - 1), axis=1
+    )  # (B, T) pool index
+    # out-of-capacity positions route to the NULL block (the module
+    # contract), never into the clamped last live block
+    phys = jnp.where(vblock < tables.shape[1], phys, 0)
     off = pos % bs
     phys_f = phys.reshape(-1)
     off_f = off.reshape(-1)

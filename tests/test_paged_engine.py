@@ -109,15 +109,37 @@ def test_paged_preemption_seeded_and_penalized(params, prompts):
     assert tight == roomy
 
 
-def test_paged_pool_too_small_raises(params):
-    """A single request that cannot fit in the pool even alone fails loudly
-    (nothing to preempt)."""
+def test_paged_pool_too_small_rejects(params):
+    """A request that cannot fit in the pool even alone is REJECTED at
+    admission (finish_reason 'error'), not raised out of the shared loop —
+    raising would kill the serving worker thread for every client."""
     eng = Engine(params, CFG, max_batch=2, max_len=64, kv_quantized=True,
                  dtype=jnp.float32, paged=True, block_size=8, num_blocks=3)
-    req = Request(prompt_tokens=list(range(1, 30)),
+    bad = Request(prompt_tokens=list(range(1, 30)),
                   sampling=SamplingParams(max_new_tokens=4))
-    with pytest.raises(RuntimeError, match="pool too small"):
-        eng.run([req])
+    ok = Request(prompt_tokens=[3, 5, 7],
+                 sampling=SamplingParams(max_new_tokens=4))
+    eng.run([bad, ok])  # must not raise; the roomy request still completes
+    assert bad.done and bad.finish_reason == "error"
+    assert not bad.output_tokens
+    assert ok.done and ok.output_tokens == _naive_greedy(params, [3, 5, 7], 4)
+
+
+def test_paged_preempt_mid_prefill(params, rng_module):
+    """Pool pressure that preempts a slot which is itself MID-PREFILL must
+    not crash the chunk-prefill loop (the evicted slot simply re-enters the
+    queue) and every stream stays exact — the reviewer-reproduced
+    AttributeError regression."""
+    p1 = [int(t) for t in rng_module.integers(0, 128, size=9)]
+    p2 = [int(t) for t in rng_module.integers(0, 128, size=9)]
+    eng = Engine(params, CFG, max_batch=2, max_len=16, kv_quantized=True,
+                 dtype=jnp.float32, paged=True, block_size=8, num_blocks=3)
+    reqs = [Request(prompt_tokens=p, sampling=SamplingParams(max_new_tokens=3))
+            for p in (p1, p2)]
+    eng.run(reqs)
+    assert reqs[0].output_tokens == _naive_greedy(params, p1, 3)
+    assert reqs[1].output_tokens == _naive_greedy(params, p2, 3)
+    assert eng.stats["preemptions"] > 0
 
 
 def test_paged_prefix_cache_reuses_blocks(params, rng_module):

@@ -377,6 +377,21 @@ def test_logit_bias_http(served_tok, rng):
     toks = res["choices"][0]["logprobs"]["tokens"]
     assert want[0] not in toks and toks != want
 
+    for bad_bias in (
+        {"5": -1000},        # value out of [-100, 100]
+        {"99999": -100},     # token id past the vocab
+        {"-1": -100},        # negative id would wrap in JAX indexing
+    ):
+        req = urllib.request.Request(
+            base + "/v1/completions",
+            data=json.dumps({
+                "prompt": prompt, "logit_bias": bad_bias,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e2:
+            urllib.request.urlopen(req, timeout=30)
+        assert e2.value.code == 400, bad_bias
     req = urllib.request.Request(
         base + "/v1/completions",
         data=json.dumps({
