@@ -19,7 +19,8 @@ Endpoints:
                     "token_logprobs": [float]?}
   POST /v1/completions   OpenAI-compatible completions (prompt / max_tokens /
                    temperature / top_p / stop / logprobs / logit_bias /
-                   n / best_of / stream-as-SSE) — drop-in for clients pointed
+                   n / best_of / echo incl. echo+max_tokens=0 prompt
+                   scoring / stream-as-SSE) — drop-in for clients pointed
                    at the reference's vLLM deployment (QQQ README.md:15,
                    77-79)
   GET  /v1/models  OpenAI-compatible model listing
@@ -451,9 +452,12 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
             ``n`` > 1 fans out into sibling requests that batch together in
             the engine; ``best_of`` > n generates best_of candidates and
             returns the n with the highest mean logprob (OpenAI semantics).
-            ``echo`` and streaming with n > 1 are not supported (400)."""
-            if body.get("echo"):
-                return self._reply(400, {"error": "'echo' is not supported"})
+            ``echo`` prepends the prompt to every choice's text and (with
+            logprobs) its per-token scores via one scoring forward
+            (Engine.score_prompt); ``echo`` + ``max_tokens=0`` is the pure
+            prompt-scoring call.  Streaming with n > 1 or echo is not
+            supported (400)."""
+            echo = bool(body.get("echo"))
             prompt = body.get("prompt")
             if isinstance(prompt, list) and prompt and all(
                 isinstance(t, int) for t in prompt
@@ -501,14 +505,58 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
             want_logprobs = body.get("logprobs") not in (None, 0, False)
             cid = f"cmpl-{next(counter)}"
             if body.get("stream"):
-                if best_of > 1:
+                if best_of > 1 or echo:
                     return self._reply(400, {
-                        "error": "streaming with n/best_of > 1 is not "
-                                 "supported"
+                        "error": "streaming with n/best_of > 1 or echo is "
+                                 "not supported"
                     })
                 req = _fan_out(sampling, toks, 1)[0]
                 worker.set_stops(req, stops)
                 return self._completions_stream(req, cid, want_logprobs)
+            prompt_lps: list = []
+            if echo:
+                try:
+                    prompt_lps = worker.engine.score_prompt(list(toks))
+                except ValueError as e:
+                    return self._reply(400, {"error": f"echo: {e}"})
+            if echo and sampling.max_new_tokens == 0:
+                # pure scoring: no generation at all (OpenAI echo +
+                # max_tokens=0)
+                text = tokenizer.decode(toks) if tokenizer else ""
+                return self._reply(200, {
+                    "id": cid, "object": "text_completion",
+                    "created": int(time.time()),
+                    "model": body.get("model", model_name),
+                    "choices": [{
+                        "text": text, "index": 0, "finish_reason": "length",
+                        "logprobs": (
+                            {"token_logprobs": prompt_lps,
+                             "tokens": list(toks)}
+                            if want_logprobs else None
+                        ),
+                    }],
+                    "usage": {"prompt_tokens": len(toks),
+                              "completion_tokens": 0,
+                              "total_tokens": len(toks)},
+                })
+            if sampling.max_new_tokens <= 0:
+                # OpenAI max_tokens=0 (without echo): empty completions —
+                # the engine would otherwise emit the prefill-sampled token
+                return self._reply(200, {
+                    "id": cid, "object": "text_completion",
+                    "created": int(time.time()),
+                    "model": body.get("model", model_name),
+                    "choices": [{
+                        "text": "", "index": i, "finish_reason": "length",
+                        "logprobs": (
+                            {"token_logprobs": [], "tokens": []}
+                            if want_logprobs else None
+                        ),
+                    } for i in range(n_out)],
+                    "usage": {"prompt_tokens": len(toks),
+                              "completion_tokens": 0,
+                              "total_tokens": len(toks)},
+                })
             reqs = _fan_out(sampling, toks, best_of)
             for r in reqs:
                 worker.set_stops(r, stops)
@@ -527,6 +575,8 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                            key=lambda i: -_mean_logprob(reqs[i]))
             chosen = [reqs[i] for i in sorted(order[:n_out])]
             choices = []
+            prefix = (tokenizer.decode(toks)
+                      if echo and tokenizer is not None else "")
             for idx, r in enumerate(chosen):
                 stop_text = worker.take_stop_text(r)
                 if tokenizer is not None:
@@ -534,15 +584,20 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                             else tokenizer.decode(r.output_tokens))
                 else:
                     text = ""
+                lp_block = None
+                if want_logprobs:
+                    lp_block = {
+                        "token_logprobs": prompt_lps + r.token_logprobs,
+                        "tokens": list(toks) + r.output_tokens,
+                    } if echo else {
+                        "token_logprobs": r.token_logprobs,
+                        "tokens": r.output_tokens,
+                    }
                 choices.append({
-                    "text": text,
+                    "text": prefix + text if echo else text,
                     "index": idx,
                     "finish_reason": r.finish_reason or "stop",
-                    "logprobs": (
-                        {"token_logprobs": r.token_logprobs,
-                         "tokens": r.output_tokens}
-                        if want_logprobs else None
-                    ),
+                    "logprobs": lp_block,
                 })
             for r in reqs:  # discarded best_of candidates
                 worker.clear_stops(r)

@@ -332,6 +332,7 @@ class Engine:
                 "data", 1
             ) == 1, "Engine TP mesh needs data=1 (replicate engines for DP)"
             pspec = param_pspecs(params)
+            self._pspec = pspec
             self.params = shard_params(params, mesh, pspec)
             self._cspec = (paged_cache_pspec if paged else cache_pspec)(
                 self.caches
@@ -681,6 +682,48 @@ class Engine:
         if req.t_enqueue is None:
             req.t_enqueue = time.monotonic()
         self._pending.append(req)
+
+    def score_prompt(self, tokens: List[int]) -> List[Optional[float]]:
+        """log P(tokens[i] | tokens[:i]) per prompt token (index 0 → None,
+        OpenAI convention) — the ``echo`` scoring path.  A pure params
+        forward over the padded prefill bucket: touches no KV/slot state or
+        donated buffers, so it is safe to run concurrently with the engine
+        loop (device execution serializes; nothing aliases)."""
+        n = len(tokens)
+        if n < 1:
+            return []
+        bucket = _bucket(n, self.prefill_buckets)
+        if not hasattr(self, "_score_fns"):
+            self._score_fns: Dict[int, Any] = {}
+        if bucket not in self._score_fns:
+            def scored(params, toks):
+                logits, _ = M.forward(
+                    params, self.config, toks,
+                    tp_axis="model" if self.mesh is not None else None,
+                )
+                lsm = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                tgt = toks[0, 1:]
+                return jnp.take_along_axis(
+                    lsm[0, :-1], tgt[:, None], axis=-1
+                )[:, 0]
+
+            if self.mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                fn = jax.jit(shard_map(
+                    scored, mesh=self.mesh,
+                    in_specs=(self._pspec, P(None, None)),
+                    out_specs=P(None), check_vma=False,
+                ))
+            else:
+                fn = jax.jit(scored)
+            self._score_fns[bucket] = fn
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :n] = tokens
+        lp = np.asarray(self._score_fns[bucket](self.params,
+                                                jnp.asarray(toks)))
+        return [None] + [float(x) for x in lp[: n - 1]]
 
     def _admit_batch(self, reqs: List[Request], slots: List[int],
                      bucket: int) -> None:

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from qqq_tpu.cli.serve import make_server
-from qqq_tpu.models import ModelConfig, init_params
+from qqq_tpu.models import ModelConfig, forward, init_params
 from qqq_tpu.serve.engine import Engine, generate
 from qqq_tpu.serve.sampling import SamplingParams
 
@@ -349,6 +349,49 @@ def test_openai_chat_n_choices(served_chat, rng):
         c["message"]["content"] == _ToyTokenizer().decode(want)
         for c in res["choices"]
     )
+
+
+def test_openai_echo_and_prompt_scoring(served_tok, rng):
+    """OpenAI ``echo``: the choice text starts with the decoded prompt, the
+    logprobs block covers prompt ∪ completion with token_logprobs[0] null,
+    the prompt scores equal a naive log_softmax forward, and echo +
+    max_tokens=0 is the pure scoring call (0 completion tokens); plain
+    max_tokens=0 returns an empty completion."""
+    base, params = served_tok
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    logits, _ = forward(params, CFG, jnp.asarray([prompt], jnp.int32))
+    lsm = np.asarray(jax.nn.log_softmax(
+        np.asarray(logits[0], np.float32), axis=-1
+    ))
+    want_plp = [lsm[i - 1, prompt[i]] for i in range(1, len(prompt))]
+
+    res = _openai(base, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 0, "echo": True, "logprobs": 1,
+    })
+    lp = res["choices"][0]["logprobs"]
+    assert lp["tokens"] == prompt
+    assert lp["token_logprobs"][0] is None
+    np.testing.assert_allclose(lp["token_logprobs"][1:], want_plp,
+                               rtol=1e-4, atol=1e-4)
+    assert res["usage"]["completion_tokens"] == 0
+
+    res = _openai(base, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 3, "temperature": 0.0,
+        "echo": True, "logprobs": 1,
+    })
+    lp = res["choices"][0]["logprobs"]
+    assert lp["tokens"][: len(prompt)] == prompt
+    assert len(lp["tokens"]) == len(prompt) + 3
+    assert len(lp["token_logprobs"]) == len(prompt) + 3
+    assert res["choices"][0]["text"].startswith(
+        _ToyTokenizer().decode(prompt)
+    )
+
+    res = _openai(base, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 0,
+    })
+    assert res["choices"][0]["text"] == ""
+    assert res["usage"]["completion_tokens"] == 0
 
 
 def test_logit_bias_http(served_tok, rng):
