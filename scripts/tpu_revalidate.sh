@@ -28,3 +28,10 @@ timeout 3600 python scripts/bench_serving.py --model llama2-7b --batches 1 \
     --spec-ngram 2 --spec-k 4
 timeout 3600 python scripts/bench_serving.py --model llama2-7b --batches 1 \
     --prefill-chunk 512 --prefix-cache
+
+# 5. Round-2 additions: paged-KV attention kernel overhead vs contiguous,
+#    and paged-engine serving throughput (block tables, preemption off —
+#    pool sized to fit; add --num-blocks to exercise preemption)
+timeout 1800 python scripts/bench_paged_attention.py
+timeout 3600 python scripts/bench_serving.py --model llama2-7b --batches 1,4 \
+    --paged --block-size 128
