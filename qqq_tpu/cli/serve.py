@@ -14,6 +14,7 @@ Endpoints:
                     "min_p", "presence_penalty", "frequency_penalty",
                     "repetition_penalty", "seed",
                     "logit_bias": {token_id: bias},
+                    "guided_choice": [str | [int]],  # constrained output
                     "logprobs": bool}  →
                    {"output_tokens": [int], "text": str?, "num_generated": int,
                     "token_logprobs": [float]?}
@@ -185,9 +186,31 @@ def _num(body: Dict[str, Any], key: str, default, cast):
 
 def _parse_sampling(body: Dict[str, Any], *, temp_default: float,
                     max_key: str, max_default: int, eos,
-                    vocab: Optional[int] = None) -> SamplingParams:
+                    vocab: Optional[int] = None,
+                    tokenizer=None) -> SamplingParams:
     """Shared request→SamplingParams parsing for all three endpoints —
     raises ValueError/TypeError on bad values (callers reply 400)."""
+    gc = body.get("guided_choice") or ()
+    if not isinstance(gc, (list, tuple)):
+        raise ValueError("guided_choice must be a list")
+    guided = []
+    for c in gc:
+        if isinstance(c, list) and c and all(isinstance(t, int) for t in c):
+            guided.append(tuple(c))
+        elif isinstance(c, str) and c and tokenizer is not None:
+            try:
+                ids = tokenizer(c, add_special_tokens=False).input_ids
+            except TypeError:  # tokenizer without the kwarg (tests)
+                ids = tokenizer(c).input_ids
+            if not ids:
+                raise ValueError(f"guided_choice entry {c!r} tokenizes "
+                                 "to nothing")
+            guided.append(tuple(ids))
+        else:
+            raise ValueError(
+                "guided_choice entries must be non-empty strings (needs a "
+                "tokenizer) or token-id lists"
+            )
     mp = _num(body, "min_p", 0.0, float)
     if not 0.0 <= mp <= 1.0:
         raise ValueError(f"min_p must be in [0, 1], got {mp}")
@@ -220,6 +243,7 @@ def _parse_sampling(body: Dict[str, Any], *, temp_default: float,
         frequency_penalty=_num(body, "frequency_penalty", 0.0, float),
         repetition_penalty=_num(body, "repetition_penalty", 1.0, float),
         logit_bias=tuple(sorted(bias)),
+        guided_choice=tuple(guided),
     )
 
 
@@ -341,6 +365,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     max_key="max_new_tokens", max_default=128,
                     eos=body.get("eos_token_id", default_eos),
                     vocab=worker.engine.config.vocab_size,
+                    tokenizer=tokenizer,
                 )
             except (TypeError, ValueError) as e:
                 return self._reply(400, {"error": f"bad parameter: {e}"})
@@ -492,6 +517,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     max_key="max_tokens", max_default=16,
                     eos=default_eos,
                     vocab=worker.engine.config.vocab_size,
+                    tokenizer=tokenizer,
                 )
                 n_out = _num(body, "n", 1, int)
                 best_of = _num(body, "best_of", n_out, int)
@@ -669,6 +695,7 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     max_key="max_tokens", max_default=128,
                     eos=default_eos,
                     vocab=worker.engine.config.vocab_size,
+                    tokenizer=tokenizer,
                 )
                 n_out = _num(body, "n", 1, int)
                 if not 1 <= n_out <= 64:

@@ -44,7 +44,8 @@ from qqq_tpu.models.config import ModelConfig
 from qqq_tpu.models import llama as M
 from qqq_tpu.serve import kv_cache
 from qqq_tpu.serve.sampling import (
-    SamplingParams, apply_logit_bias, apply_penalties, bias_arrays,
+    SamplingParams, apply_allowed_mask, apply_logit_bias, apply_penalties,
+    bias_arrays,
     chosen_logprob, chosen_logprob_sharded, penalty_arrays, sample_batched,
     sample_batched_sharded, sampling_arrays,
 )
@@ -455,7 +456,8 @@ class Engine:
     def _decode_step(self, params, tokens, caches, cache_len, key, active,
                      temp, topk, topp, minp, counts, rep_mask, pres,
                      freq, rep, seeded, seeds, ngen,
-                     bias_ids=None, bias_vals=None, tables=None):
+                     bias_ids=None, bias_vals=None, tables=None,
+                     allow_ids=None):
         positions = cache_len[:, None]  # T == 1
         logits, caches = self._fwd_t(
             params, tokens, caches, cache_len, positions, tables
@@ -464,6 +466,8 @@ class Engine:
         penal = apply_penalties(last, counts, rep_mask, pres, freq, rep)
         if bias_ids is not None:
             penal = apply_logit_bias(penal, bias_ids, bias_vals)
+        if allow_ids is not None:  # guided decoding hard mask (last word)
+            penal = apply_allowed_mask(penal, allow_ids)
         next_tok = jnp.where(
             active,
             sample_batched(penal, key, temp, topk, topp, minp,
@@ -508,9 +512,11 @@ class Engine:
     def _decode_multi(self, params, tokens, caches, cache_len, key, active,
                       temp, topk, topp, minp, counts, rep_mask, pres,
                       freq, rep, seeded, seeds, ngen, bias_ids, bias_vals,
-                      tables, n_steps: int):
+                      tables, allow_ids, n_steps: int):
         """n decode steps fused in one on-device ``lax.scan`` — amortizes
-        dispatch overhead (one launch per chunk instead of per token)."""
+        dispatch overhead (one launch per chunk instead of per token).
+        ``allow_ids`` is always None here: guided rows force chunk=1 (the
+        mask changes per emitted token, which only the host trie knows)."""
 
         def body(carry, _):
             tok, caches, clen, key, counts, ng = carry
@@ -518,7 +524,7 @@ class Engine:
             nxt, lp, caches, counts = self._decode_step(
                 params, tok[:, None], caches, clen, sub, active,
                 temp, topk, topp, minp, counts, rep_mask, pres, freq, rep,
-                seeded, seeds, ng, bias_ids, bias_vals, tables,
+                seeded, seeds, ng, bias_ids, bias_vals, tables, allow_ids,
             )
             ng_next = None if ng is None else ng + 1  # None = no seeded rows
             return (nxt, caches, clen + 1, key, counts, ng_next), (nxt, lp)
@@ -532,7 +538,8 @@ class Engine:
     def _spec_verify_step(self, params, tokens, caches, cache_len, key,
                           active, temp, topk, topp, minp, counts,
                           rep_mask, pres, freq, rep, seeded, seeds, ngen,
-                          bias_ids=None, bias_vals=None, tables=None):
+                          bias_ids=None, bias_vals=None, tables=None,
+                          allow_ids=None):
         """Verify a (B, 1+k) [last_token, draft…] batch in one forward.
         Returns the model's greedy continuation at every position (+ its
         logprobs) for draft acceptance, and the position-0 sampled token
@@ -554,6 +561,8 @@ class Engine:
                                  freq, rep)
         if bias_ids is not None:
             penal0 = apply_logit_bias(penal0, bias_ids, bias_vals)
+        if allow_ids is not None:  # guided rows never draft (alters_logits)
+            penal0 = apply_allowed_mask(penal0, allow_ids)
         samp0 = jnp.where(
             active,
             sample_batched(penal0, key, temp, topk, topp, minp,
@@ -568,7 +577,8 @@ class Engine:
 
     def _prefill_chunk_step(self, params, tokens, caches, k, true_n, slot,
                             key, temp, topk, topp, minp, seeded, seeds,
-                            ngen, bias_ids=None, bias_vals=None):
+                            ngen, bias_ids=None, bias_vals=None,
+                            allow_ids=None):
         """One chunked-prefill step for ONE slot of the GLOBAL cache:
         slice the slot's rows out, run a (1, C) prefill-with-cache forward
         starting at position ``k``, write the rows back (the cache is
@@ -595,6 +605,8 @@ class Engine:
         samp_in = last if bias_ids is None else apply_logit_bias(
             last, bias_ids, bias_vals
         )
+        if allow_ids is not None:
+            samp_in = apply_allowed_mask(samp_in, allow_ids)
         tok = sample_batched(samp_in, key, temp, topk, topp, minp,
                              seeded, seeds, ngen)
         lp = chosen_logprob(last, tok)
@@ -608,7 +620,8 @@ class Engine:
 
     def _prefill_chunk_paged(self, params, tokens, caches, k, true_n,
                              tables, key, temp, topk, topp, minp, seeded,
-                             seeds, ngen, bias_ids=None, bias_vals=None):
+                             seeds, ngen, bias_ids=None, bias_vals=None,
+                             allow_ids=None):
         """Paged-mode chunked prefill: the pool is global and shared, so no
         slot slicing — a (1, C) forward writes straight into this slot's
         blocks through its table row (donated pool, in-place scatter).
@@ -623,13 +636,15 @@ class Engine:
         samp_in = last if bias_ids is None else apply_logit_bias(
             last, bias_ids, bias_vals
         )
+        if allow_ids is not None:
+            samp_in = apply_allowed_mask(samp_in, allow_ids)
         tok = sample_batched(samp_in, key, temp, topk, topp, minp,
                              seeded, seeds, ngen)
         return tok, chosen_logprob(last, tok), caches
 
     def _prefill(self, params, tokens, true_len, caches1, key,
                  temp, topk, topp, minp, seeded, seeds, ngen,
-                 bias_ids=None, bias_vals=None):
+                 bias_ids=None, bias_vals=None, allow_ids=None):
         """Batch-generic forward over a padded bucket; returns per-row next
         tokens + caches (the engine calls it with B = admitted sub-batch)."""
         B, T = tokens.shape
@@ -643,6 +658,8 @@ class Engine:
         samp_in = last if bias_ids is None else apply_logit_bias(
             last, bias_ids, bias_vals
         )
+        if allow_ids is not None:
+            samp_in = apply_allowed_mask(samp_in, allow_ids)
         tok = sample_batched(samp_in, key, temp, topk, topp, minp,
                              seeded, seeds, ngen)
         return tok, chosen_logprob(last, tok), caches1
@@ -746,6 +763,7 @@ class Engine:
             *sampling_arrays([r.sampling for r in reqs]),
             *self._seed_arrays(reqs, len(reqs)),
             *self._bias_arrays(reqs, len(reqs)),
+            self._allowed_arrays(reqs, len(reqs)),
         )
         firsts = np.asarray(tok)  # ONE host sync for the whole group
         lps = np.asarray(lp)
@@ -832,6 +850,43 @@ class Engine:
         return bias_arrays(
             [r.sampling if r is not None else None for r in rows], n
         )
+
+    def _allowed_arrays(self, rows, n: int):
+        """(n, K) allowed-token ids for guided rows (pad = vocab_size,
+        dropped by the scatter) or None when no row is guided.  The trie
+        walk: candidates still consistent with the row's generated tokens
+        contribute their next token; at a completion point EOS joins the
+        set (letting the row stop there even when longer candidates
+        exist).  Rows with no consistent continuation never reach here —
+        _maybe_finish closed them on the previous token."""
+        V = self.config.vocab_size
+        sets: List[set] = []
+        any_guided = False
+        for r in rows[:n]:
+            s: set = set()
+            if r is not None and r.sampling.guided_choice:
+                any_guided = True
+                out = tuple(r.output_tokens)
+                m = len(out)
+                complete = False
+                for cand in r.sampling.guided_choice:
+                    cand = tuple(cand)
+                    if len(cand) > m and cand[:m] == out:
+                        s.add(int(cand[m]))
+                    elif cand == out:
+                        complete = True
+                if complete and r.sampling.eos_token_id is not None:
+                    s.add(int(r.sampling.eos_token_id))
+            sets.append(s)
+        if not any_guided:
+            return None
+        kmax = max(1, max(len(s) for s in sets))
+        K = 1 << (kmax - 1).bit_length()
+        ids = np.full((n, K), V, np.int32)
+        for i, s in enumerate(sets):
+            for j, t in enumerate(sorted(s)):
+                ids[i, j] = t
+        return jnp.asarray(ids)
 
     # -- paged block management (host side) ----------------------------------
 
@@ -1009,6 +1064,7 @@ class Engine:
             *pens, *self._seed_arrays(self.slot_req, B),
             *self._bias_arrays(self.slot_req, B),
             self._tables_arg(),
+            self._allowed_arrays(self.slot_req, B),
         )
         g, glp_np = np.asarray(greedy), np.asarray(glp)
         s0_np, slp0_np = np.asarray(s0), np.asarray(slp0)
@@ -1070,6 +1126,7 @@ class Engine:
                     *sampling_arrays([req.sampling]),
                     *self._seed_arrays([req], 1),
                     *self._bias_arrays([req], 1),
+                    self._allowed_arrays([req], 1),
                 )
             else:
                 tok, lp, self.caches = self._prefill_chunk_fn(
@@ -1078,6 +1135,7 @@ class Engine:
                     *sampling_arrays([req.sampling]),
                     *self._seed_arrays([req], 1),
                     *self._bias_arrays([req], 1),
+                    self._allowed_arrays([req], 1),
                 )
             self.slot_len[slot] = k + len(part)
             if self.paged:  # freshly completed blocks become adoptable now
@@ -1265,6 +1323,10 @@ class Engine:
                 continue
             # one decode tick across all slots (chunk of ≥1 fused steps)
             chunk = self.steps_per_tick
+            if any(active[i] and r is not None and r.sampling.guided_choice
+                   for i, r in enumerate(self.slot_req)):
+                # guided masks change per emitted token (host trie walk)
+                chunk = 1
             for slot, req in enumerate(self.slot_req):
                 if not active[slot]:
                     # masked rows still WRITE at clen..clen+chunk-1: keep a
@@ -1309,6 +1371,7 @@ class Engine:
                     *self._seed_arrays(self.slot_req, self.max_batch),
                     *self._bias_arrays(self.slot_req, self.max_batch),
                     self._tables_arg(),
+                    self._allowed_arrays(self.slot_req, self.max_batch),
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
                 lp_np = np.asarray(lp)[:, None]
@@ -1327,6 +1390,7 @@ class Engine:
                     *self._seed_arrays(self.slot_req, self.max_batch),
                     *self._bias_arrays(self.slot_req, self.max_batch),
                     self._tables_arg(),
+                    None,  # allow_ids: guided rows force chunk == 1
                     n_steps=chunk,
                 )
                 chunk_np = np.asarray(toks)
@@ -1420,15 +1484,30 @@ class Engine:
              and req.output_tokens[-1] == sp.eos_token_id)
             or req.output_tokens[-1] in sp.stop_token_ids
         )
+        # guided decoding: the output completed a candidate and no longer
+        # candidate extends it — stop with the final token KEPT (unlike
+        # EOS, the candidate's last token is part of the answer)
+        guided_done = False
+        if sp.guided_choice and req.output_tokens and not hit_stop:
+            out = tuple(req.output_tokens)
+            m = len(out)
+            guided_done = any(tuple(c) == out for c in sp.guided_choice) \
+                and not any(
+                    len(c) > m and tuple(c[:m]) == out
+                    for c in sp.guided_choice
+                )
         out_of_room = (
             self.slot_len[slot] + 1 >= self.max_len
         )
-        if hit_stop or out_of_room or len(req.output_tokens) >= sp.max_new_tokens:
+        if hit_stop or guided_done or out_of_room \
+                or len(req.output_tokens) >= sp.max_new_tokens:
             if hit_stop:
                 req.output_tokens.pop()  # don't emit the EOS/stop token
                 req.token_logprobs.pop()
             req.done = True
-            req.finish_reason = "stop" if hit_stop else "length"
+            req.finish_reason = (
+                "stop" if hit_stop or guided_done else "length"
+            )
             self._free_slot(slot)
 
 

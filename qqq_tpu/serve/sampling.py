@@ -45,6 +45,12 @@ class SamplingParams:
     #: logits before sampling — greedy rows argmax over the biased row too.
     #: −100 effectively bans a token, +100 effectively forces it.
     logit_bias: tuple = ()
+    #: guided decoding (the vLLM ``guided_choice`` structured output): a
+    #: tuple of candidate TOKEN sequences; every generated token is hard-
+    #: masked to the candidates' valid continuations (the engine walks the
+    #: token trie host-side and ships per-tick allowed-id arrays).  A row
+    #: whose output completes a candidate finishes with reason "stop".
+    guided_choice: tuple = ()
 
     @property
     def has_penalties(self) -> bool:
@@ -55,9 +61,11 @@ class SamplingParams:
     @property
     def alters_logits(self) -> bool:
         """True when the row's sampling distribution differs from the raw
-        model distribution at the logits level (penalties or bias) — such
-        rows can't ride the draft-acceptance / vocab-sharded fast paths."""
-        return self.has_penalties or bool(self.logit_bias)
+        model distribution at the logits level (penalties, bias, or guided
+        masks) — such rows can't ride the draft-acceptance / vocab-sharded
+        fast paths."""
+        return (self.has_penalties or bool(self.logit_bias)
+                or bool(self.guided_choice))
 
 
 def _topk_topp_filter(
@@ -114,6 +122,24 @@ def apply_penalties(
     penal = jnp.where(logits > 0, logits / rep, logits * rep)
     logits = jnp.where(prompt_mask | gen, penal, logits)
     return logits - presence[:, None] * gen - frequency[:, None] * c
+
+
+def apply_allowed_mask(
+    logits: jax.Array,  # (B, V) f32
+    ids: jax.Array,     # (B, K) i32 — allowed token ids; pad with V (OOB)
+) -> jax.Array:
+    """Guided-decoding hard mask: rows with at least one valid id keep ONLY
+    those ids' logits (everything else → -1e30); fully-padded rows pass
+    through unmasked (unconstrained batchmates).  Pad entries use id == V,
+    which the ``drop`` scatter mode discards."""
+    V = logits.shape[-1]
+    rows = jnp.arange(logits.shape[0])[:, None]
+    vals = jnp.take_along_axis(logits, jnp.minimum(ids, V - 1), axis=1)
+    masked = jnp.full_like(logits, -1e30).at[rows, ids].set(
+        vals, mode="drop"
+    )
+    has = (ids < V).any(axis=1, keepdims=True)
+    return jnp.where(has, masked, logits)
 
 
 def apply_logit_bias(

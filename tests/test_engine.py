@@ -908,3 +908,52 @@ def test_logit_bias_per_request_mixed(rng, params):
     assert r2.output_tokens == plain2          # unbiased row untouched
     assert r1.output_tokens != plain1          # bias bit
     assert plain1[0] not in r1.output_tokens   # banned everywhere
+
+
+def test_guided_choice_all_scheduler_modes(rng, params):
+    """Guided decoding (vLLM guided_choice): the output must be exactly one
+    of the candidate token sequences, chosen by masked argmax at every
+    step, across every scheduler mode — with an unconstrained batchmate
+    reproducing plain greedy."""
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    plain = _naive_greedy(params, prompt, 5)
+    # candidates that share a first token (trie fork) and diverge
+    choices = ((17, 42, 99), (17, 3), (88,))
+    for kw in (
+        dict(),                                  # whole-bucket admission
+        dict(prefill_chunk=8),                   # chunked prefill
+        dict(spec_ngram=2, spec_k=3),            # speculative decoding
+        dict(paged=True, block_size=8),          # paged pool
+        dict(steps_per_tick=4),                  # multi-step (forced to 1)
+    ):
+        eng = Engine(params, CFG, max_batch=2, max_len=64,
+                     kv_quantized=True, dtype=jnp.float32,
+                     prefill_buckets=(16,), **kw)
+        r = Request(prompt_tokens=prompt, sampling=SamplingParams(
+            max_new_tokens=10, guided_choice=choices))
+        free = Request(prompt_tokens=prompt,
+                       sampling=SamplingParams(max_new_tokens=5))
+        eng.run([r, free])
+        assert tuple(r.output_tokens) in choices, (kw, r.output_tokens)
+        assert r.finish_reason == "stop"
+        assert free.output_tokens == plain, kw
+
+
+def test_guided_choice_prefix_candidates_eos(rng, params):
+    """A candidate that is a strict prefix of another: with an EOS id the
+    row may stop at the completion point (EOS joins the allowed set) —
+    forced here by making EOS the only way out of a +100-biased longer
+    branch; without EOS, completion only fires when no candidate extends
+    the output."""
+    prompt = [int(t) for t in rng.integers(0, 128, size=5)]
+    choices = ((11,), (11, 23, 40))
+    # bias token 23 to -inf-ish so after (11,) the argmax between {23, eos}
+    # picks eos
+    sp = SamplingParams(max_new_tokens=10, guided_choice=choices,
+                        eos_token_id=0, logit_bias=((23, -100.0),))
+    eng = Engine(params, CFG, max_batch=1, max_len=64, kv_quantized=True,
+                 dtype=jnp.float32, prefill_buckets=(16,))
+    r = Request(prompt_tokens=prompt, sampling=sp)
+    eng.run([r])
+    assert r.output_tokens == [11]  # stopped at the short candidate
+    assert r.finish_reason == "stop"

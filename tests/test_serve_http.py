@@ -351,6 +351,42 @@ def test_openai_chat_n_choices(served_chat, rng):
     )
 
 
+def test_guided_choice_http(served_tok, rng):
+    """vLLM-style ``guided_choice`` over the wire: the output is exactly one
+    of the candidate token sequences (finish_reason stop), an unconstrained
+    sibling request is untouched, and bad entries 400."""
+    base, params = served_tok
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    plain = generate(
+        params, CFG, [prompt], SamplingParams(max_new_tokens=5),
+        max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,),
+    )[0]
+    # candidates chosen to NOT start with the free-running greedy token
+    choices = [[plain[0] + 1 if plain[0] + 1 < 128 else 1, 7],
+               [plain[0] + 2 if plain[0] + 2 < 128 else 2]]
+    res = _post(base, {
+        "prompt_tokens": prompt, "max_new_tokens": 8, "temperature": 0,
+        "guided_choice": choices,
+    })
+    assert res["output_tokens"] in choices
+    res2 = _post(base, {
+        "prompt_tokens": prompt, "max_new_tokens": 5, "temperature": 0,
+    })
+    assert res2["output_tokens"] == plain  # batchmates unconstrained
+
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({
+            "prompt": prompt, "guided_choice": [[]],
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+
 def test_openai_echo_and_prompt_scoring(served_tok, rng):
     """OpenAI ``echo``: the choice text starts with the decoded prompt, the
     logprobs block covers prompt ∪ completion with token_logprobs[0] null,
