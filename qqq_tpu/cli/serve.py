@@ -214,6 +214,16 @@ def _parse_sampling(body: Dict[str, Any], *, temp_default: float,
     mp = _num(body, "min_p", 0.0, float)
     if not 0.0 <= mp <= 1.0:
         raise ValueError(f"min_p must be in [0, 1], got {mp}")
+    # top-N alternative logprobs: chat's ``top_logprobs`` or completions'
+    # integer ``logprobs`` (booleans mean chosen-token scores only)
+    n_top = body.get("top_logprobs")
+    if n_top is None:
+        lp = body.get("logprobs")
+        n_top = (lp if isinstance(lp, int) and not isinstance(lp, bool)
+                 else 0)
+    n_top = int(n_top or 0)
+    if not 0 <= n_top <= 8:
+        raise ValueError(f"top_logprobs must be in [0, 8], got {n_top}")
     lb = body.get("logit_bias") or {}
     if not isinstance(lb, dict):
         raise ValueError("logit_bias must be a {token_id: bias} object")
@@ -244,6 +254,7 @@ def _parse_sampling(body: Dict[str, Any], *, temp_default: float,
         repetition_penalty=_num(body, "repetition_penalty", 1.0, float),
         logit_bias=tuple(sorted(bias)),
         guided_choice=tuple(guided),
+        top_logprobs=n_top,
     )
 
 
@@ -386,6 +397,8 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
             }
             if want_logprobs:
                 out["token_logprobs"] = req.token_logprobs
+            if req.top_logprobs:
+                out["top_logprobs"] = req.top_logprobs
             stop_text = worker.take_stop_text(req)
             if tokenizer is not None:
                 out["text"] = (
@@ -619,6 +632,15 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                         "token_logprobs": r.token_logprobs,
                         "tokens": r.output_tokens,
                     }
+                    if r.sampling.top_logprobs:
+                        tops = [
+                            {(tokenizer.decode([t]) if tokenizer
+                              else str(t)): v for t, v in pos}
+                            for pos in r.top_logprobs
+                        ]
+                        lp_block["top_logprobs"] = (
+                            [None] * len(toks) + tops if echo else tops
+                        )
                 choices.append({
                     "text": prefix + text if echo else text,
                     "index": idx,
@@ -737,9 +759,14 @@ def _make_handler(worker: EngineWorker, tokenizer=None,
                     "finish_reason": r.finish_reason or "stop",
                     "logprobs": (
                         {"content": [
-                            {"token": tokenizer.decode([t]), "logprob": lp}
-                            for t, lp in zip(r.output_tokens,
-                                             r.token_logprobs)
+                            {"token": tokenizer.decode([t]), "logprob": lp,
+                             **({"top_logprobs": [
+                                 {"token": tokenizer.decode([tt]),
+                                  "logprob": tv}
+                                 for tt, tv in r.top_logprobs[i]
+                             ]} if r.sampling.top_logprobs else {})}
+                            for i, (t, lp) in enumerate(zip(
+                                r.output_tokens, r.token_logprobs))
                         ]} if want_logprobs else None
                     ),
                 })

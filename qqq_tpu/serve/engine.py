@@ -60,6 +60,12 @@ class Request:
     #: raw-model log P(token | prefix) for each entry of ``output_tokens``
     #: (pre-temperature, like vLLM's logprobs report) — same length
     token_logprobs: List[float] = dataclasses.field(default_factory=list)
+    #: with ``sampling.top_logprobs`` = N > 0: per generated token, the N
+    #: highest raw logprobs as [(token_id, logprob), …] — same length as
+    #: ``output_tokens``; empty otherwise
+    top_logprobs: List[List[Tuple[int, float]]] = dataclasses.field(
+        default_factory=list
+    )
     done: bool = False
     #: "stop" (EOS / stop token / cancel) or "length" (max_new_tokens or
     #: out of cache room) once ``done`` — OpenAI finish_reason semantics
@@ -413,17 +419,22 @@ class Engine:
         # donate the cache buffers: the update aliases in place instead of
         # copying the whole (B, nkv, S, hd) store every step; the counts
         # buffer (positional arg 10 of the bound method) aliases the same way
-        self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2, 10))
+        self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2, 10),
+                                  static_argnames=("n_top",))
         self._prefill_chunk_fn = jax.jit(
-            self._prefill_chunk_step, donate_argnums=(2,)
+            self._prefill_chunk_step, donate_argnums=(2,),
+            static_argnames=("n_top",),
         )
         self._prefill_chunk_paged_fn = jax.jit(
-            self._prefill_chunk_paged, donate_argnums=(2,)
+            self._prefill_chunk_paged, donate_argnums=(2,),
+            static_argnames=("n_top",),
         )
         self._set_counts_fn = jax.jit(
             lambda c, slot, row: c.at[slot].set(row), donate_argnums=(0,)
         )
-        self._spec_fn = jax.jit(self._spec_verify_step, donate_argnums=(2, 10))
+        self._spec_fn = jax.jit(self._spec_verify_step,
+                                donate_argnums=(2, 10),
+                                static_argnames=("n_top",))
         self._count_fn = jax.jit(
             lambda c, slot, tok: c.at[slot, tok].add(1), donate_argnums=(0,)
         )
@@ -457,7 +468,7 @@ class Engine:
                      temp, topk, topp, minp, counts, rep_mask, pres,
                      freq, rep, seeded, seeds, ngen,
                      bias_ids=None, bias_vals=None, tables=None,
-                     allow_ids=None):
+                     allow_ids=None, n_top: int = 0):
         positions = cache_len[:, None]  # T == 1
         logits, caches = self._fwd_t(
             params, tokens, caches, cache_len, positions, tables
@@ -479,7 +490,11 @@ class Engine:
         counts = counts.at[jnp.arange(counts.shape[0]), next_tok].add(
             active.astype(jnp.int32)
         )
-        return next_tok, chosen_logprob(last, next_tok), caches, counts
+        tops = None
+        if n_top:  # OpenAI top-N alternatives, raw distribution
+            lsm = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+            tops = jax.lax.top_k(lsm, n_top)
+        return next_tok, chosen_logprob(last, next_tok), caches, counts, tops
 
     def _decode_step_sharded(self, params, tokens, caches, cache_len, key,
                              active, temp):
@@ -507,12 +522,13 @@ class Engine:
         return toks.T, lps.T, caches  # (B, n_steps) each
 
     @functools.partial(
-        jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3, 11)
+        jax.jit, static_argnames=("self", "n_steps", "n_top"),
+        donate_argnums=(3, 11)
     )
     def _decode_multi(self, params, tokens, caches, cache_len, key, active,
                       temp, topk, topp, minp, counts, rep_mask, pres,
                       freq, rep, seeded, seeds, ngen, bias_ids, bias_vals,
-                      tables, allow_ids, n_steps: int):
+                      tables, allow_ids, n_steps: int, n_top: int = 0):
         """n decode steps fused in one on-device ``lax.scan`` — amortizes
         dispatch overhead (one launch per chunk instead of per token).
         ``allow_ids`` is always None here: guided rows force chunk=1 (the
@@ -521,25 +537,29 @@ class Engine:
         def body(carry, _):
             tok, caches, clen, key, counts, ng = carry
             key, sub = jax.random.split(key)
-            nxt, lp, caches, counts = self._decode_step(
+            nxt, lp, caches, counts, tops = self._decode_step(
                 params, tok[:, None], caches, clen, sub, active,
                 temp, topk, topp, minp, counts, rep_mask, pres, freq, rep,
                 seeded, seeds, ng, bias_ids, bias_vals, tables, allow_ids,
+                n_top,
             )
             ng_next = None if ng is None else ng + 1  # None = no seeded rows
-            return (nxt, caches, clen + 1, key, counts, ng_next), (nxt, lp)
+            return (nxt, caches, clen + 1, key, counts, ng_next), \
+                (nxt, lp, tops)
 
-        (_, caches, _, _, counts, _), (toks, lps) = jax.lax.scan(
+        (_, caches, _, _, counts, _), (toks, lps, tops) = jax.lax.scan(
             body, (tokens[:, 0], caches, cache_len, key, counts, ngen), None,
             length=n_steps,
         )
-        return toks.T, lps.T, caches, counts  # (B, n_steps) each
+        if tops is not None:  # (n_steps, B, N) → (B, n_steps, N)
+            tops = (jnp.swapaxes(tops[0], 0, 1), jnp.swapaxes(tops[1], 0, 1))
+        return toks.T, lps.T, caches, counts, tops  # (B, n_steps) each
 
     def _spec_verify_step(self, params, tokens, caches, cache_len, key,
                           active, temp, topk, topp, minp, counts,
                           rep_mask, pres, freq, rep, seeded, seeds, ngen,
                           bias_ids=None, bias_vals=None, tables=None,
-                          allow_ids=None):
+                          allow_ids=None, n_top: int = 0):
         """Verify a (B, 1+k) [last_token, draft…] batch in one forward.
         Returns the model's greedy continuation at every position (+ its
         logprobs) for draft acceptance, and the position-0 sampled token
@@ -573,12 +593,13 @@ class Engine:
         counts = counts.at[jnp.arange(counts.shape[0]), samp0].add(
             active.astype(jnp.int32)
         )
-        return greedy, glp, samp0, slp0, caches, counts
+        tops = jax.lax.top_k(lsm, n_top) if n_top else None  # (B, T, N)
+        return greedy, glp, samp0, slp0, caches, counts, tops
 
     def _prefill_chunk_step(self, params, tokens, caches, k, true_n, slot,
                             key, temp, topk, topp, minp, seeded, seeds,
                             ngen, bias_ids=None, bias_vals=None,
-                            allow_ids=None):
+                            allow_ids=None, n_top: int = 0):
         """One chunked-prefill step for ONE slot of the GLOBAL cache:
         slice the slot's rows out, run a (1, C) prefill-with-cache forward
         starting at position ``k``, write the rows back (the cache is
@@ -610,18 +631,22 @@ class Engine:
         tok = sample_batched(samp_in, key, temp, topk, topp, minp,
                              seeded, seeds, ngen)
         lp = chosen_logprob(last, tok)
+        tops = None
+        if n_top:
+            lsm = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+            tops = jax.lax.top_k(lsm, n_top)
 
         def ins(b, s):
             return jax.lax.dynamic_update_slice(
                 b, s, (slot,) + (0,) * (b.ndim - 1)
             )
 
-        return tok, lp, jax.tree.map(ins, caches, c1)
+        return tok, lp, jax.tree.map(ins, caches, c1), tops
 
     def _prefill_chunk_paged(self, params, tokens, caches, k, true_n,
                              tables, key, temp, topk, topp, minp, seeded,
                              seeds, ngen, bias_ids=None, bias_vals=None,
-                             allow_ids=None):
+                             allow_ids=None, n_top: int = 0):
         """Paged-mode chunked prefill: the pool is global and shared, so no
         slot slicing — a (1, C) forward writes straight into this slot's
         blocks through its table row (donated pool, in-place scatter).
@@ -640,11 +665,16 @@ class Engine:
             samp_in = apply_allowed_mask(samp_in, allow_ids)
         tok = sample_batched(samp_in, key, temp, topk, topp, minp,
                              seeded, seeds, ngen)
-        return tok, chosen_logprob(last, tok), caches
+        tops = None
+        if n_top:
+            lsm = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+            tops = jax.lax.top_k(lsm, n_top)
+        return tok, chosen_logprob(last, tok), caches, tops
 
     def _prefill(self, params, tokens, true_len, caches1, key,
                  temp, topk, topp, minp, seeded, seeds, ngen,
-                 bias_ids=None, bias_vals=None, allow_ids=None):
+                 bias_ids=None, bias_vals=None, allow_ids=None,
+                 n_top: int = 0):
         """Batch-generic forward over a padded bucket; returns per-row next
         tokens + caches (the engine calls it with B = admitted sub-batch)."""
         B, T = tokens.shape
@@ -662,13 +692,19 @@ class Engine:
             samp_in = apply_allowed_mask(samp_in, allow_ids)
         tok = sample_batched(samp_in, key, temp, topk, topp, minp,
                              seeded, seeds, ngen)
-        return tok, chosen_logprob(last, tok), caches1
+        tops = None
+        if n_top:
+            lsm = jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+            tops = jax.lax.top_k(lsm, n_top)
+        return tok, chosen_logprob(last, tok), caches1, tops
 
     # -- host-side scheduling ----------------------------------------------
 
     def _get_prefill_fn(self, bucket: int):
         if bucket not in self._prefill_fns:
-            self._prefill_fns[bucket] = jax.jit(self._prefill)
+            self._prefill_fns[bucket] = jax.jit(
+                self._prefill, static_argnames=("n_top",)
+            )
         return self._prefill_fns[bucket]
 
     @functools.partial(jax.jit, static_argnames=("self",),
@@ -758,15 +794,18 @@ class Engine:
             quantized=self.kv_quantized, dtype=self.dtype,
         )
         self.key, k = jax.random.split(self.key)
-        tok, lp, caches1 = self._get_prefill_fn(bucket)(
+        tok, lp, caches1, tops = self._get_prefill_fn(bucket)(
             self.params, jnp.asarray(toks), jnp.asarray(lens), caches1, k,
             *sampling_arrays([r.sampling for r in reqs]),
             *self._seed_arrays(reqs, len(reqs)),
             *self._bias_arrays(reqs, len(reqs)),
             self._allowed_arrays(reqs, len(reqs)),
+            n_top=self._ntop(reqs, len(reqs)),
         )
         firsts = np.asarray(tok)  # ONE host sync for the whole group
         lps = np.asarray(lp)
+        tops_np = None if tops is None else (np.asarray(tops[0]),
+                                             np.asarray(tops[1]))
         for i, (req, slot) in enumerate(zip(reqs, slots)):
             self._insert_cache(caches1, slot, row=i)
             first = int(firsts[i])
@@ -786,6 +825,10 @@ class Engine:
                     )
             req.output_tokens.append(first)
             req.token_logprobs.append(float(lps[i]))
+            if tops_np is not None and req.sampling.top_logprobs:
+                req.top_logprobs.append(
+                    self._top_list(req, tops_np[0][i], tops_np[1][i])
+                )
             self.slot_req[slot] = req
             self._admit_seq += 1
             self.slot_seq[slot] = self._admit_seq
@@ -850,6 +893,20 @@ class Engine:
         return bias_arrays(
             [r.sampling if r is not None else None for r in rows], n
         )
+
+    def _ntop(self, rows, n: int) -> int:
+        """This tick's top-N logprobs width: the max requested over the
+        rows (0 compiles the report-free fast path)."""
+        return max(
+            (r.sampling.top_logprobs for r in rows[:n] if r is not None),
+            default=0,
+        )
+
+    @staticmethod
+    def _top_list(req, tv_row, ti_row):
+        m = req.sampling.top_logprobs
+        return [(int(t), float(v))
+                for t, v in zip(ti_row[:m], tv_row[:m])]
 
     def _allowed_arrays(self, rows, n: int):
         """(n, K) allowed-token ids for guided rows (pad = vocab_size,
@@ -1058,35 +1115,43 @@ class Engine:
         slist = [r.sampling if r is not None else None for r in self.slot_req]
         samp = sampling_arrays(slist, B)
         pens = penalty_arrays(slist, B)
-        greedy, glp, s0, slp0, self.caches, self.counts = self._spec_fn(
-            self.params, jnp.asarray(toks), self.caches, cache_len, kk,
-            jnp.asarray(active), *samp, self.counts, self.rep_mask,
-            *pens, *self._seed_arrays(self.slot_req, B),
-            *self._bias_arrays(self.slot_req, B),
-            self._tables_arg(),
-            self._allowed_arrays(self.slot_req, B),
-        )
+        greedy, glp, s0, slp0, self.caches, self.counts, tops = \
+            self._spec_fn(
+                self.params, jnp.asarray(toks), self.caches, cache_len, kk,
+                jnp.asarray(active), *samp, self.counts, self.rep_mask,
+                *pens, *self._seed_arrays(self.slot_req, B),
+                *self._bias_arrays(self.slot_req, B),
+                self._tables_arg(),
+                self._allowed_arrays(self.slot_req, B),
+                n_top=self._ntop(self.slot_req, B),
+            )
         g, glp_np = np.asarray(greedy), np.asarray(glp)
         s0_np, slp0_np = np.asarray(s0), np.asarray(slp0)
+        tops_np = None if tops is None else (np.asarray(tops[0]),
+                                             np.asarray(tops[1]))
         self.stats["decode_ticks"] += 1
         for slot, req in enumerate(self.slot_req):
             if req is None or not active[slot]:
                 continue
-            emitted = [(int(s0_np[slot]), float(slp0_np[slot]))]
+            emitted = [(int(s0_np[slot]), float(slp0_np[slot]), 0)]
             d = drafts[slot]
             self.stats["spec_drafted"] += len(d)
             j = 0
             while j < len(d) and d[j] == emitted[-1][0]:
                 emitted.append(
-                    (int(g[slot, j + 1]), float(glp_np[slot, j + 1]))
+                    (int(g[slot, j + 1]), float(glp_np[slot, j + 1]), j + 1)
                 )
                 j += 1
             self.stats["spec_accepted"] += j
-            for tok, lp in emitted:
+            for tok, lp, pos in emitted:
                 if self.slot_req[slot] is None:
                     break  # finished mid-run (EOS/budget) — drop overshoot
                 req.output_tokens.append(tok)
                 req.token_logprobs.append(lp)
+                if tops_np is not None and req.sampling.top_logprobs:
+                    req.top_logprobs.append(self._top_list(
+                        req, tops_np[0][slot, pos], tops_np[1][slot, pos]
+                    ))
                 self.slot_len[slot] += 1
                 self.slot_last_tok[slot] = tok
                 self._maybe_finish(slot)
@@ -1117,9 +1182,10 @@ class Engine:
             toks[0, : len(part)] = part
             k = int(self.slot_len[slot])
             self.key, kk = jax.random.split(self.key)
+            n_top = req.sampling.top_logprobs
             if self.paged:
                 self._ensure_blocks(slot, k + len(part))
-                tok, lp, self.caches = self._prefill_chunk_paged_fn(
+                tok, lp, self.caches, tops = self._prefill_chunk_paged_fn(
                     self.params, jnp.asarray(toks), self.caches,
                     jnp.int32(k), jnp.int32(len(part)),
                     jnp.asarray(self.tables[slot : slot + 1]), kk,
@@ -1127,15 +1193,17 @@ class Engine:
                     *self._seed_arrays([req], 1),
                     *self._bias_arrays([req], 1),
                     self._allowed_arrays([req], 1),
+                    n_top=n_top,
                 )
             else:
-                tok, lp, self.caches = self._prefill_chunk_fn(
+                tok, lp, self.caches, tops = self._prefill_chunk_fn(
                     self.params, jnp.asarray(toks), self.caches,
                     jnp.int32(k), jnp.int32(len(part)), jnp.int32(slot), kk,
                     *sampling_arrays([req.sampling]),
                     *self._seed_arrays([req], 1),
                     *self._bias_arrays([req], 1),
                     self._allowed_arrays([req], 1),
+                    n_top=n_top,
                 )
             self.slot_len[slot] = k + len(part)
             if self.paged:  # freshly completed blocks become adoptable now
@@ -1176,6 +1244,10 @@ class Engine:
                         )
                 req.output_tokens.append(first)
                 req.token_logprobs.append(float(lps[0]))
+                if tops is not None and req.sampling.top_logprobs:
+                    req.top_logprobs.append(self._top_list(
+                        req, np.asarray(tops[0])[0], np.asarray(tops[1])[0]
+                    ))
                 self.slot_last_tok[slot] = first
                 self.stats["prefills"] += 1
                 self._maybe_finish(slot)
@@ -1353,6 +1425,7 @@ class Engine:
                               and r.sampling.top_p >= 1.0
                               and r.sampling.min_p == 0.0
                               and r.sampling.seed is None
+                              and r.sampling.top_logprobs == 0
                               and not r.sampling.alters_logits)
                 for r in self.slot_req
             )
@@ -1363,8 +1436,10 @@ class Engine:
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
                 lp_np = np.asarray(lp)[:, None]
+                tops_np = None
             elif chunk == 1:
-                next_tok, lp, self.caches, self.counts = self._decode_fn(
+                next_tok, lp, self.caches, self.counts, tops = \
+                    self._decode_fn(
                     self.params, tokens, self.caches, cache_len, k,
                     jnp.asarray(active), *samp, self.counts,
                     self.rep_mask, *pens,
@@ -1372,29 +1447,39 @@ class Engine:
                     *self._bias_arrays(self.slot_req, self.max_batch),
                     self._tables_arg(),
                     self._allowed_arrays(self.slot_req, self.max_batch),
+                    n_top=self._ntop(self.slot_req, self.max_batch),
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
                 lp_np = np.asarray(lp)[:, None]
-            elif sharded:
+                tops_np = None if tops is None else (
+                    np.asarray(tops[0])[:, None],
+                    np.asarray(tops[1])[:, None],
+                )
+            elif sharded:  # top-N rows are excluded from this path
                 toks, lps, self.caches = self._decode_multi_sharded(
                     self.params, tokens, self.caches, cache_len, k,
                     jnp.asarray(active), samp[0], n_steps=chunk,
                 )
                 chunk_np = np.asarray(toks)
                 lp_np = np.asarray(lps)
+                tops_np = None
             else:
-                toks, lps, self.caches, self.counts = self._decode_multi(
-                    self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active), *samp, self.counts,
-                    self.rep_mask, *pens,
-                    *self._seed_arrays(self.slot_req, self.max_batch),
-                    *self._bias_arrays(self.slot_req, self.max_batch),
-                    self._tables_arg(),
-                    None,  # allow_ids: guided rows force chunk == 1
-                    n_steps=chunk,
-                )
+                toks, lps, self.caches, self.counts, tops = \
+                    self._decode_multi(
+                        self.params, tokens, self.caches, cache_len, k,
+                        jnp.asarray(active), *samp, self.counts,
+                        self.rep_mask, *pens,
+                        *self._seed_arrays(self.slot_req, self.max_batch),
+                        *self._bias_arrays(self.slot_req, self.max_batch),
+                        self._tables_arg(),
+                        None,  # allow_ids: guided rows force chunk == 1
+                        n_steps=chunk,
+                        n_top=self._ntop(self.slot_req, self.max_batch),
+                    )
                 chunk_np = np.asarray(toks)
                 lp_np = np.asarray(lps)
+                tops_np = None if tops is None else (np.asarray(tops[0]),
+                                                     np.asarray(tops[1]))
             self.stats["decode_ticks"] += 1
             for slot, req in enumerate(self.slot_req):
                 if req is None or not active[slot]:
@@ -1405,6 +1490,10 @@ class Engine:
                     tok = int(chunk_np[slot, t])
                     req.output_tokens.append(tok)
                     req.token_logprobs.append(float(lp_np[slot, t]))
+                    if tops_np is not None and req.sampling.top_logprobs:
+                        req.top_logprobs.append(self._top_list(
+                            req, tops_np[0][slot, t], tops_np[1][slot, t]
+                        ))
                     self.slot_len[slot] += 1
                     self.slot_last_tok[slot] = tok
                     self._maybe_finish(slot)

@@ -45,6 +45,11 @@ class SamplingParams:
     #: logits before sampling — greedy rows argmax over the biased row too.
     #: −100 effectively bans a token, +100 effectively forces it.
     logit_bias: tuple = ()
+    #: OpenAI top-N alternative logprobs: report the N highest raw-model
+    #: logprobs (token, logprob) alongside every generated token's own
+    #: score (0 = off).  Pure reporting — the sampling distribution is
+    #: untouched.
+    top_logprobs: int = 0
     #: guided decoding (the vLLM ``guided_choice`` structured output): a
     #: tuple of candidate TOKEN sequences; every generated token is hard-
     #: masked to the candidates' valid continuations (the engine walks the

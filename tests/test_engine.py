@@ -957,3 +957,40 @@ def test_guided_choice_prefix_candidates_eos(rng, params):
     eng.run([r])
     assert r.output_tokens == [11]  # stopped at the short candidate
     assert r.finish_reason == "stop"
+
+
+def test_top_logprobs_all_scheduler_modes(rng, params):
+    """top_logprobs=N: per generated token the engine reports the N highest
+    raw logprobs, matching a naive log_softmax + argsort loop (ids exact,
+    values to fp tolerance) across every scheduler mode; rows that didn't
+    ask stay empty."""
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+
+    def naive_tops(n_new, N):
+        toks = list(prompt)
+        out = []
+        for _ in range(n_new):
+            logits, _ = forward(params, CFG, jnp.asarray([toks], jnp.int32))
+            lsm = np.asarray(jax.nn.log_softmax(
+                np.asarray(logits[0, -1], np.float32)))
+            order = np.argsort(-lsm)[:N]
+            out.append([int(i) for i in order])
+            toks.append(int(np.argmax(lsm)))
+        return out
+
+    want_ids = naive_tops(6, 3)
+    for kw in (dict(), dict(steps_per_tick=3), dict(prefill_chunk=8),
+               dict(spec_ngram=2, spec_k=3), dict(paged=True, block_size=8)):
+        eng = Engine(params, CFG, max_batch=2, max_len=64, kv_quantized=True,
+                     dtype=jnp.float32, prefill_buckets=(16,), **kw)
+        r = Request(prompt_tokens=prompt, sampling=SamplingParams(
+            max_new_tokens=6, top_logprobs=3))
+        plain = Request(prompt_tokens=prompt,
+                        sampling=SamplingParams(max_new_tokens=4))
+        eng.run([r, plain])
+        assert len(r.top_logprobs) == 6, kw
+        assert [[t for t, _ in pos] for pos in r.top_logprobs] == want_ids, kw
+        # the chosen greedy token's own logprob equals its top-1 entry
+        for pos, lp in zip(r.top_logprobs, r.token_logprobs):
+            assert abs(pos[0][1] - lp) < 2e-3
+        assert plain.top_logprobs == []

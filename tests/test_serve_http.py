@@ -351,6 +351,35 @@ def test_openai_chat_n_choices(served_chat, rng):
     )
 
 
+def test_top_logprobs_http(served_tok, rng):
+    """OpenAI integer ``logprobs: N`` on completions returns top-N
+    alternative dicts per generated token whose best entry matches the
+    greedy token's own logprob; out-of-range N 400s."""
+    base, params = served_tok
+    prompt = [int(t) for t in rng.integers(0, 128, size=6)]
+    res = _openai(base, "/v1/completions", {
+        "prompt": prompt, "max_tokens": 4, "temperature": 0.0,
+        "logprobs": 3,
+    })
+    lp = res["choices"][0]["logprobs"]
+    assert len(lp["top_logprobs"]) == 4
+    for pos, chosen_lp, tok in zip(lp["top_logprobs"],
+                                   lp["token_logprobs"], lp["tokens"]):
+        assert len(pos) == 3
+        # greedy: the chosen token IS the top-1 alternative
+        best = max(pos.values())
+        assert abs(best - chosen_lp) < 1e-5
+
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({"prompt": prompt, "logprobs": 99}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+
 def test_guided_choice_http(served_tok, rng):
     """vLLM-style ``guided_choice`` over the wire: the output is exactly one
     of the candidate token sequences (finish_reason stop), an unconstrained
