@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -297,7 +298,13 @@ class Engine:
         self._admit_seq = 0
         self.slot_seq = [0] * max_batch
         self.key = jax.random.PRNGKey(0)
+        #: queue owned by the ENGINE thread (run() mutates it freely).
+        #: Cross-thread submissions go through ``_inbox`` (add_request) and
+        #: drain at the top of each scheduling iteration — run() rebinding
+        #: ``_pending`` can never drop a concurrent submit.
         self._pending: List[Request] = []
+        self._inbox: List[Request] = []
+        self._inbox_lock = threading.Lock()
         #: (ttft, tpot) of the last ≤1000 completed requests
         self._latency: List[Tuple[float, Optional[float]]] = []
         #: per-slot GENERATED-token counts (B, V) — drives the OpenAI
@@ -452,7 +459,8 @@ class Engine:
             self._decode_fn_sharded = jax.jit(
                 self._decode_step_sharded, donate_argnums=(2,)
             )
-        self._prefill_fns = {}
+        self._prefill_fn = jax.jit(self._prefill, static_argnames=("n_top",))
+        self._score_fn = None
 
     # -- jitted programs ----------------------------------------------------
 
@@ -596,10 +604,29 @@ class Engine:
         tops = jax.lax.top_k(lsm, n_top) if n_top else None  # (B, T, N)
         return greedy, glp, samp0, slp0, caches, counts, tops
 
+    @staticmethod
+    def _prefill_sample_logits(last, pen, bias_ids, bias_vals, allow_ids):
+        """The decode step's logit-altering stack (penalties → bias →
+        guided mask) applied to a prefill's final-position logits, so the
+        FIRST sampled token of a penalized/resumed request matches the
+        stream a plain decode would produce (vLLM semantics: the
+        repetition penalty covers prompt tokens, and a preemption-resumed
+        request's generated counts carry over).  ``pen`` is the
+        (counts, prompt_mask, pres, freq, rep) bundle or None (common
+        unpenalized path traces no penalty work at all)."""
+        samp_in = last
+        if pen is not None:
+            samp_in = apply_penalties(samp_in, *pen)
+        if bias_ids is not None:
+            samp_in = apply_logit_bias(samp_in, bias_ids, bias_vals)
+        if allow_ids is not None:
+            samp_in = apply_allowed_mask(samp_in, allow_ids)
+        return samp_in
+
     def _prefill_chunk_step(self, params, tokens, caches, k, true_n, slot,
                             key, temp, topk, topp, minp, seeded, seeds,
                             ngen, bias_ids=None, bias_vals=None,
-                            allow_ids=None, n_top: int = 0):
+                            allow_ids=None, pen=None, n_top: int = 0):
         """One chunked-prefill step for ONE slot of the GLOBAL cache:
         slice the slot's rows out, run a (1, C) prefill-with-cache forward
         starting at position ``k``, write the rows back (the cache is
@@ -623,11 +650,9 @@ class Engine:
         last = jnp.take_along_axis(
             logits, (true_n - 1)[None, None, None], axis=1
         )[:, 0, :]
-        samp_in = last if bias_ids is None else apply_logit_bias(
-            last, bias_ids, bias_vals
+        samp_in = self._prefill_sample_logits(
+            last, pen, bias_ids, bias_vals, allow_ids
         )
-        if allow_ids is not None:
-            samp_in = apply_allowed_mask(samp_in, allow_ids)
         tok = sample_batched(samp_in, key, temp, topk, topp, minp,
                              seeded, seeds, ngen)
         lp = chosen_logprob(last, tok)
@@ -646,7 +671,7 @@ class Engine:
     def _prefill_chunk_paged(self, params, tokens, caches, k, true_n,
                              tables, key, temp, topk, topp, minp, seeded,
                              seeds, ngen, bias_ids=None, bias_vals=None,
-                             allow_ids=None, n_top: int = 0):
+                             allow_ids=None, pen=None, n_top: int = 0):
         """Paged-mode chunked prefill: the pool is global and shared, so no
         slot slicing — a (1, C) forward writes straight into this slot's
         blocks through its table row (donated pool, in-place scatter).
@@ -658,11 +683,9 @@ class Engine:
         last = jnp.take_along_axis(
             logits, (true_n - 1)[None, None, None], axis=1
         )[:, 0, :]
-        samp_in = last if bias_ids is None else apply_logit_bias(
-            last, bias_ids, bias_vals
+        samp_in = self._prefill_sample_logits(
+            last, pen, bias_ids, bias_vals, allow_ids
         )
-        if allow_ids is not None:
-            samp_in = apply_allowed_mask(samp_in, allow_ids)
         tok = sample_batched(samp_in, key, temp, topk, topp, minp,
                              seeded, seeds, ngen)
         tops = None
@@ -674,7 +697,7 @@ class Engine:
     def _prefill(self, params, tokens, true_len, caches1, key,
                  temp, topk, topp, minp, seeded, seeds, ngen,
                  bias_ids=None, bias_vals=None, allow_ids=None,
-                 n_top: int = 0):
+                 pen=None, n_top: int = 0):
         """Batch-generic forward over a padded bucket; returns per-row next
         tokens + caches (the engine calls it with B = admitted sub-batch)."""
         B, T = tokens.shape
@@ -685,11 +708,9 @@ class Engine:
         last = jnp.take_along_axis(
             logits, (true_len - 1)[:, None, None], axis=1
         )[:, 0, :]
-        samp_in = last if bias_ids is None else apply_logit_bias(
-            last, bias_ids, bias_vals
+        samp_in = self._prefill_sample_logits(
+            last, pen, bias_ids, bias_vals, allow_ids
         )
-        if allow_ids is not None:
-            samp_in = apply_allowed_mask(samp_in, allow_ids)
         tok = sample_batched(samp_in, key, temp, topk, topp, minp,
                              seeded, seeds, ngen)
         tops = None
@@ -701,11 +722,10 @@ class Engine:
     # -- host-side scheduling ----------------------------------------------
 
     def _get_prefill_fn(self, bucket: int):
-        if bucket not in self._prefill_fns:
-            self._prefill_fns[bucket] = jax.jit(
-                self._prefill, static_argnames=("n_top",)
-            )
-        return self._prefill_fns[bucket]
+        """One jit wrapper serves every bucket — jit's own trace cache is
+        keyed by argument shapes, so per-bucket specialization is free."""
+        del bucket
+        return self._prefill_fn
 
     @functools.partial(jax.jit, static_argnames=("self",),
                        donate_argnums=(1,))
@@ -732,9 +752,12 @@ class Engine:
         )
 
     def add_request(self, req: Request) -> None:
+        """Submit a request; safe from any thread while run() is live (the
+        engine drains the inbox at its next scheduling iteration)."""
         if req.t_enqueue is None:
             req.t_enqueue = time.monotonic()
-        self._pending.append(req)
+        with self._inbox_lock:
+            self._inbox.append(req)
 
     def score_prompt(self, tokens: List[int]) -> List[Optional[float]]:
         """log P(tokens[i] | tokens[:i]) per prompt token (index 0 → None,
@@ -746,9 +769,7 @@ class Engine:
         if n < 1:
             return []
         bucket = _bucket(n, self.prefill_buckets)
-        if not hasattr(self, "_score_fns"):
-            self._score_fns: Dict[int, Any] = {}
-        if bucket not in self._score_fns:
+        if self._score_fn is None:
             def scored(params, toks):
                 logits, _ = M.forward(
                     params, self.config, toks,
@@ -771,11 +792,10 @@ class Engine:
                 ))
             else:
                 fn = jax.jit(scored)
-            self._score_fns[bucket] = fn
+            self._score_fn = fn
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :n] = tokens
-        lp = np.asarray(self._score_fns[bucket](self.params,
-                                                jnp.asarray(toks)))
+        lp = np.asarray(self._score_fn(self.params, jnp.asarray(toks)))
         return [None] + [float(x) for x in lp[: n - 1]]
 
     def _admit_batch(self, reqs: List[Request], slots: List[int],
@@ -789,8 +809,11 @@ class Engine:
             n = len(r.prompt_tokens)
             toks[i, :n] = r.prompt_tokens
             lens[i] = n
+        # bucket-sized scratch: _prefill only writes positions [0, bucket)
+        # and _insert_fn's dynamic_update_slice accepts the smaller store —
+        # no reason to allocate/zero/copy max_len rows per admission
         caches1 = kv_cache.init(
-            self.config, pb, self.max_len,
+            self.config, pb, bucket,
             quantized=self.kv_quantized, dtype=self.dtype,
         )
         self.key, k = jax.random.split(self.key)
@@ -800,6 +823,7 @@ class Engine:
             *self._seed_arrays(reqs, len(reqs)),
             *self._bias_arrays(reqs, len(reqs)),
             self._allowed_arrays(reqs, len(reqs)),
+            pen=self._prefill_pen(reqs, len(reqs)),
             n_top=self._ntop(reqs, len(reqs)),
         )
         firsts = np.asarray(tok)  # ONE host sync for the whole group
@@ -893,6 +917,33 @@ class Engine:
         return bias_arrays(
             [r.sampling if r is not None else None for r in rows], n
         )
+
+    def _prefill_pen(self, rows, n: int):
+        """The (counts, prompt_mask, pres, freq, rep) bundle for prefill-
+        time sampling of penalized rows, or None when no row has penalties
+        (the common path ships nothing and traces no penalty work).
+        Counts/mask are built HOST-side from the requests' own token lists
+        — prefill rows have no device count state yet (admission resets it
+        right after, using the sampled token)."""
+        rows = rows[:n]
+        if not any(r is not None and r.sampling.has_penalties for r in rows):
+            return None
+        V = self.config.vocab_size
+        counts = np.zeros((n, V), np.int32)
+        pmask = np.zeros((n, V), bool)
+        for i, r in enumerate(rows):
+            if r is None or not r.sampling.has_penalties:
+                continue
+            if r.output_tokens:  # resumed after preemption
+                counts[i] = np.bincount(
+                    np.asarray(r.output_tokens), minlength=V
+                )[:V]
+            if r.sampling.repetition_penalty != 1.0 and r.prompt_tokens:
+                pmask[i, np.asarray(r.prompt_tokens, np.int64)] = True
+        pens = penalty_arrays(
+            [r.sampling if r is not None else None for r in rows], n
+        )
+        return (jnp.asarray(counts), jnp.asarray(pmask)) + tuple(pens)
 
     def _ntop(self, rows, n: int) -> int:
         """This tick's top-N logprobs width: the max requested over the
@@ -1054,26 +1105,42 @@ class Engine:
         self.stats["preemptions"] += 1
         return True
 
-    def _ensure_blocks(self, slot: int, upto: int) -> None:
+    def _ensure_blocks(self, slot: int, upto: int) -> bool:
         """Grow ``slot``'s block table to cover positions [0, upto),
         reclaiming cached prefixes and preempting other requests if the
-        pool is dry.  Raises if the slot can't fit even alone."""
+        pool is dry.  Returns False when the slot can't fit even with
+        every other request preempted and the prefix-cache LRU drained —
+        the caller finishes the request with reason "length" (raising
+        here would kill the serving loop for every client)."""
         bs = self.block_size
         need = min(-(-upto // bs), self._nbmax) - len(self.slot_blocks[slot])
         if need <= 0:
-            return
+            return True
         if self.allocator.available < need:
             self._evict_cached_blocks(need)
         while self.allocator.available < need:
             if not self._preempt(protect=slot):
-                raise RuntimeError(
-                    f"KV pool too small: slot needs {need} more blocks, "
-                    f"{self.allocator.available} free, nothing to preempt"
-                )
+                return False
+            # a preempted victim's REGISTERED blocks (prefix_cache) land on
+            # the rc==0 LRU, not the allocator — drain it again, or the
+            # loop preempts everyone and still comes up dry
+            self._evict_cached_blocks(need)
         got = self.allocator.alloc(need)
         base = len(self.slot_blocks[slot])
         self.slot_blocks[slot].extend(got)
         self.tables[slot, base : base + len(got)] = got
+        return True
+
+    def _finish_out_of_room(self, slot: int) -> None:
+        """Close ``slot``'s request gracefully when the pool can't grow its
+        KV any further (everything preemptable already preempted): finish
+        with OpenAI reason "length", keeping the output generated so far."""
+        req = self.slot_req[slot]
+        self.slot_prefill.pop(slot, None)
+        req.done = True
+        req.finish_reason = "length"
+        self._free_slot(slot)
+        self._emit(req)
 
     def _propose_draft(self, req: Request) -> List[int]:
         """Prompt-lookup drafting (vLLM's "[ngram]" speculative model): find
@@ -1178,13 +1245,19 @@ class Engine:
                 continue
             remaining = self.slot_prefill[slot]
             part = remaining[:C]
+            # only the FINAL chunk's sampled token survives — build the
+            # penalty bundle just for it (intermediate chunks ship nothing)
+            final = len(remaining) <= C
+            pen = self._prefill_pen([req], 1) if final else None
             toks = np.zeros((1, C), np.int32)
             toks[0, : len(part)] = part
             k = int(self.slot_len[slot])
             self.key, kk = jax.random.split(self.key)
             n_top = req.sampling.top_logprobs
             if self.paged:
-                self._ensure_blocks(slot, k + len(part))
+                if not self._ensure_blocks(slot, k + len(part)):
+                    self._finish_out_of_room(slot)
+                    continue
                 tok, lp, self.caches, tops = self._prefill_chunk_paged_fn(
                     self.params, jnp.asarray(toks), self.caches,
                     jnp.int32(k), jnp.int32(len(part)),
@@ -1193,6 +1266,7 @@ class Engine:
                     *self._seed_arrays([req], 1),
                     *self._bias_arrays([req], 1),
                     self._allowed_arrays([req], 1),
+                    pen=pen,
                     n_top=n_top,
                 )
             else:
@@ -1203,6 +1277,7 @@ class Engine:
                     *self._seed_arrays([req], 1),
                     *self._bias_arrays([req], 1),
                     self._allowed_arrays([req], 1),
+                    pen=pen,
                     n_top=n_top,
                 )
             self.slot_len[slot] = k + len(part)
@@ -1286,12 +1361,21 @@ class Engine:
             if r.t_enqueue is None:
                 r.t_enqueue = now
         self._pending.extend(requests)
-        while self._pending or any(r is not None for r in self.slot_req):
+        while (self._pending or self._inbox
+               or any(r is not None for r in self.slot_req)):
+            with self._inbox_lock:
+                self._pending.extend(self._inbox)
+                self._inbox.clear()
             keep = []
             for r in self._pending:
                 if r.cancelled:
                     r.done = True
                     r.finish_reason = "stop"
+                elif r.sampling.max_new_tokens <= 0:
+                    # zero tokens requested: finish without prefilling —
+                    # prefill always samples one token, which would leak out
+                    r.done = True
+                    r.finish_reason = "length"
                 elif len(r._resume or r.prompt_tokens) + 1 > self.max_len or (
                     not self.prefill_chunk
                     and len(r.prompt_tokens) > self.prefill_buckets[-1]
@@ -1372,11 +1456,12 @@ class Engine:
                     else self.steps_per_tick
                 for slot, r in enumerate(self.slot_req):
                     if r is not None and slot not in self.slot_prefill:
-                        self._ensure_blocks(
+                        if not self._ensure_blocks(
                             slot,
                             min(int(self.slot_len[slot]) + need,
                                 self.max_len),
-                        )
+                        ):
+                            self._finish_out_of_room(slot)
             active = np.array(
                 [r is not None and i not in self.slot_prefill
                  for i, r in enumerate(self.slot_req)], bool
@@ -1520,6 +1605,7 @@ class Engine:
             if req.cancelled:
                 del req.output_tokens[req._emitted:]
                 del req.token_logprobs[req._emitted:]
+                del req.top_logprobs[req._emitted:]
                 return
 
     def _free_slot(self, slot: int) -> None:
@@ -1593,6 +1679,8 @@ class Engine:
             if hit_stop:
                 req.output_tokens.pop()  # don't emit the EOS/stop token
                 req.token_logprobs.pop()
+                if req.top_logprobs:  # keep the same-length invariant
+                    req.top_logprobs.pop()
             req.done = True
             req.finish_reason = (
                 "stop" if hit_stop or guided_done else "length"

@@ -994,3 +994,92 @@ def test_top_logprobs_all_scheduler_modes(rng, params):
         for pos, lp in zip(r.top_logprobs, r.token_logprobs):
             assert abs(pos[0][1] - lp) < 2e-3
         assert plain.top_logprobs == []
+
+
+def test_repetition_penalty_applies_to_first_token(params):
+    """The repetition penalty covers PROMPT tokens (vLLM semantics), so it
+    can flip the very first generated token — the prefill sampling path must
+    apply the same penalty stack as decode.  Finds a prompt where the
+    penalized first token differs from the raw argmax, then checks every
+    prefill flavor produces the penalized stream."""
+    from qqq_tpu.serve.sampling import apply_penalties
+
+    sp = SamplingParams(max_new_tokens=3, repetition_penalty=2.5)
+    search = np.random.default_rng(7)
+
+    def penalized_first(prompt):
+        logits, _ = forward(params, CFG, jnp.asarray([prompt], jnp.int32))
+        pmask = np.zeros((1, CFG.vocab_size), bool)
+        pmask[0, prompt] = True
+        penal = apply_penalties(
+            logits[:, -1].astype(jnp.float32),
+            jnp.zeros((1, CFG.vocab_size), jnp.int32), jnp.asarray(pmask),
+            jnp.zeros((1,), jnp.float32), jnp.zeros((1,), jnp.float32),
+            jnp.full((1,), sp.repetition_penalty, jnp.float32),
+        )
+        return int(jnp.argmax(penal[0])), int(jnp.argmax(logits[0, -1]))
+
+    prompt = None
+    for _ in range(60):
+        cand = [int(t) for t in search.integers(0, 128, size=8)]
+        pen_t, raw_t = penalized_first(cand)
+        if pen_t != raw_t and raw_t in cand:
+            prompt = cand
+            break
+        # make the raw argmax part of the prompt and retry — penalizing it
+        # is then very likely to flip the argmax
+        cand2 = cand[:-1] + [raw_t]
+        pen_t, raw_t = penalized_first(cand2)
+        if pen_t != raw_t:
+            prompt = cand2
+            break
+    assert prompt is not None, "no flipping prompt found — weaken the search"
+
+    want_first, _ = penalized_first(prompt)
+    for engine_kw in (
+        dict(prefill_buckets=(16,)),          # whole-bucket prefill
+        dict(prefill_chunk=8),                # chunked prefill
+        dict(paged=True, block_size=8),       # paged chunked prefill
+    ):
+        outs = generate(
+            params, CFG, [prompt], sp,
+            max_batch=1, max_len=64, kv_quantized=False, dtype=jnp.float32,
+            **engine_kw,
+        )
+        assert outs[0][0] == want_first, (engine_kw, outs[0], want_first)
+
+
+def test_top_logprobs_same_length_after_eos(rng, params):
+    """EOS pops the stop token from output_tokens AND token_logprobs AND
+    top_logprobs — the three lists stay the same length (the OpenAI
+    logprobs block zips them)."""
+    prompt = [int(t) for t in rng.integers(0, 128, size=5)]
+    ref = _naive_greedy(params, prompt, 8)
+    eos = ref[3]
+    req = Request(
+        prompt_tokens=prompt,
+        sampling=SamplingParams(max_new_tokens=8, eos_token_id=eos,
+                                top_logprobs=2),
+    )
+    eng = Engine(params, CFG, max_batch=1, max_len=64, kv_quantized=False,
+                 dtype=jnp.float32, prefill_buckets=(16,))
+    eng.run([req])
+    assert req.finish_reason == "stop"
+    assert req.output_tokens == ref[:3]
+    assert len(req.top_logprobs) == len(req.output_tokens) \
+        == len(req.token_logprobs)
+
+
+def test_max_new_tokens_zero_emits_nothing(rng, params):
+    """max_new_tokens=0 must finish immediately with reason "length" and an
+    EMPTY output — prefill always samples one token, which must not leak."""
+    prompt = [int(t) for t in rng.integers(0, 128, size=5)]
+    seen = []
+    eng = Engine(params, CFG, max_batch=1, max_len=64, kv_quantized=False,
+                 dtype=jnp.float32, prefill_buckets=(16,))
+    eng.on_token = lambda r, t: seen.append(t)
+    req = Request(prompt_tokens=prompt,
+                  sampling=SamplingParams(max_new_tokens=0))
+    eng.run([req])
+    assert req.done and req.finish_reason == "length"
+    assert req.output_tokens == [] and seen == []

@@ -275,3 +275,105 @@ def test_paged_pool_memory_is_smaller(params):
                  dtype=jnp.float32, paged=True, block_size=8, num_blocks=17)
     slots = eng.caches[0]["k"].shape[0] * eng.caches[0]["k"].shape[2]
     assert slots == 17 * 8 < 4 * 64
+
+
+def test_paged_growth_exhaustion_finishes_length(params, rng_module):
+    """A request whose generation outgrows the pool with nothing left to
+    preempt or evict must finish with OpenAI reason "length", keeping the
+    tokens generated so far — never raise out of Engine.run (which would
+    kill the serving worker thread for every client)."""
+    prompt = [int(t) for t in rng_module.integers(0, 128, size=4)]
+    eng = Engine(params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+                 dtype=jnp.float32, paged=True, block_size=8, num_blocks=3)
+    req = Request(prompt_tokens=prompt,
+                  sampling=SamplingParams(max_new_tokens=30))
+    eng.run([req])  # must not raise
+    assert req.done and req.finish_reason == "length"
+    # it generated as far as the 2-usable-block pool allows (≥ 1 block past
+    # the prompt) and the stream up to that point is exactly greedy
+    assert 0 < len(req.output_tokens) < 30
+    assert req.output_tokens == _naive_greedy(
+        params, prompt, len(req.output_tokens)
+    )
+    # the slot released everything back to the pool
+    assert eng.allocator.available == eng.num_blocks - 1
+    assert all(r is None for r in eng.slot_req)
+
+
+def test_paged_prefix_cache_eviction_after_preemption(params, rng_module):
+    """Pool pressure with prefix_cache=True: a preempted victim's REGISTERED
+    full blocks land on the rc==0 LRU, not the allocator — the growing slot
+    must drain that LRU after each preemption instead of raising "nothing to
+    preempt" while evictable blocks sit in the cache."""
+    prompts = [
+        [int(t) for t in rng_module.integers(0, 128, size=12)]
+        for _ in range(2)
+    ]
+    eng = Engine(params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+                 dtype=jnp.float32, paged=True, block_size=8, num_blocks=7,
+                 prefix_cache=True)
+    reqs = [Request(prompt_tokens=p,
+                    sampling=SamplingParams(max_new_tokens=20))
+            for p in prompts]
+    eng.run(reqs)  # must not raise under pressure
+    for r, p in zip(reqs, prompts):
+        assert r.done
+        # preempted-and-resumed or length-capped — either way the stream
+        # is exactly the greedy prefix of the unconstrained run
+        assert r.output_tokens == _naive_greedy(
+            params, p, len(r.output_tokens)
+        )
+        if r.finish_reason != "length":
+            assert len(r.output_tokens) == 20
+    # pool bookkeeping consistent: free + rc0-cached = usable
+    assert eng.allocator.available + len(eng._bh_lru) == eng.num_blocks - 1
+
+
+def test_paged_preemption_penalized_exact_vs_naive(params, rng_module):
+    """Penalized greedy streams must survive preemption EXACTLY: the resume
+    prefill's final chunk samples through the same penalty stack (generated
+    counts + prompt repetition mask) as plain decode — verified against a
+    naive host loop, not just tight-vs-roomy agreement."""
+    from qqq_tpu.serve.sampling import apply_penalties
+
+    sp = SamplingParams(max_new_tokens=10, presence_penalty=4.0,
+                        frequency_penalty=0.7, repetition_penalty=1.5)
+
+    def naive_penalized(prompt, n_new):
+        toks = list(prompt)
+        counts = np.zeros((1, CFG.vocab_size), np.int32)
+        pmask = np.zeros((1, CFG.vocab_size), bool)
+        pmask[0, prompt] = True
+        out = []
+        for _ in range(n_new):
+            logits, _ = forward(params, CFG, jnp.asarray([toks], jnp.int32))
+            penal = apply_penalties(
+                logits[:, -1].astype(jnp.float32), jnp.asarray(counts),
+                jnp.asarray(pmask),
+                jnp.full((1,), sp.presence_penalty, jnp.float32),
+                jnp.full((1,), sp.frequency_penalty, jnp.float32),
+                jnp.full((1,), sp.repetition_penalty, jnp.float32),
+            )
+            t = int(jnp.argmax(penal[0]))
+            counts[0, t] += 1
+            out.append(t)
+            toks.append(t)
+        return out
+
+    prompts = [
+        [int(t) for t in rng_module.integers(0, 128, size=n)]
+        for n in (9, 13)
+    ]
+    want = [naive_penalized(p, 10) for p in prompts]
+    # 5 usable blocks vs 3+3 needed at full length → guaranteed preemption
+    eng = Engine(params, CFG, max_batch=2, max_len=64, kv_quantized=False,
+                 dtype=jnp.float32, paged=True, block_size=8, num_blocks=6)
+    reqs = [Request(prompt_tokens=p, sampling=sp) for p in prompts]
+    eng.run(reqs)
+    assert eng.stats["preemptions"] > 0, "pool not tight enough to preempt"
+    for r, w in zip(reqs, want):
+        assert r.output_tokens == w[: len(r.output_tokens)], (
+            r.output_tokens, w
+        )
+        if r.finish_reason != "length":
+            assert r.output_tokens == w

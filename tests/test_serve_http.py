@@ -27,6 +27,20 @@ CFG = ModelConfig(
 )
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """This module is the only one that jit-compiles on a NON-main thread
+    (the EngineWorker loop).  Reading the persistent compilation cache from
+    that thread late in a full-suite run segfaults inside
+    jax._src.compilation_cache.get_executable_and_time (observed twice,
+    deterministically, at test_openai_chat_n_choices; fine standalone).
+    The models here are tiny — just compile without the disk cache."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
 @pytest.fixture(scope="module")
 def served():
     params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
