@@ -10,12 +10,10 @@ hidden/intermediate dims.  We instead *construct* them:
 * K = 2(q+1) for prime-power q ≡ 1 (mod 4): Paley II (28, 36, 52);
 * 40 = 2 × 20: Sylvester step on Paley I(19).
 
-For 156 and 172 (Williamson-type in Sloane's tables, no Paley construction
-exists) we fall back to a *seeded random orthogonal* block: the rotation
-machinery only requires orthogonality — a Hadamard block is preferred for its
-±1 incoherence but an orthogonal block keeps the network function exactly
-invariant, which is the property the pipeline depends on
-(rotation.py:169-195 folds Q into weights on both sides).
+156 and 172 are Williamson-type orders with no Paley construction; for those
+we embed Sloane's public ±1 tables bit-packed (`core/hadamard_tables.py`,
+~16 KB vs the reference's ~30k vendored float lines per matrix) and validate
+them on first decode.
 
 All constructions are exact integer ±1 matrices validated by H·Hᵀ = n·I.
 """
@@ -29,7 +27,6 @@ import numpy as np
 
 # priority order mirrors reference get_hadK (hadamard_utils.py:7-57)
 _K_ORDER = (172, 156, 140, 108, 60, 52, 36, 28, 40, 20, 12)
-_ORTHOGONAL_FALLBACK_K = {156, 172}
 
 
 def _prime_power(q: int) -> Optional[Tuple[int, int]]:
@@ -174,7 +171,11 @@ _PALEY = {
 
 @functools.lru_cache(maxsize=None)
 def hadamard_base(K: int) -> np.ndarray:
-    """Exact ±1 Hadamard matrix of order K (K ∈ _PALEY or 40 or power of 2)."""
+    """Exact ±1 Hadamard matrix of order K.
+
+    K ∈ _PALEY, 40 (= 2·20), a power of 2, or the tabulated Williamson-type
+    orders 156/172 (Sloane data, `core/hadamard_tables.py`).
+    """
     if K & (K - 1) == 0:  # power of two: Sylvester
         H = np.array([[1]], dtype=np.int64)
         while H.shape[0] < K:
@@ -183,8 +184,14 @@ def hadamard_base(K: int) -> np.ndarray:
     if K == 40:
         H20 = hadamard_base(20)
         return np.block([[H20, H20], [H20, -H20]])
-    kind, q = _PALEY[K]
-    H = _paley1(q) if kind == "p1" else _paley2(q)
+    if K in (156, 172):
+        from . import hadamard_tables as _t
+
+        rows = _t._HAD156_HEX if K == 156 else _t._HAD172_HEX
+        H = _t.decode_rows(rows, K)
+    else:
+        kind, q = _PALEY[K]
+        H = _paley1(q) if kind == "p1" else _paley2(q)
     assert np.array_equal(H @ H.T, K * np.eye(K, dtype=np.int64)), K
     return H
 
@@ -192,9 +199,8 @@ def hadamard_base(K: int) -> np.ndarray:
 def get_hadK(n: int) -> Tuple[Optional[np.ndarray], int]:
     """Factor n = K · 2^m and return the order-K base block (None for K=1).
 
-    Same divisibility priority as reference hadamard_utils.py:7-57.  For
-    K ∈ {156, 172} returns a seeded random orthogonal block scaled by √K so
-    downstream normalization (÷√n) is uniform (see module docstring).
+    Same divisibility priority as reference hadamard_utils.py:7-57; all
+    eleven table orders (including 156/172) are exact ±1 Hadamard blocks.
     """
     def _orthogonal_block(K: int) -> np.ndarray:
         rng = np.random.default_rng(K)
@@ -204,8 +210,6 @@ def get_hadK(n: int) -> Tuple[Optional[np.ndarray], int]:
 
     for K in _K_ORDER:
         if n % K == 0 and (n // K) & (n // K - 1) == 0:
-            if K in _ORTHOGONAL_FALLBACK_K:
-                return _orthogonal_block(K), K
             return hadamard_base(K).astype(np.float64), K
     if n & (n - 1) == 0:
         return None, 1

@@ -24,11 +24,31 @@ from qqq_tpu.calib.rotation import (
 )
 
 
-@pytest.mark.parametrize("K", [12, 20, 28, 36, 40, 44, 52, 60, 108, 140])
+@pytest.mark.parametrize(
+    "K", [12, 20, 28, 36, 40, 44, 52, 60, 108, 140, 156, 172]
+)
 def test_hadamard_bases_exact(K):
+    """All eleven reference table orders (hadamard_utils.py:16-57) plus 44
+    are exact ±1 Hadamard blocks — including the Williamson-type 156/172
+    (tabulated, core/hadamard_tables.py)."""
     H = hadamard_base(K)
     assert np.array_equal(H @ H.T, K * np.eye(K, dtype=np.int64))
     assert set(np.unique(H)) <= {-1, 1}
+
+
+@pytest.mark.parametrize("K", [156, 172])
+def test_hadamard_tables_match_reference(K):
+    """Bit-packed Sloane tables decode to the same public data the
+    reference vendors (hadamard_utils.py:42880/:67535) — parity-checked
+    when the reference is importable."""
+    from tests import refqqq
+
+    try:
+        hu = refqqq.get_ref().hadamard
+    except ImportError as e:  # pragma: no cover
+        pytest.skip(f"reference unavailable: {e}")
+    ref_H = (hu.get_had156() if K == 156 else hu.get_had172()).numpy()
+    np.testing.assert_array_equal(hadamard_base(K), ref_H.astype(np.int64))
 
 
 @pytest.mark.parametrize("n", [64, 5120, 1408, 4864, 688])
