@@ -69,9 +69,15 @@ def make_hybrid_mesh(
     """
     devices = jax.devices()
     if len({d.process_index for d in devices}) > 1:
+        # DCN granule: prefer real pod slices (slice_index) when the device
+        # set actually spans that many slices; otherwise fall back to
+        # process granularity (CPU multi-process runs report slice_index=0
+        # everywhere; single-slice multi-host pods likewise).
+        n_slices = len({getattr(d, "slice_index", 0) for d in devices})
         arr = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(ici_data, ici_model),
             dcn_mesh_shape=(dcn_data, 1),
+            process_is_granule=(n_slices != dcn_data),
         )
         arr = arr.reshape(dcn_data * ici_data, ici_model)
     else:
