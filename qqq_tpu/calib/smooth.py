@@ -393,7 +393,6 @@ def smooth_model(
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     x = params["embed"][calib_tokens].astype(jnp.float32)
 
-    mha = config.num_attention_heads == config.num_key_value_heads
     scale_list: List[jax.Array] = []
 
     for layer in params["layers"]:
@@ -442,15 +441,16 @@ def smooth_model(
             "qkv", h, w_qkv * s_qkv[:, None], w_spec, extra
         )
 
-        # ---- o_proj migration (only folded for MHA, export.py:27-31)
+        # ---- o_proj migration — searched for MHA AND GQA (the reference's
+        # mirrors migrate unconditionally, smooth/models/llama.py &
+        # qwen2.py:305-327, and the in-model replay divides attn by it, so
+        # downstream searches see its quantization error); only the export
+        # FOLD is MHA-gated (export.py:27-31)
         w_o = layer["o_proj"]["w"].astype(jnp.float32)
-        if mha:
-            s_o = migrate(
-                "o_proj", attn, w_o, extra, method=method, w_spec=w_spec,
-                n_grid=n_grid,
-            )
-        else:
-            s_o = jnp.ones((w_o.shape[0],), jnp.float32)
+        s_o = migrate(
+            "o_proj", attn, w_o, extra, method=method, w_spec=w_spec,
+            n_grid=n_grid,
+        )
         scale_list.append(s_o)
         x = x + _quantized_output(
             "o_proj", attn / s_o, w_o * s_o[:, None], w_spec, extra

@@ -116,7 +116,9 @@ def get_ref():
     import QQQ.smooth.quantization.observer as observer_mod
     import QQQ.smooth.quantization.quant_utils as quant_utils_mod
     import QQQ.smooth.migration.migration_llama as migration_mod
+    import QQQ.smooth.migration.migration_qwen2 as migration_qwen2_mod
     import QQQ.smooth.models.llama as smooth_llama_mod
+    import QQQ.smooth.models.qwen2 as smooth_qwen2_mod
     import QQQ.smooth.export as export_mod
     import QQQ.rotation.rotation as rotation_mod
     import QQQ.rotation.hadamard_utils as hadamard_mod
@@ -129,7 +131,9 @@ def get_ref():
         observer=observer_mod,
         quant_utils=quant_utils_mod,
         migration=migration_mod,
+        migration_qwen2=migration_qwen2_mod,
         smooth_llama=smooth_llama_mod,
+        smooth_qwen2=smooth_qwen2_mod,
         export=export_mod,
         rotation=rotation_mod,
         hadamard=hadamard_mod,
@@ -187,6 +191,33 @@ def annotate_legacy_attrs(fp_model):
         at.rope_theta = cfg.rope_theta
         at.attention_dropout = getattr(cfg, "attention_dropout", 0.0)
         at.is_causal = True
+        ml = layer.mlp
+        ml.hidden_size = cfg.hidden_size
+        ml.intermediate_size = cfg.intermediate_size
+    return fp_model
+
+
+def annotate_legacy_attrs_qwen2(fp_model):
+    """Qwen2 analogue of :func:`annotate_legacy_attrs`: the reference's
+    QuantizedQwen2* mirrors (smooth/models/qwen2.py:132-180, :338-361, :429-450)
+    read pre-4.48 attribute names off the HF modules — num_heads & co. moved
+    to config, and per-module ``rotary_emb`` handles were removed (one lives
+    on the model now)."""
+    cfg = fp_model.config
+    head_dim = cfg.hidden_size // cfg.num_attention_heads
+    fp_model.model._attn_implementation = "sdpa"  # asserted at qwen2.py:449
+    for layer in fp_model.model.layers:
+        layer.hidden_size = cfg.hidden_size
+        at = layer.self_attn
+        at.hidden_size = cfg.hidden_size
+        at.num_heads = cfg.num_attention_heads
+        at.head_dim = head_dim
+        at.num_key_value_heads = cfg.num_key_value_heads
+        at.max_position_embeddings = cfg.max_position_embeddings
+        at.rope_theta = cfg.rope_theta
+        at.attention_dropout = getattr(cfg, "attention_dropout", 0.0)
+        at.is_causal = True
+        at.rotary_emb = fp_model.model.rotary_emb  # qwen2.py:180 reads it
         ml = layer.mlp
         ml.hidden_size = cfg.hidden_size
         ml.intermediate_size = cfg.intermediate_size
