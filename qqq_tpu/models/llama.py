@@ -558,6 +558,7 @@ def forward(
     tp_axis: Optional[str] = None,
     gather_logits: bool = True,
     block_tables: Optional[jax.Array] = None,
+    logits_at: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[List[Dict[str, Any]]]]:
     """Returns (logits (B, T, V) f32, updated caches).
 
@@ -570,6 +571,12 @@ def forward(
     (B, T, V/tp) instead of all-gathering — pair with
     :func:`qqq_tpu.serve.sampling.sample_batched_sharded` to sample without
     ever materializing full-vocab logits on any device.
+
+    ``logits_at`` (B,) int32: compute the lm_head at ONLY that position per
+    row → logits (B, 1, V).  Serving prefill needs just the final prompt
+    position; skipping the other T-1 positions saves B·(T-1)·H·V MACs and
+    the (B, T, V) f32 buffer (2.1 GB at B=16, T=1024, V=32k — the
+    difference between bs=16 fitting HBM or not next to the KV cache).
     """
     B, T = tokens.shape
     if cache_len is not None:
@@ -597,6 +604,8 @@ def forward(
     x = rms_norm(x, params["norm"], config.rms_norm_eps)
     if return_hidden:
         return x, new_caches
+    if logits_at is not None:
+        x = jnp.take_along_axis(x, logits_at[:, None, None], axis=1)
     if params.get("lm_head") is not None:
         logits = linear_apply(params["lm_head"], x)
         if tp_axis is not None and gather_logits:

@@ -150,17 +150,18 @@ def cache_pspec(caches) -> Any:
     return [one(c) for c in caches]
 
 
-def paged_cache_pspec(caches) -> Any:
+def paged_cache_pspec(caches, *, blocks_axis: Optional[str] = None) -> Any:
     """Paged KV pools (serve/paged_kv.py, (num_blocks, n_kv, bs[, hd])):
-    blocks replicated across the mesh, kv heads sharded on "model" — every
-    device holds the whole pool for ITS heads, so the per-slot block tables
-    stay replicated host-side integers."""
+    kv heads sharded on "model"; blocks replicated (default) or sharded on
+    ``blocks_axis`` — the Engine's data>1 mode gives each data shard an
+    independent pool slice indexed by shard-LOCAL block-table ids
+    (serve/engine.py paged init)."""
     def one(c):
         return {
             k: (
-                P(None, "model", None, None)
+                P(blocks_axis, "model", None, None)
                 if caches[0][k].ndim == 4
-                else P(None, "model", None)
+                else P(blocks_axis, "model", None)
             )
             for k in c
         }

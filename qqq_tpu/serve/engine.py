@@ -208,6 +208,17 @@ class Engine:
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= max_len
         ) or (max_len,)
+        #: mesh data-axis degree; slots partition into ``dp`` contiguous
+        #: shards of ``max_batch // dp`` (GSPMD batch sharding)
+        self.dp = 1
+        if mesh is not None:
+            self.dp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+                "data", 1
+            )
+            assert max_batch % self.dp == 0, (
+                "Engine max_batch must be divisible by the mesh data axis "
+                f"({max_batch} % {self.dp})"
+            )
         self.paged = paged
         if paged:
             from qqq_tpu.serve import paged_kv
@@ -223,9 +234,16 @@ class Engine:
             #: per-slot virtual-block capacity (max_len tokens)
             self._nbmax = max_len // block_size
             if num_blocks is None:
-                num_blocks = 1 + max_batch * self._nbmax
+                num_blocks = 1 + (max_batch // self.dp) * self._nbmax
+            #: pool size PER DATA SHARD (dp=1: the whole pool).  Each shard
+            #: owns an independent pool slice with its own null block 0 and
+            #: allocator; block tables hold SHARD-LOCAL ids (the pool's
+            #: leading dim shards on "data" so local ids index the slice
+            #: directly inside shard_map)
             self.num_blocks = num_blocks
-            self.allocator = BlockAllocator(num_blocks)
+            self.allocators = [
+                BlockAllocator(num_blocks) for _ in range(self.dp)
+            ]
             #: (B, nbmax) physical block per (slot, virtual block); 0 = null
             self.tables = np.zeros((max_batch, self._nbmax), np.int32)
             self.slot_blocks: List[List[int]] = [[] for _ in range(max_batch)]
@@ -233,7 +251,9 @@ class Engine:
             # register under the hash of their whole token prefix and are
             # adopted read-only by later requests — cross-request dedup,
             # not just freed-slot reuse.  Tail blocks are never shared, so
-            # no copy-on-write is needed.
+            # no copy-on-write is needed.  Per data shard (block ids are
+            # shard-local); a prompt only reuses prefixes cached in its own
+            # shard's pool.
             if prefix_cache and prefill_chunk \
                     and prefill_chunk % block_size != 0:
                 raise ValueError(
@@ -243,17 +263,25 @@ class Engine:
             from collections import OrderedDict
 
             #: prefix-tuple → physical block holding its last block of KV
-            self._bh_key2blk: Dict[tuple, int] = {}
-            self._bh_blk2key: Dict[int, tuple] = {}
+            self._bh_key2blk: List[Dict[tuple, int]] = [
+                {} for _ in range(self.dp)
+            ]
+            self._bh_blk2key: List[Dict[int, tuple]] = [
+                {} for _ in range(self.dp)
+            ]
             #: slot-owner count per registered block; 0 = evictable (LRU)
-            self._bh_ref: Dict[int, int] = {}
-            self._bh_lru: "OrderedDict[int, None]" = OrderedDict()
+            self._bh_ref: List[Dict[int, int]] = [
+                {} for _ in range(self.dp)
+            ]
+            self._bh_lru: List["OrderedDict[int, None]"] = [
+                OrderedDict() for _ in range(self.dp)
+            ]
             #: per slot: leading slot_blocks entries already registered /
             #: adopted (skipped by _register_blocks)
             self.slot_reg = [0] * max_batch
             self.caches = paged_kv.init(
-                config, num_blocks, block_size, quantized=kv_quantized,
-                dtype=dtype,
+                config, num_blocks * self.dp, block_size,
+                quantized=kv_quantized, dtype=dtype,
             )
         else:
             self.caches = kv_cache.init(
@@ -342,24 +370,38 @@ class Engine:
                 cache_pspec, paged_cache_pspec, param_pspecs, shard_params,
             )
 
-            assert dict(zip(mesh.axis_names, mesh.devices.shape)).get(
-                "data", 1
-            ) == 1, "Engine TP mesh needs data=1 (replicate engines for DP)"
             pspec = param_pspecs(params)
             self._pspec = pspec
             self.params = shard_params(params, mesh, pspec)
-            self._cspec = (paged_cache_pspec if paged else cache_pspec)(
-                self.caches
+            self._cspec = (
+                paged_cache_pspec(self.caches, blocks_axis="data")
+                if paged else cache_pspec(self.caches)
             )
             self.caches = jax.tree.map(
                 lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
                 self.caches, self._cspec,
             )
 
+            # batch-REPLICATED cache spec for the prefill programs: the
+            # (1, C) chunk / sub-batch prefill forwards run identically on
+            # every data shard (same wall-clock as one replica); the write
+            # back into the data-sharded global cache happens at jit level
+            # where GSPMD routes the update to the owning shard.  Decode —
+            # the hot path — runs truly batch-sharded on "data".
+            self._cspec_rep = jax.tree.map(
+                lambda sp: P(*([None] + list(sp)[1:])),
+                self._cspec,
+                is_leaf=lambda x: isinstance(x, P),
+            )
             if paged:
-                # pools kv-head-sharded, tables replicated (the sharded-
-                # sampling fast path is slot-cache-only; paged+TP decodes
-                # through the gathered-logits program)
+                # pools block-sharded on "data" (one independent slice per
+                # data shard, local-id tables) and kv-head-sharded on
+                # "model"; tokens/tables/lens batch-sharded on "data" — the
+                # slots of a data shard only ever reference its own pool
+                # slice, so decode AND the shard-grouped chunk prefill run
+                # fully batch-parallel.  (The vocab-sharded sampling fast
+                # path stays slot-cache-only; paged+TP decodes through the
+                # gathered-logits program.)
                 def local_fwd(p, t, c, cl, pos, tables):
                     return M.forward(
                         p, self.config, t, positions=pos, caches=c,
@@ -369,9 +411,26 @@ class Engine:
                 self._fwd = shard_map(
                     local_fwd,
                     mesh=mesh,
-                    in_specs=(pspec, P(None, None), self._cspec, P(None),
-                              P(None, None), P(None, None)),
-                    out_specs=(P(None, None, None), self._cspec),
+                    in_specs=(pspec, P("data", None), self._cspec,
+                              P("data"), P("data", None), P("data", None)),
+                    out_specs=(P("data", None, None), self._cspec),
+                    check_vma=False,
+                )
+
+                def local_fwd_last(p, t, c, cl, pos, last, tables):
+                    return M.forward(
+                        p, self.config, t, positions=pos, caches=c,
+                        cache_len=cl, tp_axis="model", block_tables=tables,
+                        logits_at=last,
+                    )
+
+                self._fwd_last = shard_map(
+                    local_fwd_last,
+                    mesh=mesh,
+                    in_specs=(pspec, P("data", None), self._cspec,
+                              P("data"), P("data", None), P("data"),
+                              P("data", None)),
+                    out_specs=(P("data", None, None), self._cspec),
                     check_vma=False,
                 )
             else:
@@ -384,9 +443,23 @@ class Engine:
                 self._fwd = shard_map(
                     local_fwd,
                     mesh=mesh,
-                    in_specs=(pspec, P(None, None), self._cspec, P(None),
-                              P(None, None)),
-                    out_specs=(P(None, None, None), self._cspec),
+                    in_specs=(pspec, P("data", None), self._cspec,
+                              P("data"), P("data", None)),
+                    out_specs=(P("data", None, None), self._cspec),
+                    check_vma=False,
+                )
+                def local_fwd_last(p, t, c, cl, pos, last):
+                    return M.forward(
+                        p, self.config, t, positions=pos, caches=c,
+                        cache_len=cl, tp_axis="model", logits_at=last,
+                    )
+
+                self._fwd_last = shard_map(
+                    local_fwd_last,
+                    mesh=mesh,
+                    in_specs=(pspec, P(None, None), self._cspec_rep,
+                              P(None), P(None, None), P(None)),
+                    out_specs=(P(None, None, None), self._cspec_rep),
                     check_vma=False,
                 )
 
@@ -395,6 +468,8 @@ class Engine:
             # argmax (sampling.sample_batched_sharded) replaces the per-step
             # (B, V) f32 logits all_gather.  Usable whenever no active row
             # needs top-k/top-p order statistics (host checks per tick).
+            # Batch rides the "data" axis; the Gumbel field is generated at
+            # global batch width so streams match the gathered path exactly.
             def local_decode_sample(p, t, c, cl, pos, key, active, temp):
                 local_logits, c = M.forward(
                     p, self.config, t, positions=pos, caches=c,
@@ -403,6 +478,7 @@ class Engine:
                 last = local_logits[:, -1, :]
                 nxt = sample_batched_sharded(
                     last, key, temp, "model", self.config.vocab_size,
+                    data_axis_name="data",
                 )
                 lp = chosen_logprob_sharded(
                     last, nxt, "model", self.config.vocab_size
@@ -412,15 +488,22 @@ class Engine:
             self._fwd_decode_sample = shard_map(
                 local_decode_sample,
                 mesh=mesh,
-                in_specs=(pspec, P(None, None), self._cspec, P(None),
-                          P(None, None), P(None), P(None), P(None)),
-                out_specs=(P(None), P(None), self._cspec),
+                in_specs=(pspec, P("data", None), self._cspec, P("data"),
+                          P("data", None), P(None), P("data"), P("data")),
+                out_specs=(P("data"), P("data"), self._cspec),
                 check_vma=False,
             )
         else:
+            self.dp = 1
             self._fwd = lambda p, t, c, cl, pos, tables=None: M.forward(
                 p, self.config, t, positions=pos, caches=c, cache_len=cl,
                 block_tables=tables,
+            )
+            self._fwd_last = (
+                lambda p, t, c, cl, pos, last, tables=None: M.forward(
+                    p, self.config, t, positions=pos, caches=c, cache_len=cl,
+                    block_tables=tables, logits_at=last,
+                )
             )
 
         # donate the cache buffers: the update aliases in place instead of
@@ -646,10 +729,10 @@ class Engine:
         c1 = jax.tree.map(sl, caches)
         clen = jnp.broadcast_to(k, (1,))
         pos = (k + jnp.arange(tokens.shape[1], dtype=jnp.int32))[None, :]
-        logits, c1 = self._fwd(params, tokens, c1, clen, pos)
-        last = jnp.take_along_axis(
-            logits, (true_n - 1)[None, None, None], axis=1
-        )[:, 0, :]
+        logits, c1 = self._fwd_last(
+            params, tokens, c1, clen, pos, (true_n - 1)[None]
+        )
+        last = logits[:, 0, :]
         samp_in = self._prefill_sample_logits(
             last, pen, bias_ids, bias_vals, allow_ids
         )
@@ -672,17 +755,21 @@ class Engine:
                              tables, key, temp, topk, topp, minp, seeded,
                              seeds, ngen, bias_ids=None, bias_vals=None,
                              allow_ids=None, pen=None, n_top: int = 0):
-        """Paged-mode chunked prefill: the pool is global and shared, so no
-        slot slicing — a (1, C) forward writes straight into this slot's
-        blocks through its table row (donated pool, in-place scatter).
-        Padded tail positions land in unallocated virtual blocks → the null
-        block (paged_kv.py), harmless by construction."""
-        clen = jnp.broadcast_to(k, (1,))
-        pos = (k + jnp.arange(tokens.shape[1], dtype=jnp.int32))[None, :]
-        logits, caches = self._fwd(params, tokens, caches, clen, pos, tables)
-        last = jnp.take_along_axis(
-            logits, (true_n - 1)[None, None, None], axis=1
-        )[:, 0, :]
+        """Paged-mode chunked prefill, one (R, C) forward for up to R slots
+        (R = mesh data degree, 1 without a mesh): each row writes straight
+        into its slot's blocks through its table row (donated pool,
+        in-place scatter).  Under data>1 the rows are grouped ONE PER DATA
+        SHARD (the scheduler builds them that way), so every shard prefills
+        its own slot into its own pool slice in parallel; idle shards get a
+        null-table row whose writes land in their null block.  Padded tail
+        positions land in unallocated virtual blocks → the null block
+        (paged_kv.py), harmless by construction.  ``k``/``true_n`` are
+        per-row (R,) vectors."""
+        pos = k[:, None] + jnp.arange(tokens.shape[1], dtype=jnp.int32)[None]
+        logits, caches = self._fwd_last(
+            params, tokens, caches, k, pos, true_n - 1, tables
+        )
+        last = logits[:, 0, :]
         samp_in = self._prefill_sample_logits(
             last, pen, bias_ids, bias_vals, allow_ids
         )
@@ -702,12 +789,11 @@ class Engine:
         tokens + caches (the engine calls it with B = admitted sub-batch)."""
         B, T = tokens.shape
         pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
-        logits, caches1 = self._fwd(
-            params, tokens, caches1, jnp.zeros((B,), jnp.int32), pos
+        logits, caches1 = self._fwd_last(
+            params, tokens, caches1, jnp.zeros((B,), jnp.int32), pos,
+            true_len - 1,
         )
-        last = jnp.take_along_axis(
-            logits, (true_len - 1)[:, None, None], axis=1
-        )[:, 0, :]
+        last = logits[:, 0, :]
         samp_in = self._prefill_sample_logits(
             last, pen, bias_ids, bias_vals, allow_ids
         )
@@ -1003,30 +1089,37 @@ class Engine:
         (None in slot mode — the programs compile without a paged branch)."""
         return jnp.asarray(self.tables) if self.paged else None
 
+    def _shard_of(self, slot: int) -> int:
+        """Data shard owning ``slot`` — slots partition contiguously over
+        the mesh "data" axis (GSPMD batch sharding); each shard has its own
+        pool slice, allocator, and prefix-hash map."""
+        return slot // (self.max_batch // self.dp)
+
     def _release_blocks(self, slot: int) -> None:
         """Drop the slot's block ownership.  Registered (prefix-cache)
         blocks survive in the hash map with their refcount decremented —
         rc==0 parks them on the eviction LRU; unregistered blocks return to
         the allocator immediately."""
+        d = self._shard_of(slot)
         for blk in self.slot_blocks[slot]:
-            if blk in self._bh_blk2key:
-                self._bh_ref[blk] -= 1
-                if self._bh_ref[blk] == 0:
-                    self._bh_lru[blk] = None
+            if blk in self._bh_blk2key[d]:
+                self._bh_ref[d][blk] -= 1
+                if self._bh_ref[d][blk] == 0:
+                    self._bh_lru[d][blk] = None
             else:
-                self.allocator.free([blk])
+                self.allocators[d].free([blk])
         self.slot_blocks[slot] = []
         self.tables[slot, :] = 0
         self.slot_reg[slot] = 0
 
-    def _evict_cached_blocks(self, need: int) -> None:
-        """Free rc==0 prefix-cache blocks (oldest first) until ``need``
-        blocks are available."""
-        while self.allocator.available < need and self._bh_lru:
-            blk, _ = self._bh_lru.popitem(last=False)
-            del self._bh_key2blk[self._bh_blk2key.pop(blk)]
-            del self._bh_ref[blk]
-            self.allocator.free([blk])
+    def _evict_cached_blocks(self, d: int, need: int) -> None:
+        """Free rc==0 prefix-cache blocks of shard ``d`` (oldest first)
+        until ``need`` blocks are available there."""
+        while self.allocators[d].available < need and self._bh_lru[d]:
+            blk, _ = self._bh_lru[d].popitem(last=False)
+            del self._bh_key2blk[d][self._bh_blk2key[d].pop(blk)]
+            del self._bh_ref[d][blk]
+            self.allocators[d].free([blk])
 
     def _register_blocks(self, slot: int) -> None:
         """Register the slot's newly COMPLETED blocks in the prefix hash
@@ -1040,6 +1133,7 @@ class Engine:
         req = self.slot_req[slot]
         if req is None:
             return
+        d = self._shard_of(slot)
         bs = self.block_size
         n_full = int(self.slot_len[slot]) // bs
         if n_full <= self.slot_reg[slot]:
@@ -1047,12 +1141,12 @@ class Engine:
         stream = (req._resume or req.prompt_tokens) + req.output_tokens
         for i in range(self.slot_reg[slot], n_full):
             blk = self.slot_blocks[slot][i]
-            if blk not in self._bh_blk2key:
+            if blk not in self._bh_blk2key[d]:
                 key = tuple(stream[: (i + 1) * bs])
-                if key not in self._bh_key2blk:
-                    self._bh_key2blk[key] = blk
-                    self._bh_blk2key[blk] = key
-                    self._bh_ref[blk] = 1
+                if key not in self._bh_key2blk[d]:
+                    self._bh_key2blk[d][key] = blk
+                    self._bh_blk2key[d][blk] = key
+                    self._bh_ref[d][blk] = 1
                 # else: an identical block is already registered; this copy
                 # stays exclusive and returns to the allocator on release
         self.slot_reg[slot] = n_full
@@ -1062,19 +1156,20 @@ class Engine:
         blocks through the hash map, adopt every hit read-only (rc++), and
         return the reused token count (rounded down to the chunk multiple;
         capped so at least one token still prefills)."""
+        d = self._shard_of(slot)
         bs, C = self.block_size, self.prefill_chunk
         limit = min(len(stream) - 1, self._nbmax * bs)
         matched = 0
         while (matched + 1) * bs <= limit \
-                and tuple(stream[: (matched + 1) * bs]) in self._bh_key2blk:
+                and tuple(stream[: (matched + 1) * bs]) in self._bh_key2blk[d]:
             matched += 1
         reuse = ((matched * bs) // C) * C
         nblk = reuse // bs
         for i in range(nblk):
-            blk = self._bh_key2blk[tuple(stream[: (i + 1) * bs])]
-            if self._bh_ref[blk] == 0:
-                self._bh_lru.pop(blk, None)
-            self._bh_ref[blk] += 1
+            blk = self._bh_key2blk[d][tuple(stream[: (i + 1) * bs])]
+            if self._bh_ref[d][blk] == 0:
+                self._bh_lru[d].pop(blk, None)
+            self._bh_ref[d][blk] += 1
             self.slot_blocks[slot].append(blk)
             self.tables[slot, i] = blk
         self.slot_reg[slot] = nblk
@@ -1089,7 +1184,8 @@ class Engine:
         identical KV and the seeded noise is keyed on the generation index,
         not the schedule."""
         cands = [i for i, r in enumerate(self.slot_req)
-                 if r is not None and i != protect]
+                 if r is not None and i != protect
+                 and self._shard_of(i) == self._shard_of(protect)]
         if not cands:
             return False
         victim = max(cands, key=lambda i: self.slot_seq[i])
@@ -1112,20 +1208,21 @@ class Engine:
         every other request preempted and the prefix-cache LRU drained —
         the caller finishes the request with reason "length" (raising
         here would kill the serving loop for every client)."""
+        d = self._shard_of(slot)
         bs = self.block_size
         need = min(-(-upto // bs), self._nbmax) - len(self.slot_blocks[slot])
         if need <= 0:
             return True
-        if self.allocator.available < need:
-            self._evict_cached_blocks(need)
-        while self.allocator.available < need:
+        if self.allocators[d].available < need:
+            self._evict_cached_blocks(d, need)
+        while self.allocators[d].available < need:
             if not self._preempt(protect=slot):
                 return False
             # a preempted victim's REGISTERED blocks (prefix_cache) land on
             # the rc==0 LRU, not the allocator — drain it again, or the
             # loop preempts everyone and still comes up dry
-            self._evict_cached_blocks(need)
-        got = self.allocator.alloc(need)
+            self._evict_cached_blocks(d, need)
+        got = self.allocators[d].alloc(need)
         base = len(self.slot_blocks[slot])
         self.slot_blocks[slot].extend(got)
         self.tables[slot, base : base + len(got)] = got
@@ -1227,17 +1324,61 @@ class Engine:
             self._emit(req)
             self._release_if_cancelled(slot)
 
+    def _finish_chunk_prefill(self, slot: int, req, first: int, lp: float,
+                              tops_row) -> None:
+        """Final-chunk bookkeeping shared by the slot and paged chunked
+        prefill paths: install the sampled first token, rebuild penalty
+        state, hand the slot to decode."""
+        req._resume = None
+        if req.sampling.has_penalties:
+            if req.output_tokens:
+                # resumed after preemption: rebuild the generated-token
+                # counts for everything emitted so far
+                row = np.bincount(
+                    np.asarray(req.output_tokens + [first]),
+                    minlength=self.config.vocab_size,
+                ).astype(np.int32)
+                self.counts = self._set_counts_fn(
+                    self.counts, jnp.int32(slot), jnp.asarray(row)
+                )
+            else:
+                self.counts = self._reset_count_fn(
+                    self.counts, jnp.int32(slot)
+                )
+                self.counts = self._count_fn(
+                    self.counts, jnp.int32(slot), jnp.int32(first)
+                )
+            if req.sampling.repetition_penalty != 1.0:
+                pt = np.zeros((self.max_len,), np.int32)
+                n_p = len(req.prompt_tokens)
+                pt[:n_p] = req.prompt_tokens
+                self.rep_mask = self._rep_mask_fn(
+                    self.rep_mask, jnp.int32(slot),
+                    jnp.asarray(pt), jnp.int32(n_p),
+                )
+        req.output_tokens.append(first)
+        req.token_logprobs.append(lp)
+        if tops_row is not None and req.sampling.top_logprobs:
+            req.top_logprobs.append(
+                self._top_list(req, tops_row[0], tops_row[1])
+            )
+        self.slot_last_tok[slot] = first
+        self.stats["prefills"] += 1
+        self._maybe_finish(slot)
+        self._emit(req)
+        self._release_if_cancelled(slot)
+
     def _progress_chunk_prefills(self) -> None:
         """Advance every mid-prefill slot by one ``prefill_chunk``-token
-        chunk (one dispatch per slot per tick); the final chunk samples the
-        request's first token and hands the slot to decode."""
+        chunk per tick; the final chunk samples the request's first token
+        and hands the slot to decode.  Slot mode dispatches one (1, C)
+        program per slot; paged mode groups one slot PER DATA SHARD into a
+        single (dp, C) dispatch (dp=1 → identical to the per-slot path)."""
+        if self.paged:
+            self._progress_chunk_prefills_paged()
+            return
         C = self.prefill_chunk
         for slot in list(self.slot_prefill):
-            if slot not in self.slot_prefill:
-                # preempted by an earlier iteration's _ensure_blocks (pool
-                # pressure evicted this mid-prefill slot) — it re-entered
-                # the queue and will re-admit
-                continue
             req = self.slot_req[slot]
             if req.cancelled:
                 del self.slot_prefill[slot]
@@ -1254,80 +1395,146 @@ class Engine:
             k = int(self.slot_len[slot])
             self.key, kk = jax.random.split(self.key)
             n_top = req.sampling.top_logprobs
-            if self.paged:
-                if not self._ensure_blocks(slot, k + len(part)):
-                    self._finish_out_of_room(slot)
-                    continue
-                tok, lp, self.caches, tops = self._prefill_chunk_paged_fn(
-                    self.params, jnp.asarray(toks), self.caches,
-                    jnp.int32(k), jnp.int32(len(part)),
-                    jnp.asarray(self.tables[slot : slot + 1]), kk,
-                    *sampling_arrays([req.sampling]),
-                    *self._seed_arrays([req], 1),
-                    *self._bias_arrays([req], 1),
-                    self._allowed_arrays([req], 1),
-                    pen=pen,
-                    n_top=n_top,
-                )
-            else:
-                tok, lp, self.caches, tops = self._prefill_chunk_fn(
-                    self.params, jnp.asarray(toks), self.caches,
-                    jnp.int32(k), jnp.int32(len(part)), jnp.int32(slot), kk,
-                    *sampling_arrays([req.sampling]),
-                    *self._seed_arrays([req], 1),
-                    *self._bias_arrays([req], 1),
-                    self._allowed_arrays([req], 1),
-                    pen=pen,
-                    n_top=n_top,
-                )
+            tok, lp, self.caches, tops = self._prefill_chunk_fn(
+                self.params, jnp.asarray(toks), self.caches,
+                jnp.int32(k), jnp.int32(len(part)), jnp.int32(slot), kk,
+                *sampling_arrays([req.sampling]),
+                *self._seed_arrays([req], 1),
+                *self._bias_arrays([req], 1),
+                self._allowed_arrays([req], 1),
+                pen=pen,
+                n_top=n_top,
+            )
             self.slot_len[slot] = k + len(part)
-            if self.paged:  # freshly completed blocks become adoptable now
-                self._register_blocks(slot)
             self.slot_prefill[slot] = remaining[C:]
             self.stats["prefill_chunks"] += 1
             self.stats["prefill_tokens"] += len(part)
             if not self.slot_prefill[slot]:  # prompt fully cached
                 del self.slot_prefill[slot]
-                req._resume = None
-                firsts, lps = np.asarray(tok), np.asarray(lp)
-                first = int(firsts[0])
-                if req.sampling.has_penalties:
-                    if req.output_tokens:
-                        # resumed after preemption: rebuild the generated-
-                        # token counts for everything emitted so far
-                        row = np.bincount(
-                            np.asarray(req.output_tokens + [first]),
-                            minlength=self.config.vocab_size,
-                        ).astype(np.int32)
-                        self.counts = self._set_counts_fn(
-                            self.counts, jnp.int32(slot), jnp.asarray(row)
+                tops_row = None if tops is None else (
+                    np.asarray(tops[0])[0], np.asarray(tops[1])[0]
+                )
+                self._finish_chunk_prefill(
+                    slot, req, int(np.asarray(tok)[0]),
+                    float(np.asarray(lp)[0]), tops_row,
+                )
+
+    def _progress_chunk_prefills_paged(self) -> None:
+        """Paged chunked prefill, grouped ONE SLOT PER DATA SHARD per
+        dispatch: each data shard prefills a chunk of its own slot into its
+        own pool slice in the same (dp, C) program (idle shards ride along
+        on a null-table row).  With dp=1 this is exactly the per-slot
+        schedule.  Rounds repeat until every mid-prefill slot advanced one
+        chunk this tick.
+
+        Greedy and seeded streams are identical to the single-device
+        engine; an UNSEEDED temperature row's final-chunk sample draws its
+        Gumbel noise at its shard's row index rather than row 0, so such
+        rows are distributionally equivalent but not bit-identical to a
+        dp=1 run (same caveat as any batching change)."""
+        C = self.prefill_chunk
+        spb = self.max_batch // self.dp
+        progressed: set = set()
+        while True:
+            rows: List[Optional[int]] = [None] * self.dp
+            for slot in sorted(self.slot_prefill):
+                if slot in progressed:
+                    continue
+                d = slot // spb
+                if rows[d] is None:
+                    rows[d] = slot
+            if all(s is None for s in rows):
+                break
+            progressed.update(s for s in rows if s is not None)
+            # host-side per-row prep: cancellation, block growth (which may
+            # preempt — a preempted pick simply drops out of slot_prefill)
+            for d, slot in enumerate(rows):
+                if slot is None:
+                    continue
+                req = self.slot_req[slot]
+                if req.cancelled:
+                    del self.slot_prefill[slot]
+                    self._release_if_cancelled(slot)
+                    rows[d] = None
+                    continue
+                part = self.slot_prefill[slot][:C]
+                if not self._ensure_blocks(
+                    slot, int(self.slot_len[slot]) + len(part)
+                ):
+                    self._finish_out_of_room(slot)
+                    rows[d] = None
+            for d, slot in enumerate(rows):
+                if slot is not None and slot not in self.slot_prefill:
+                    rows[d] = None  # preempted by a later row's _ensure
+            if all(s is None for s in rows):
+                continue
+            toks = np.zeros((self.dp, C), np.int32)
+            ks = np.zeros((self.dp,), np.int32)
+            tns = np.ones((self.dp,), np.int32)
+            tabs = np.zeros((self.dp, self._nbmax), np.int32)
+            reqs_row: List[Optional[Request]] = [None] * self.dp
+            finals = [False] * self.dp
+            parts: List[List[int]] = [[] for _ in range(self.dp)]
+            for d, slot in enumerate(rows):
+                if slot is None:
+                    continue
+                req = self.slot_req[slot]
+                remaining = self.slot_prefill[slot]
+                part = remaining[:C]
+                parts[d] = part
+                toks[d, : len(part)] = part
+                ks[d] = int(self.slot_len[slot])
+                tns[d] = len(part)
+                tabs[d] = self.tables[slot]
+                reqs_row[d] = req
+                finals[d] = len(remaining) <= C
+            pen = (
+                self._prefill_pen(
+                    [r if f else None for r, f in zip(reqs_row, finals)],
+                    self.dp,
+                )
+                if any(finals) else None
+            )
+            self.key, kk = jax.random.split(self.key)
+            n_top = self._ntop(reqs_row, self.dp)
+            tok, lp, self.caches, tops = self._prefill_chunk_paged_fn(
+                self.params, jnp.asarray(toks), self.caches,
+                jnp.asarray(ks), jnp.asarray(tns), jnp.asarray(tabs), kk,
+                *sampling_arrays(
+                    [r.sampling if r is not None else None
+                     for r in reqs_row], self.dp,
+                ),
+                *self._seed_arrays(reqs_row, self.dp),
+                *self._bias_arrays(reqs_row, self.dp),
+                self._allowed_arrays(reqs_row, self.dp),
+                pen=pen,
+                n_top=n_top,
+            )
+            toks_np = lps_np = tops_np = None  # fetched lazily on finals
+            for d, slot in enumerate(rows):
+                if slot is None:
+                    continue
+                req = reqs_row[d]
+                part = parts[d]
+                self.slot_len[slot] = int(ks[d]) + len(part)
+                self._register_blocks(slot)  # completed blocks adoptable
+                self.slot_prefill[slot] = self.slot_prefill[slot][C:]
+                self.stats["prefill_chunks"] += 1
+                self.stats["prefill_tokens"] += len(part)
+                if not self.slot_prefill[slot]:  # prompt fully cached
+                    del self.slot_prefill[slot]
+                    if toks_np is None:
+                        toks_np, lps_np = np.asarray(tok), np.asarray(lp)
+                        tops_np = None if tops is None else (
+                            np.asarray(tops[0]), np.asarray(tops[1])
                         )
-                    else:
-                        self.counts = self._reset_count_fn(
-                            self.counts, jnp.int32(slot)
-                        )
-                        self.counts = self._count_fn(
-                            self.counts, jnp.int32(slot), jnp.int32(first)
-                        )
-                    if req.sampling.repetition_penalty != 1.0:
-                        pt = np.zeros((self.max_len,), np.int32)
-                        n_p = len(req.prompt_tokens)
-                        pt[:n_p] = req.prompt_tokens
-                        self.rep_mask = self._rep_mask_fn(
-                            self.rep_mask, jnp.int32(slot),
-                            jnp.asarray(pt), jnp.int32(n_p),
-                        )
-                req.output_tokens.append(first)
-                req.token_logprobs.append(float(lps[0]))
-                if tops is not None and req.sampling.top_logprobs:
-                    req.top_logprobs.append(self._top_list(
-                        req, np.asarray(tops[0])[0], np.asarray(tops[1])[0]
-                    ))
-                self.slot_last_tok[slot] = first
-                self.stats["prefills"] += 1
-                self._maybe_finish(slot)
-                self._emit(req)
-                self._release_if_cancelled(slot)
+                    tops_row = None if tops_np is None else (
+                        tops_np[0][d], tops_np[1][d]
+                    )
+                    self._finish_chunk_prefill(
+                        slot, req, int(toks_np[d]), float(lps_np[d]),
+                        tops_row,
+                    )
 
     def latency_summary(self) -> Dict[str, Optional[float]]:
         """p50/p95 TTFT and TPOT (seconds) over the last ≤1000 completed

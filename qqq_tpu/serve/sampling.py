@@ -218,6 +218,7 @@ def sample_batched_sharded(
     temperature: jax.Array,   # (B,) f32; <=0 → greedy
     axis_name: str,
     vocab_size: int,
+    data_axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Greedy / temperature sampling on vocab-sharded logits WITHOUT
     gathering them: per-shard Gumbel-max + a two-collective distributed
@@ -232,18 +233,35 @@ def sample_batched_sharded(
     resolve to the lowest global index exactly as ``jnp.argmax`` does.
     Rows needing top-k / top-p order statistics use the gathered path
     (the engine picks per tick).
+
+    ``data_axis_name``: set when the BATCH is additionally sharded on a
+    data axis (Engine data>1) — the Gumbel field is then generated at the
+    GLOBAL batch size and row-sliced by data-shard position, so noise
+    depends only on the global (row, vocab) index and streams stay
+    bit-identical to the single-replica gathered path.
     """
     B, Vl = local_logits.shape
+    row0 = 0
+    Bg = B
+    if data_axis_name is not None:
+        dp = jax.lax.psum(1, data_axis_name)
+        Bg = B * dp
+        row0 = jax.lax.axis_index(data_axis_name) * B
     if Vl == vocab_size:
-        # replicated logits (tied embeddings): plain local sampling
-        return sample_batched(
-            local_logits, key, temperature,
-            jnp.zeros((B,), jnp.int32), jnp.ones((B,), jnp.float32),
+        # replicated logits (tied embeddings): plain local sampling, with
+        # the Gumbel field still generated at global batch width
+        g = jax.lax.dynamic_slice(
+            jax.random.gumbel(key, (Bg, vocab_size), jnp.float32),
+            (row0, 0), (B, vocab_size),
         )
+        greedy = jnp.argmax(local_logits, axis=-1).astype(jnp.int32)
+        t = jnp.maximum(temperature, 1e-6)[:, None]
+        sampled = jnp.argmax(local_logits / t + g, axis=-1).astype(jnp.int32)
+        return jnp.where(temperature <= 0.0, greedy, sampled)
     v_start = jax.lax.axis_index(axis_name) * Vl
     t = jnp.maximum(temperature, 1e-6)[:, None]
-    g = jax.random.gumbel(key, (B, vocab_size), jnp.float32)
-    g_local = jax.lax.dynamic_slice(g, (0, v_start), (B, Vl))
+    g = jax.random.gumbel(key, (Bg, vocab_size), jnp.float32)
+    g_local = jax.lax.dynamic_slice(g, (row0, v_start), (B, Vl))
     z = jnp.where(
         temperature[:, None] > 0.0,
         local_logits / t + g_local,

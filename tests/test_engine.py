@@ -1083,3 +1083,66 @@ def test_max_new_tokens_zero_emits_nothing(rng, params):
     eng.run([req])
     assert req.done and req.finish_reason == "length"
     assert req.output_tokens == [] and seen == []
+
+
+def test_engine_data_parallel_mesh(rng, params):
+    """Engine over a data=2 × model=2 mesh: decode runs batch-SHARDED on
+    the data axis (one scheduler, slots partitioned across data shards by
+    GSPMD) and must reproduce single-device greedy decoding exactly —
+    BASELINE.json's "continuous batching across hosts" shape."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)]
+               for n in (6, 4, 9, 3, 5)]  # 5 reqs, 4 slots → re-admission
+    outs = generate(
+        params, CFG, prompts, SamplingParams(max_new_tokens=5),
+        max_batch=4, max_len=64, kv_quantized=False, dtype=jnp.float32,
+        prefill_buckets=(16,), mesh=make_mesh(data=2, model=2),
+    )
+    for p, o in zip(prompts, outs):
+        assert o == _naive_greedy(params, p, 5), (p, o)
+
+
+def test_engine_data_parallel_sampled_matches_single(rng, params):
+    """Sampled rows on a data>1 mesh: the vocab-sharded sampling fast path
+    generates its Gumbel field at GLOBAL batch width (row-sliced per data
+    shard), so streams stay bit-identical to the single-device engine."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)]
+               for n in (6, 4, 7, 3)]
+
+    def run(mesh):
+        return generate(
+            params, CFG, prompts,
+            SamplingParams(temperature=0.8, max_new_tokens=6),
+            max_batch=4, max_len=64, kv_quantized=False, dtype=jnp.float32,
+            prefill_buckets=(16,), mesh=mesh,
+        )
+
+    assert run(make_mesh(data=2, model=2)) == run(None)
+
+
+def test_chunked_prefill_under_data_parallel_mesh(rng, params):
+    """Chunked prefill + penalties on a data>1 mesh (the replicated prefill
+    program + GSPMD slot write-back path) must match the plain engine."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)]
+               for n in (21, 5, 13)]
+    sp = SamplingParams(max_new_tokens=5, presence_penalty=0.4)
+
+    def run(mesh):
+        return generate(
+            params, CFG, prompts, sp,
+            max_batch=4, max_len=64, kv_quantized=False, dtype=jnp.float32,
+            prefill_buckets=(32,), prefill_chunk=8, mesh=mesh,
+        )
+
+    assert run(make_mesh(data=2, model=2)) == run(None)

@@ -80,7 +80,7 @@ def test_paged_preemption_exact(params, prompts, want):
     assert [r.output_tokens for r in reqs] == want
     assert eng.stats["preemptions"] > 0
     # every slot freed → all non-null blocks back in the pool
-    assert eng.allocator.available == eng.num_blocks - 1
+    assert eng.allocators[0].available == eng.num_blocks - 1
 
 
 def test_paged_preemption_seeded_and_penalized(params, prompts):
@@ -195,7 +195,7 @@ def test_paged_prefix_eviction_under_pressure(params, rng_module):
         assert r.output_tokens == _naive_greedy(params, p, 4)
     # pool of 8 usable blocks served 4 requests of ≥2 blocks each — only
     # eviction makes that possible
-    assert len(eng._bh_lru) <= 8
+    assert len(eng._bh_lru[0]) <= 8
 
 
 def test_paged_with_tp_mesh(params, prompts, want):
@@ -263,9 +263,9 @@ def test_paged_scheduler_fuzz(params):
     # bookkeeping invariants after the storm: every owner released, pool
     # consistent (free + cached-registered = usable)
     assert all(r is None for r in eng.slot_req)
-    cached = len(eng._bh_lru)
-    assert eng.allocator.available + cached == eng.num_blocks - 1
-    assert all(v == 0 for v in eng._bh_ref.values())
+    cached = len(eng._bh_lru[0])
+    assert eng.allocators[0].available + cached == eng.num_blocks - 1
+    assert all(v == 0 for v in eng._bh_ref[0].values())
 
 
 def test_paged_pool_memory_is_smaller(params):
@@ -296,7 +296,7 @@ def test_paged_growth_exhaustion_finishes_length(params, rng_module):
         params, prompt, len(req.output_tokens)
     )
     # the slot released everything back to the pool
-    assert eng.allocator.available == eng.num_blocks - 1
+    assert eng.allocators[0].available == eng.num_blocks - 1
     assert all(r is None for r in eng.slot_req)
 
 
@@ -326,7 +326,7 @@ def test_paged_prefix_cache_eviction_after_preemption(params, rng_module):
         if r.finish_reason != "length":
             assert len(r.output_tokens) == 20
     # pool bookkeeping consistent: free + rc0-cached = usable
-    assert eng.allocator.available + len(eng._bh_lru) == eng.num_blocks - 1
+    assert eng.allocators[0].available + len(eng._bh_lru[0]) == eng.num_blocks - 1
 
 
 def test_paged_preemption_penalized_exact_vs_naive(params, rng_module):
@@ -377,3 +377,60 @@ def test_paged_preemption_penalized_exact_vs_naive(params, rng_module):
         )
         if r.finish_reason != "length":
             assert r.output_tokens == w
+
+
+def test_paged_data_parallel_mesh(params, prompts, want):
+    """Paged engine over a data=2 × model=2 mesh: per-data-shard pool
+    slices (local-id tables, own null block + allocator), shard-grouped
+    chunked prefill, batch-sharded decode — greedy streams must equal the
+    naive single-device decode."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    outs = generate(
+        params, CFG, prompts, SamplingParams(max_new_tokens=8),
+        max_batch=4, max_len=64, kv_quantized=True, dtype=jnp.float32,
+        paged=True, block_size=8, mesh=make_mesh(data=2, model=2),
+    )
+    assert outs == want
+
+
+def test_paged_data_parallel_preemption_exact(params, prompts, want):
+    """data>1 paged preemption: each shard's pool is tight (per-shard
+    num_blocks), victims are chosen within the needy slot's OWN shard, and
+    the greedy streams still match the roomy single-device run."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    eng = Engine(params, CFG, max_batch=4, max_len=64, kv_quantized=True,
+                 dtype=jnp.float32, paged=True, block_size=8, num_blocks=7,
+                 mesh=make_mesh(data=2, model=2))
+    assert eng.dp == 2 and len(eng.allocators) == 2
+    reqs = [Request(prompt_tokens=p, sampling=SamplingParams(max_new_tokens=8))
+            for p in prompts]
+    eng.run(reqs)
+    assert [r.output_tokens for r in reqs] == want
+
+
+def test_paged_data_parallel_prefix_cache(params, prompts, want, rng_module):
+    """Block-level prefix caching under data>1: shard-local hash maps —
+    a repeated prompt admitted into the same shard reuses blocks; streams
+    stay exact either way."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    shared = [int(t) for t in rng_module.integers(0, 128, size=24)]
+    tails = [[int(t) for t in rng_module.integers(0, 128, size=4)]
+             for _ in range(3)]
+    ps = [shared + t for t in tails]
+    eng = Engine(params, CFG, max_batch=4, max_len=64, kv_quantized=True,
+                 dtype=jnp.float32, paged=True, block_size=8,
+                 prefix_cache=True, mesh=make_mesh(data=2, model=2))
+    for p in ps:
+        r = Request(prompt_tokens=p, sampling=SamplingParams(max_new_tokens=6))
+        eng.run([r])
+        assert r.output_tokens == _naive_greedy(params, p, 6)
+    assert eng.stats["prefix_hits"] >= 1
