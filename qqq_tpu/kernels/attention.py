@@ -100,6 +100,7 @@ def _flash_attn_kernel(
     *,
     sblk: int,
     qm: int,
+    kn: int,
     T: int,
     causal: bool,
 ):
@@ -132,19 +133,19 @@ def _flash_attn_kernel(
     kt = k_ref[0, 0].astype(jnp.bfloat16) * ks_ref[0, 0].astype(jnp.bfloat16)
     vt = v_ref[0, 0].astype(jnp.bfloat16) * vs_ref[0, 0].astype(jnp.bfloat16)
 
-    def body(r0, t0, masked):
+    def body(r0, t0, c0, masked):
         # both dots run in bf16 with f32 accumulation — the MXU's bf16
         # rate is ~4× its f32 rate and this kernel is compute-bound at
         # prefill (standard flash-attention numerics: ≲0.4% relative)
         q = q_ref[0, 0][r0 : r0 + qm]  # (qm, hd) bf16
         scores = jax.lax.dot_general(
             q,
-            kt,
+            kt[c0 : c0 + kn],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (qm, sblk)
+        )  # (qm, kn)
         if masked:
-            key_pos = s * sblk + jax.lax.broadcasted_iota(
+            key_pos = s * sblk + c0 + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, 1
             )
             valid = key_pos < total
@@ -165,7 +166,7 @@ def _flash_attn_kernel(
         e = jnp.exp(scores - m_new)
         pv = jax.lax.dot_general(
             e.astype(jnp.bfloat16),
-            vt,  # v scales already folded into the tile
+            vt[c0 : c0 + kn],  # v scales already folded into the tile
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -175,27 +176,36 @@ def _flash_attn_kernel(
         acc_scr[r0 : r0 + qm] = acc_scr[r0 : r0 + qm] * alpha + pv
         m_scr[r0 : r0 + qm] = m_new
 
+    # (q-subtile, key-subtile) static double loop; kn defaults to sblk
+    # (single full-width column).  kn < sblk skips causally-dead (qm, kn)
+    # pairs inside the streamed tile, but the v5e sweep showed the narrow
+    # dots + extra flash updates COST more than the skipped triangle saves
+    # (362 vs 226 µs at T=S=1024 with qm=kn=256; kn=512 also slower) — at
+    # full width the kernel already runs ~77% of bf16 peak on executed
+    # work, so the rectangle is kept and only whole dead pairs skip.
+    # The online-softmax updates commute, so subtile order is free.
     for r0 in range(0, M, qm):
         t0 = r0 % T  # first t of the subtile (static)
-        if causal:
-            live = s * sblk < clen + t0 + qm
-            # no mask needed when every key of the tile is visible to the
-            # subtile's WORST row (its first: t0, or t=0 when the whole M
-            # block is one subtile); the causal bound key ≤ clen + t_row
-            # subsumes the key < total tail bound
-            t_min = t0 if qm != M else 0
-            interior = (s + 1) * sblk <= clen + t_min + 1
-        else:
-            live = s * sblk < total
-            interior = (s + 1) * sblk <= total
+        for c0 in range(0, sblk, kn):
+            if causal:
+                live = s * sblk + c0 < clen + t0 + qm
+                # no mask needed when every key of the subtile is visible
+                # to the subtile's WORST row (its first: t0, or t=0 when
+                # the whole M block is one subtile); the causal bound
+                # key ≤ clen + t_row subsumes the key < total tail bound
+                t_min = t0 if qm != M else 0
+                interior = s * sblk + c0 + kn <= clen + t_min + 1
+            else:
+                live = s * sblk + c0 < total
+                interior = s * sblk + c0 + kn <= total
 
-        @pl.when(live & interior)
-        def _unmasked(r0=r0, t0=t0):
-            body(r0, t0, masked=False)
+            @pl.when(live & interior)
+            def _unmasked(r0=r0, t0=t0, c0=c0):
+                body(r0, t0, c0, masked=False)
 
-        @pl.when(live & jnp.logical_not(interior))
-        def _masked(r0=r0, t0=t0):
-            body(r0, t0, masked=True)
+            @pl.when(live & jnp.logical_not(interior))
+            def _masked(r0=r0, t0=t0, c0=c0):
+                body(r0, t0, c0, masked=True)
 
     @pl.when(s == n_s - 1)
     def _finish():
@@ -203,7 +213,7 @@ def _flash_attn_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sblk", "interpret")
+    jax.jit, static_argnames=("causal", "sblk", "kn", "interpret")
 )
 def flash_attention_int8(
     q: jax.Array,        # (B, n_heads, T, hd) queries (RoPE'd), any fp dtype
@@ -215,6 +225,7 @@ def flash_attention_int8(
     *,
     causal: bool = True,
     sblk: Optional[int] = None,
+    kn: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Chunked-prefill / long-context attention over the INT8 KV cache.
@@ -246,6 +257,14 @@ def flash_attention_int8(
     qm = M
     if M % 256 == 0 and (not causal or T % 256 == 0):
         qm = 256
+    # key sub-tile width: kn < sblk would skip dead (qm, kn) pairs inside
+    # the streamed tile, but measured SLOWER on v5e (narrow dots + 4x the
+    # flash-update traffic beat the triangle savings: 362 vs 226 us at
+    # T=S=1024 with qm=kn=256) — default keeps full-width dots
+    if kn is None:
+        kn = sblk
+    while sblk % kn:
+        kn -= 1
 
     qg = (
         (q.reshape(B, nkv, g, T, hd).reshape(B, nkv, M, hd)
@@ -281,7 +300,7 @@ def flash_attention_int8(
 
     out = pl.pallas_call(
         functools.partial(
-            _flash_attn_kernel, sblk=sblk, qm=qm, T=T, causal=causal
+            _flash_attn_kernel, sblk=sblk, qm=qm, kn=kn, T=T, causal=causal
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, nkv, M, hd), jnp.float32),
@@ -306,7 +325,8 @@ def _paged_flash_kernel(tab_ref, clen_ref, *refs, sblk, qm, T, causal):
     table-driven index maps (the DMA engine followed ``tab_ref``), so the
     body is exactly the S-tiled flash kernel — grid step ``s`` IS virtual
     sequence block ``s`` of the row."""
-    _flash_attn_kernel(clen_ref, *refs, sblk=sblk, qm=qm, T=T, causal=causal)
+    _flash_attn_kernel(clen_ref, *refs, sblk=sblk, qm=qm, kn=sblk, T=T,
+                       causal=causal)
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "interpret"))
@@ -424,6 +444,191 @@ def paged_decode_attention_int8(
     return out[:, :, 0, :]
 
 
+def _flash_decode_kernel(
+    clen_ref,   # (B,) int32 scalar-prefetch: valid tokens INCLUDING current
+    q_ref,      # (1, hblk, g, hd) bf16 — queries, pre-scaled by 1/√hd
+    k_ref,      # (1, hblk, sblk, hd) int8
+    ks_ref,     # (1, hblk, 1, sblk) f32 — lane-major: applied to the scores
+    v_ref,      # (1, hblk, sblk, hd) int8
+    vs_ref,     # (1, hblk, 1, sblk) f32 — lane-major: folded into the probs
+    o_ref,      # (1, hblk, g, hd) f32
+    m_scr,      # (hblk·g, 1) f32
+    l_scr,      # (hblk·g, 1) f32
+    acc_scr,    # (hblk·g, hd) f32
+    *,
+    hblk: int,
+    sblk: int,
+):
+    """Head-batched S-tiled flash DECODE (T=1, no causal triangle): the
+    online softmax walks S in sblk tiles while each grid step streams
+    ``hblk`` heads' K/V together.  Head-batching is what buys bandwidth —
+    the per-head compute is a (g, hd)·(hd, sblk) matvec that cannot keep
+    the DMA engine busy on its own, so tiles must be megabytes, not the
+    (1, sblk, hd) slivers the prefill kernel streams (measured 10× off
+    the HBM roofline at S=16k when reused for decode).  Scales ride
+    LANE-major ((1, sblk), applied to scores / probabilities like the
+    whole-cache kernel) — a (sblk, 1) block would be lane-padded ×128 by
+    Mosaic and blow the VMEM budget."""
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    n_s = pl.num_programs(2)
+    g = q_ref.shape[2]
+    clen = clen_ref[b]
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    live = s * sblk < clen
+    interior = (s + 1) * sblk <= clen
+
+    def tile(masked):
+        for h in range(hblk):
+            scores = jax.lax.dot_general(
+                q_ref[0, h], k_ref[0, h].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * ks_ref[0, h]  # (g, sblk) · (1, sblk)
+            if masked:
+                key_pos = s * sblk + jax.lax.broadcasted_iota(
+                    jnp.int32, scores.shape, 1
+                )
+                scores = jnp.where(key_pos < clen, scores, _NEG_INF)
+            r = slice(h * g, (h + 1) * g)
+            m_prev = m_scr[r]
+            m_new = jnp.maximum(m_prev, jnp.max(scores, 1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            e = jnp.exp(scores - m_new)
+            # fold the per-position v scales into the probabilities (the
+            # denominator l tracks the UNSCALED mass, so sum e first)
+            pv = jax.lax.dot_general(
+                (e * vs_ref[0, h]).astype(jnp.bfloat16),
+                v_ref[0, h].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_scr[r] = l_scr[r] * alpha + jnp.sum(e, 1, keepdims=True)
+            acc_scr[r] = acc_scr[r] * alpha + pv
+            m_scr[r] = m_new
+
+    @pl.when(live & interior)
+    def _unmasked():
+        tile(masked=False)
+
+    @pl.when(live & jnp.logical_not(interior))
+    def _masked():
+        tile(masked=True)
+
+    @pl.when(s == n_s - 1)
+    def _finish():
+        acc = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = acc.reshape(hblk, g, acc.shape[-1])
+
+
+def _pick_decode_tiles(nkv: int, S: int, hd: int, g: int):
+    """(hblk, sblk) for the S-tiled decode: biggest head×sequence tile
+    whose K+V (×2 double-buffer) fits a ~4.5 MB-per-buffer VMEM window,
+    with sblk | S; ties prefer sblk ≈ 2048.  Swept on v5e at S=16k/32k:
+    (8, 2048) runs 852/756 GB/s ≈ the HBM roofline; (32, 512) ~500 GB/s
+    (short strided chunks), (16, 1024) 717 — sblk 2048 is the sweet spot
+    between DMA run length and head-level pipelining."""
+    budget = 9 * 1024 * 1024 // 2  # per-buffer bytes (double-buffered DMA)
+
+    def key(hblk, sblk):
+        return (hblk * sblk, -abs(sblk - 2048))
+
+    best = (1, min(S, 1024))
+    for hblk in range(nkv, 0, -1):
+        if nkv % hblk:
+            continue
+        sblk = min(S, budget // (hblk * 2 * (hd + 4)))
+        sblk = (sblk // 512) * 512
+        while sblk >= 512 and S % sblk:
+            sblk -= 512
+        if sblk >= 512 and key(hblk, sblk) > key(*best):
+            best = (hblk, sblk)
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("sblk", "interpret"))
+def flash_decode_attention_int8(
+    q: jax.Array,        # (B, n_heads, hd) — current-step queries, RoPE'd
+    k_cache: jax.Array,  # (B, n_kv, S, hd) int8 (current k already written)
+    k_scale: jax.Array,  # (B, n_kv, S) f32
+    v_cache: jax.Array,  # (B, n_kv, S, hd) int8
+    v_scale: jax.Array,  # (B, n_kv, S) f32
+    cache_len: jax.Array,  # (B,) int32 — valid tokens INCLUDING current
+    *,
+    sblk: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """S-tiled decode for caches too long for the whole-cache kernel
+    (S > 8k): any S, ~VMEM-sized head-batched tiles.  Returns
+    (B, n_heads, hd) in q.dtype."""
+    B, nh, hd = q.shape
+    nkv, S = k_cache.shape[1], k_cache.shape[2]
+    g = nh // nkv
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hblk, auto_sblk = _pick_decode_tiles(nkv, S, hd, g)
+    if sblk is None:
+        sblk = auto_sblk
+    while S % sblk:
+        sblk -= 1
+
+    qg = (
+        (q.reshape(B, nkv, g, hd).astype(jnp.float32)
+         / jnp.sqrt(jnp.float32(hd))).astype(jnp.bfloat16)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nkv // hblk, S // sblk),
+        in_specs=[
+            pl.BlockSpec((1, hblk, g, hd), lambda b, h, s, c: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hblk, sblk, hd),
+                         lambda b, h, s, c: (b, h, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hblk, 1, sblk),
+                         lambda b, h, s, c: (b, h, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hblk, sblk, hd),
+                         lambda b, h, s, c: (b, h, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hblk, 1, sblk),
+                         lambda b, h, s, c: (b, h, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hblk, g, hd), lambda b, h, s, c: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hblk * g, 1), jnp.float32),
+            pltpu.VMEM((hblk * g, 1), jnp.float32),
+            pltpu.VMEM((hblk * g, hd), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_flash_decode_kernel, hblk=hblk, sblk=sblk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nkv, g, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        cache_len.astype(jnp.int32), qg,
+        k_cache, k_scale[:, :, None, :], v_cache, v_scale[:, :, None, :],
+    )
+
+    return out.reshape(B, nh, hd).astype(q.dtype)
+
+
 #: decode_attention_int8 keeps the whole (hblk, S, hd) cache block in VMEM —
 #: past this sequence length the S-tiled kernel takes over
 _DECODE_WHOLE_S_LIMIT = 8192
@@ -438,7 +643,8 @@ def decode_attention_auto(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Decode attention with automatic kernel selection: whole-cache kernel
-    up to S=8k (lowest overhead), S-tiled flash kernel beyond (any S)."""
+    up to S=8k (lowest overhead), head-batched S-tiled flash kernel beyond
+    (any S, :func:`flash_decode_attention_int8`)."""
     S = k_cache.shape[2]
     hd = q.shape[-1]
     if S * (hd + 8) * 2 <= _DECODE_WHOLE_S_LIMIT * (128 + 8) * 2:
@@ -446,15 +652,10 @@ def decode_attention_auto(
             q, k_cache, k_scale, v_cache, v_scale, cache_len,
             interpret=interpret,
         )
-    out = flash_attention_int8(
-        q[:, :, None, :], k_cache, k_scale, v_cache, v_scale,
-        # cache_len counts keys INCLUDING the current token in the decode
-        # convention; the flash kernel counts keys BEFORE the chunk
-        cache_len - 1,
-        causal=False,  # single query row sees every valid key
+    return flash_decode_attention_int8(
+        q, k_cache, k_scale, v_cache, v_scale, cache_len,
         interpret=interpret,
     )
-    return out[:, :, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -307,7 +307,6 @@ class Engine:
         if spec_ngram:
             assert steps_per_tick == 1, \
                 "speculative decoding replaces multi-step fusion"
-            assert mesh is None, "speculative decoding is single-device"
         self.prefix_cache = prefix_cache
         if prefix_cache:
             assert prefill_chunk > 0, \
@@ -652,22 +651,27 @@ class Engine:
                           bias_ids=None, bias_vals=None, tables=None,
                           allow_ids=None, n_top: int = 0):
         """Verify a (B, 1+k) [last_token, draft…] batch in one forward.
-        Returns the model's greedy continuation at every position (+ its
-        logprobs) for draft acceptance, and the position-0 sampled token
-        (honoring per-row sampling params) that non-greedy / draftless rows
-        use — for greedy rows it equals ``greedy[:, 0]``.  KV for rejected
-        draft positions is garbage past the accepted point; the next tick
-        rewrites those positions before anything attends to them (same
-        argument as chunked prefill)."""
+        Returns the model's SAMPLED continuation at every position (each
+        honoring its row's temperature/top-k/top-p/seed; temp<=0 rows
+        reduce to greedy) plus its logprobs, for exact-match draft
+        acceptance: position j's token is drawn from the true conditional
+        distribution after the first j emitted tokens, so accepting draft
+        tokens while ``draft[j] == sampled[j]`` keeps every emitted token
+        exactly distributed — greedy rows accept the greedy prefix, SEEDED
+        rows are byte-identical to the non-speculative stream (their noise
+        is keyed on (seed, generation index), schedule-invariant), and
+        unseeded temperature rows stay distribution-exact (per-position
+        ``fold_in(key, j)`` noise).  Position 0 additionally applies the
+        penalty/bias/guided stack — logit-altering rows get NO drafts
+        (host side), so positions ≥ 1 are never consumed for them.  KV for
+        rejected draft positions is garbage past the accepted point; the
+        next tick rewrites those positions before anything attends to them
+        (same argument as chunked prefill)."""
         B, T = tokens.shape
         pos = cache_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
         logits, caches = self._fwd_t(params, tokens, caches, cache_len, pos,
                                      tables)
         lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
-        glp = jnp.take_along_axis(lsm, greedy[..., None], axis=-1)[..., 0]
-        # penalties/bias only touch position 0: logit-altering rows get NO
-        # drafts (host side), so positions ≥ 1 are never consumed for them
         penal0 = apply_penalties(logits[:, 0], counts, rep_mask, pres,
                                  freq, rep)
         if bias_ids is not None:
@@ -680,12 +684,20 @@ class Engine:
                            seeded, seeds, ngen),
             0,
         )
-        slp0 = jnp.take_along_axis(lsm[:, 0], samp0[:, None], axis=-1)[:, 0]
+        cols = [samp0]
+        for j in range(1, T):  # static: T = 1 + spec_k, small
+            cols.append(sample_batched(
+                logits[:, j], jax.random.fold_in(key, j), temp, topk,
+                topp, minp, seeded, seeds,
+                None if ngen is None else ngen + j,
+            ))
+        samp = jnp.stack(cols, axis=1)  # (B, T)
+        slp = jnp.take_along_axis(lsm, samp[..., None], axis=-1)[..., 0]
         counts = counts.at[jnp.arange(counts.shape[0]), samp0].add(
             active.astype(jnp.int32)
         )
         tops = jax.lax.top_k(lsm, n_top) if n_top else None  # (B, T, N)
-        return greedy, glp, samp0, slp0, caches, counts, tops
+        return samp, slp, caches, counts, tops
 
     @staticmethod
     def _prefill_sample_logits(last, pen, bias_ids, bias_vals, allow_ids):
@@ -1256,8 +1268,10 @@ class Engine:
 
     def _spec_tick(self, active) -> None:
         """One speculative decode tick: draft per slot (host), verify all
-        drafts in one (B, 1+spec_k) forward, accept the longest prefix
-        matching the model's greedy stream + one bonus token per row."""
+        drafts in one (B, 1+spec_k) forward, accept the longest draft
+        prefix matching the model's own sampled stream + one bonus token
+        per row (exact-match acceptance — every emitted token is drawn
+        from the true conditional distribution, see _spec_verify_step)."""
         k = self.spec_k
         B = self.max_batch
         toks = np.zeros((B, 1 + k), np.int32)
@@ -1266,11 +1280,11 @@ class Engine:
             if not active[slot]:
                 continue
             toks[slot, 0] = self.slot_last_tok[slot]
-            # greedy, logit-unaltered rows only: penalties/bias change the
-            # greedy stream, so those rows take the plain 1-token path
-            # (position-0 sample, penalized/biased in-step)
-            if req.sampling.temperature <= 0.0 \
-                    and not req.sampling.alters_logits:
+            # logit-altering rows (penalties/bias/guided) take the plain
+            # 1-token path — the altered distribution depends on each
+            # emitted token, which only position 0 applies.  Greedy AND
+            # sampled rows draft (sampled rows accept via exact match).
+            if not req.sampling.alters_logits:
                 d = self._propose_draft(req)
                 drafts[slot] = d
                 toks[slot, 1 : 1 + len(d)] = d
@@ -1279,7 +1293,7 @@ class Engine:
         slist = [r.sampling if r is not None else None for r in self.slot_req]
         samp = sampling_arrays(slist, B)
         pens = penalty_arrays(slist, B)
-        greedy, glp, s0, slp0, self.caches, self.counts, tops = \
+        s_all, slp_all, self.caches, self.counts, tops = \
             self._spec_fn(
                 self.params, jnp.asarray(toks), self.caches, cache_len, kk,
                 jnp.asarray(active), *samp, self.counts, self.rep_mask,
@@ -1289,21 +1303,21 @@ class Engine:
                 self._allowed_arrays(self.slot_req, B),
                 n_top=self._ntop(self.slot_req, B),
             )
-        g, glp_np = np.asarray(greedy), np.asarray(glp)
-        s0_np, slp0_np = np.asarray(s0), np.asarray(slp0)
+        s_np, slp_np = np.asarray(s_all), np.asarray(slp_all)
         tops_np = None if tops is None else (np.asarray(tops[0]),
                                              np.asarray(tops[1]))
         self.stats["decode_ticks"] += 1
         for slot, req in enumerate(self.slot_req):
             if req is None or not active[slot]:
                 continue
-            emitted = [(int(s0_np[slot]), float(slp0_np[slot]), 0)]
+            emitted = [(int(s_np[slot, 0]), float(slp_np[slot, 0]), 0)]
             d = drafts[slot]
             self.stats["spec_drafted"] += len(d)
             j = 0
             while j < len(d) and d[j] == emitted[-1][0]:
                 emitted.append(
-                    (int(g[slot, j + 1]), float(glp_np[slot, j + 1]), j + 1)
+                    (int(s_np[slot, j + 1]), float(slp_np[slot, j + 1]),
+                     j + 1)
                 )
                 j += 1
             self.stats["spec_accepted"] += j

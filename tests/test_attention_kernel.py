@@ -163,3 +163,31 @@ def test_flash_prefill_causal_matches_oracle(rng, B, nh, nkv, T, S, clen0):
     want = _oracle_prefill(q, k8, ks, v8, vs, clen)
     # bf16 MXU dots (f32 accumulation) — see test_flash_decode_long_context
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("B,nh,nkv,S,sblk", [
+    (1, 4, 4, 2048, 512),    # MHA, even tiles
+    (2, 8, 2, 1536, 512),    # GQA g=4, batch, non-pow2 S
+    (1, 4, 2, 1024, 1024),   # single tile (sblk == S)
+])
+def test_flash_decode_attention_matches_oracle(rng, B, nh, nkv, S, sblk):
+    """Head-batched S-tiled decode kernel (the S>8k serving path) must
+    match the dequantized softmax oracle — bf16 dots, so a bf16-level
+    tolerance."""
+    from qqq_tpu.kernels.attention import flash_decode_attention_int8
+
+    hd = 128
+    q = rng.normal(size=(B, nh, hd)).astype(np.float32)
+    k8 = rng.integers(-127, 128, size=(B, nkv, S, hd)).astype(np.int8)
+    v8 = rng.integers(-127, 128, size=(B, nkv, S, hd)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, size=(B, nkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, size=(B, nkv, S)).astype(np.float32)
+    clen = rng.integers(1, S + 1, size=(B,)).astype(np.int32)
+
+    got = flash_decode_attention_int8(
+        jnp.asarray(q), jnp.asarray(k8), jnp.asarray(ks),
+        jnp.asarray(v8), jnp.asarray(vs), jnp.asarray(clen),
+        sblk=sblk, interpret=True,
+    )
+    want = _oracle(q, k8, ks, v8, vs, clen)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)

@@ -1146,3 +1146,55 @@ def test_chunked_prefill_under_data_parallel_mesh(rng, params):
         )
 
     assert run(make_mesh(data=2, model=2)) == run(None)
+
+
+def test_speculative_decode_seeded_byte_identical(rng, params):
+    """Seeded sampled rows draft too: their Gumbel noise is keyed on
+    (seed, generation index) — schedule-invariant — so with exact-match
+    acceptance (_spec_verify_step) the stream is BYTE-IDENTICAL with
+    speculation on or off, while still accepting drafts when the model's
+    sample agrees with the lookup draft."""
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)]
+               for n in (6, 11)]
+    sp = SamplingParams(max_new_tokens=32, temperature=0.7, seed=123)
+
+    def run(spec):
+        # ngram=1 so the lookup drafter fires on a random-ish sampled tail
+        # (everything is seeded, so the draft trace is deterministic)
+        kw = dict(spec_ngram=1, spec_k=4) if spec else {}
+        eng = Engine(
+            params, CFG, max_batch=2, max_len=128, kv_quantized=False,
+            dtype=jnp.float32, prefill_buckets=(16,), **kw,
+        )
+        reqs = [Request(prompt_tokens=p, sampling=sp) for p in prompts]
+        eng.run(reqs)
+        return [r.output_tokens for r in reqs], eng.stats
+
+    with_spec, stats = run(True)
+    without, _ = run(False)
+    assert with_spec == without
+    assert stats["spec_drafted"] > 0  # seeded rows genuinely drafted
+
+
+def test_speculative_decode_under_tp_mesh(rng, params):
+    """Speculative decoding through the TP (and data) mesh: the (B, 1+k)
+    verify pass runs through the sharded forward; greedy streams stay
+    exact and drafts still get accepted."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)]
+               for n in (6, 11, 4, 9)]
+    eng = Engine(
+        params, CFG, max_batch=4, max_len=128, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,), spec_ngram=2, spec_k=4,
+        mesh=make_mesh(data=2, model=2),
+    )
+    reqs = [Request(prompt_tokens=p,
+                    sampling=SamplingParams(max_new_tokens=24))
+            for p in prompts]
+    eng.run(reqs)
+    for p, r in zip(prompts, reqs):
+        assert r.output_tokens == _naive_greedy(params, p, 24), p
+    assert eng.stats["spec_accepted"] > 0, eng.stats
