@@ -192,10 +192,10 @@ class Engine:
         left off — greedy and seeded streams are unchanged; the oldest
         requests are never starved).  Default ``num_blocks``
         covers max_batch × max_len (no preemption possible); size it down
-        to oversubscribe.  Composes with a TP ``mesh``: pools shard on kv
-        heads, block tables replicate (decode uses the gathered-logits
-        program — the vocab-sharded sampling fast path is slot-cache
-        only)."""
+        to oversubscribe.  Composes with TP/data ``mesh``es: pools shard
+        on kv heads (and block-slices on "data"), and the vocab-sharded
+        sampling fast path works in paged mode too (tables ride the
+        sharded decode program)."""
         if fuse and mesh is None:
             from qqq_tpu.models.llama import fuse_inference_params
 
@@ -398,9 +398,7 @@ class Engine:
                 # "model"; tokens/tables/lens batch-sharded on "data" — the
                 # slots of a data shard only ever reference its own pool
                 # slice, so decode AND the shard-grouped chunk prefill run
-                # fully batch-parallel.  (The vocab-sharded sampling fast
-                # path stays slot-cache-only; paged+TP decodes through the
-                # gathered-logits program.)
+                # fully batch-parallel.
                 def local_fwd(p, t, c, cl, pos, tables):
                     return M.forward(
                         p, self.config, t, positions=pos, caches=c,
@@ -469,10 +467,13 @@ class Engine:
             # needs top-k/top-p order statistics (host checks per tick).
             # Batch rides the "data" axis; the Gumbel field is generated at
             # global batch width so streams match the gathered path exactly.
-            def local_decode_sample(p, t, c, cl, pos, key, active, temp):
+            # Paged mode ships the block tables through the same program.
+            def local_decode_sample(p, t, c, cl, pos, key, active, temp,
+                                    tables=None):
                 local_logits, c = M.forward(
                     p, self.config, t, positions=pos, caches=c,
                     cache_len=cl, tp_axis="model", gather_logits=False,
+                    block_tables=tables,
                 )
                 last = local_logits[:, -1, :]
                 nxt = sample_batched_sharded(
@@ -484,14 +485,26 @@ class Engine:
                 )
                 return jnp.where(active, nxt, 0), lp, c
 
-            self._fwd_decode_sample = shard_map(
-                local_decode_sample,
-                mesh=mesh,
-                in_specs=(pspec, P("data", None), self._cspec, P("data"),
-                          P("data", None), P(None), P("data"), P("data")),
-                out_specs=(P("data"), P("data"), self._cspec),
-                check_vma=False,
-            )
+            base_specs = (pspec, P("data", None), self._cspec, P("data"),
+                          P("data", None), P(None), P("data"), P("data"))
+            if paged:
+                self._fwd_decode_sample = shard_map(
+                    lambda p, t, c, cl, pos, key, active, temp, tables:
+                        local_decode_sample(p, t, c, cl, pos, key, active,
+                                            temp, tables),
+                    mesh=mesh,
+                    in_specs=base_specs + (P("data", None),),
+                    out_specs=(P("data"), P("data"), self._cspec),
+                    check_vma=False,
+                )
+            else:
+                self._fwd_decode_sample = shard_map(
+                    local_decode_sample,
+                    mesh=mesh,
+                    in_specs=base_specs,
+                    out_specs=(P("data"), P("data"), self._cspec),
+                    check_vma=False,
+                )
         else:
             self.dp = 1
             self._fwd = lambda p, t, c, cl, pos, tables=None: M.forward(
@@ -587,22 +600,29 @@ class Engine:
         return next_tok, chosen_logprob(last, next_tok), caches, counts, tops
 
     def _decode_step_sharded(self, params, tokens, caches, cache_len, key,
-                             active, temp):
+                             active, temp, tables=None):
         positions = cache_len[:, None]  # T == 1
+        if tables is None:
+            return self._fwd_decode_sample(
+                params, tokens, caches, cache_len, positions, key, active,
+                temp,
+            )
         return self._fwd_decode_sample(
-            params, tokens, caches, cache_len, positions, key, active, temp
+            params, tokens, caches, cache_len, positions, key, active,
+            temp, tables,
         )
 
     @functools.partial(
         jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3,)
     )
     def _decode_multi_sharded(self, params, tokens, caches, cache_len, key,
-                              active, temp, n_steps: int):
+                              active, temp, tables, n_steps: int):
         def body(carry, _):
             tok, caches, clen, key = carry
             key, sub = jax.random.split(key)
             nxt, lp, caches = self._decode_step_sharded(
-                params, tok[:, None], caches, clen, sub, active, temp
+                params, tok[:, None], caches, clen, sub, active, temp,
+                tables,
             )
             return (nxt, caches, clen + 1, key), (nxt, lp)
 
@@ -1726,7 +1746,7 @@ class Engine:
             # vocab-sharded sampling path: exact for greedy/temperature rows
             # (top-k/top-p order statistics and penalties need the full
             # row → gathered path)
-            sharded = self.mesh is not None and not self.paged and all(
+            sharded = self.mesh is not None and all(
                 r is None or (r.sampling.top_k == 0
                               and r.sampling.top_p >= 1.0
                               and r.sampling.min_p == 0.0
@@ -1738,7 +1758,7 @@ class Engine:
             if chunk == 1 and sharded:
                 next_tok, lp, self.caches = self._decode_fn_sharded(
                     self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active), samp[0],
+                    jnp.asarray(active), samp[0], self._tables_arg(),
                 )
                 chunk_np = np.asarray(next_tok)[:, None]
                 lp_np = np.asarray(lp)[:, None]
@@ -1764,7 +1784,8 @@ class Engine:
             elif sharded:  # top-N rows are excluded from this path
                 toks, lps, self.caches = self._decode_multi_sharded(
                     self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active), samp[0], n_steps=chunk,
+                    jnp.asarray(active), samp[0], self._tables_arg(),
+                    n_steps=chunk,
                 )
                 chunk_np = np.asarray(toks)
                 lp_np = np.asarray(lps)

@@ -434,3 +434,19 @@ def test_paged_data_parallel_prefix_cache(params, prompts, want, rng_module):
         eng.run([r])
         assert r.output_tokens == _naive_greedy(params, p, 6)
     assert eng.stats["prefix_hits"] >= 1
+
+
+def test_paged_tp_sharded_sampling_fast_path(params, prompts, want):
+    """Paged + TP now uses the vocab-sharded sampling fast path (block
+    tables ride the sharded decode program; no per-step (B, V) logits
+    all-gather).  Greedy streams must stay exact."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    outs = generate(
+        params, CFG, prompts, SamplingParams(max_new_tokens=8),
+        max_batch=4, max_len=64, kv_quantized=True, dtype=jnp.float32,
+        paged=True, block_size=8, mesh=make_mesh(data=1, model=2),
+    )
+    assert outs == want
