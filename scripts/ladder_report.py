@@ -15,10 +15,13 @@ import sys
 
 
 def load(results):
-    rows = []
+    rows, seen = [], set()
     for path in glob.glob(os.path.join(results, "ladder2_*.log")):
+        if "driver" in path:  # the driver log echoes each config's tail
+            continue
         for line in open(path):
-            if line.startswith("{"):
+            if line.startswith("{") and line not in seen:
+                seen.add(line)
                 try:
                     rows.append(json.loads(line))
                 except json.JSONDecodeError:
