@@ -263,6 +263,8 @@ def flash_attention_int8(
     # T=S=1024 with qm=kn=256) — default keeps full-width dots
     if kn is None:
         kn = sblk
+    if not 0 < kn <= sblk:
+        raise ValueError(f"kn must be in [1, sblk={sblk}], got {kn}")
     while sblk % kn:
         kn -= 1
 
@@ -575,8 +577,13 @@ def flash_decode_attention_int8(
     hblk, auto_sblk = _pick_decode_tiles(nkv, S, hd, g)
     if sblk is None:
         sblk = auto_sblk
-    while S % sblk:
-        sblk -= 1
+    # keep the tile Mosaic-compatible: last-two block dims must be
+    # (8k, 128k)-divisible or equal the array dims — walk down through
+    # 128-multiples, else fall back to the whole axis (block == array)
+    while S % sblk and sblk > 128:
+        sblk -= 128
+    if S % sblk:
+        sblk = S
 
     qg = (
         (q.reshape(B, nkv, g, hd).astype(jnp.float32)

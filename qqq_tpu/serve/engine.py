@@ -381,17 +381,6 @@ class Engine:
                 self.caches, self._cspec,
             )
 
-            # batch-REPLICATED cache spec for the prefill programs: the
-            # (1, C) chunk / sub-batch prefill forwards run identically on
-            # every data shard (same wall-clock as one replica); the write
-            # back into the data-sharded global cache happens at jit level
-            # where GSPMD routes the update to the owning shard.  Decode —
-            # the hot path — runs truly batch-sharded on "data".
-            self._cspec_rep = jax.tree.map(
-                lambda sp: P(*([None] + list(sp)[1:])),
-                self._cspec,
-                is_leaf=lambda x: isinstance(x, P),
-            )
             if paged:
                 # pools block-sharded on "data" (one independent slice per
                 # data shard, local-id tables) and kv-head-sharded on
@@ -431,6 +420,21 @@ class Engine:
                     check_vma=False,
                 )
             else:
+                # batch-REPLICATED cache spec for the prefill programs:
+                # the (1, C) chunk / sub-batch prefill forwards run
+                # identically on every data shard (same wall-clock as one
+                # replica); the write back into the data-sharded global
+                # cache happens at jit level where GSPMD routes the update
+                # to the owning shard.  Decode — the hot path — runs truly
+                # batch-sharded on "data".  (Paged mode needs no replicated
+                # spec: its prefill is shard-grouped through the same
+                # data-sharded program.)
+                self._cspec_rep = jax.tree.map(
+                    lambda sp: P(*([None] + list(sp)[1:])),
+                    self._cspec,
+                    is_leaf=lambda x: isinstance(x, P),
+                )
+
                 def local_fwd(p, t, c, cl, pos):
                     return M.forward(
                         p, self.config, t, positions=pos, caches=c,
@@ -560,9 +564,10 @@ class Engine:
     # -- jitted programs ----------------------------------------------------
 
     def _fwd_t(self, params, tokens, caches, cache_len, positions, tables):
-        """Forward with an optional paged block table (tables only exist in
-        paged mode, which is mesh-free — the shard_map _fwd never sees
-        them)."""
+        """Forward with an optional paged block table.  In paged mode
+        (mesh or not) ``tables`` is the 6th positional input — under a
+        mesh the paged shard_map ``_fwd`` takes it with spec
+        P("data", None), matching the batch-sharded tokens."""
         if tables is None:
             return self._fwd(params, tokens, caches, cache_len, positions)
         return self._fwd(params, tokens, caches, cache_len, positions, tables)
