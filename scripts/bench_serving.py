@@ -131,7 +131,7 @@ def run_once(eng, config, bs, in_len, out_len, seed=1):
 def bench_config(config, *, quantize, group_size, bs, in_len, out_len,
                  steps_per_tick, params=None, prefill_chunk=0,
                  prefix_cache=False, spec_ngram=0, spec_k=4, paged=False,
-                 block_size=128, num_blocks=None):
+                 block_size=128, num_blocks=None, prefill_batch=8):
     from qqq_tpu.serve.engine import Engine
 
     if params is None:
@@ -149,6 +149,7 @@ def bench_config(config, *, quantize, group_size, bs, in_len, out_len,
         prefill_chunk=prefill_chunk, prefix_cache=prefix_cache,
         spec_ngram=spec_ngram, spec_k=spec_k, paged=paged,
         block_size=block_size, num_blocks=num_blocks,
+        prefill_batch=prefill_batch,
     )
     run_once(eng, config, bs, in_len, min(out_len, 2 * steps_per_tick))
     dt = min(run_once(eng, config, bs, in_len, out_len, seed=s)
@@ -179,6 +180,9 @@ def main():
                          "steps-per-tick=1; acceptance on random weights "
                          "comes from argmax cycles — see spec_accepted)")
     ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--prefill-batch", type=int, default=8,
+                    help="max same-bucket prompts per prefill dispatch "
+                         "(scratch cache is prefill_batch x bucket)")
     ap.add_argument("--paged", action="store_true",
                     help="paged KV cache (block pool + block tables)")
     ap.add_argument("--block-size", type=int, default=128)
@@ -209,6 +213,7 @@ def main():
             spec_ngram=args.spec_ngram, spec_k=args.spec_k,
             paged=args.paged, block_size=args.block_size,
             num_blocks=args.num_blocks or None,
+            prefill_batch=args.prefill_batch,
         )
         out_tps = bs * args.out_len / dt
         total_tps = bs * (args.in_len + args.out_len) / dt
