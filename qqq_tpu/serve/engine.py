@@ -563,6 +563,21 @@ class Engine:
 
     # -- jitted programs ----------------------------------------------------
 
+    def _fetch_tok_lp(self, toks, lps):
+        """ONE device→host transfer for the (tokens, logprobs) pair.
+
+        Every fetch through the tunneled runtime pays a full round-trip
+        (utils/benchmark.py docstring: d2h ≈ 8 MB/s + per-transfer
+        latency), and the decode loop fetched tokens and logprobs
+        separately — two RTTs per tick.  Tokens are exact in f32
+        (vocab < 2^24), so stack both planes into one f32 array, fetch
+        once, split on host."""
+        both = np.asarray(jnp.stack([
+            jnp.asarray(toks).astype(jnp.float32),
+            jnp.asarray(lps).astype(jnp.float32),
+        ]))
+        return both[0].astype(np.int32), both[1]
+
     def _fwd_t(self, params, tokens, caches, cache_len, positions, tables):
         """Forward with an optional paged block table.  In paged mode
         (mesh or not) ``tables`` is the 6th positional input — under a
@@ -1328,7 +1343,7 @@ class Engine:
                 self._allowed_arrays(self.slot_req, B),
                 n_top=self._ntop(self.slot_req, B),
             )
-        s_np, slp_np = np.asarray(s_all), np.asarray(slp_all)
+        s_np, slp_np = self._fetch_tok_lp(s_all, slp_all)
         tops_np = None if tops is None else (np.asarray(tops[0]),
                                              np.asarray(tops[1]))
         self.stats["decode_ticks"] += 1
@@ -1765,8 +1780,9 @@ class Engine:
                     self.params, tokens, self.caches, cache_len, k,
                     jnp.asarray(active), samp[0], self._tables_arg(),
                 )
-                chunk_np = np.asarray(next_tok)[:, None]
-                lp_np = np.asarray(lp)[:, None]
+                chunk_np, lp_np = self._fetch_tok_lp(
+                    next_tok[:, None], lp[:, None]
+                )
                 tops_np = None
             elif chunk == 1:
                 next_tok, lp, self.caches, self.counts, tops = \
@@ -1780,8 +1796,9 @@ class Engine:
                     self._allowed_arrays(self.slot_req, self.max_batch),
                     n_top=self._ntop(self.slot_req, self.max_batch),
                 )
-                chunk_np = np.asarray(next_tok)[:, None]
-                lp_np = np.asarray(lp)[:, None]
+                chunk_np, lp_np = self._fetch_tok_lp(
+                    next_tok[:, None], lp[:, None]
+                )
                 tops_np = None if tops is None else (
                     np.asarray(tops[0])[:, None],
                     np.asarray(tops[1])[:, None],
@@ -1792,8 +1809,7 @@ class Engine:
                     jnp.asarray(active), samp[0], self._tables_arg(),
                     n_steps=chunk,
                 )
-                chunk_np = np.asarray(toks)
-                lp_np = np.asarray(lps)
+                chunk_np, lp_np = self._fetch_tok_lp(toks, lps)
                 tops_np = None
             else:
                 toks, lps, self.caches, self.counts, tops = \
@@ -1808,8 +1824,7 @@ class Engine:
                         n_steps=chunk,
                         n_top=self._ntop(self.slot_req, self.max_batch),
                     )
-                chunk_np = np.asarray(toks)
-                lp_np = np.asarray(lps)
+                chunk_np, lp_np = self._fetch_tok_lp(toks, lps)
                 tops_np = None if tops is None else (np.asarray(tops[0]),
                                                      np.asarray(tops[1]))
             self.stats["decode_ticks"] += 1
