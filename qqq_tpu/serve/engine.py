@@ -304,9 +304,9 @@ class Engine:
                 "max_len must be a multiple of prefill_chunk"
         self.spec_ngram = spec_ngram
         self.spec_k = spec_k
-        if spec_ngram:
-            assert steps_per_tick == 1, \
-                "speculative decoding replaces multi-step fusion"
+        # spec_ngram composes with steps_per_tick > 1: ticks where at least
+        # one row drafts run the (B, 1+k) verify; ticks where prompt-lookup
+        # misses everywhere fall through to the fused multi-step decode
         self.prefix_cache = prefix_cache
         if prefix_cache:
             assert prefill_chunk > 0, \
@@ -354,6 +354,7 @@ class Engine:
         self.on_token = None
         self.stats = {
             "prefills": 0, "prefill_tokens": 0, "prefill_chunks": 0,
+            "prefill_dispatches": 0,
             "generated_tokens": 0, "decode_ticks": 0,
             "spec_drafted": 0, "spec_accepted": 0,
             "prefix_hits": 0, "prefix_tokens_reused": 0,
@@ -808,15 +809,15 @@ class Engine:
                              seeds, ngen, bias_ids=None, bias_vals=None,
                              allow_ids=None, pen=None, n_top: int = 0):
         """Paged-mode chunked prefill, one (R, C) forward for up to R slots
-        (R = mesh data degree, 1 without a mesh): each row writes straight
-        into its slot's blocks through its table row (donated pool,
-        in-place scatter).  Under data>1 the rows are grouped ONE PER DATA
-        SHARD (the scheduler builds them that way), so every shard prefills
-        its own slot into its own pool slice in parallel; idle shards get a
-        null-table row whose writes land in their null block.  Padded tail
-        positions land in unallocated virtual blocks → the null block
-        (paged_kv.py), harmless by construction.  ``k``/``true_n`` are
-        per-row (R,) vectors."""
+        (R = data degree × per-shard group size g ≤ prefill_batch): each
+        row writes straight into its slot's blocks through its table row
+        (donated pool, in-place scatter).  Under data>1 the rows are
+        grouped g PER DATA SHARD (the scheduler builds them that way), so
+        every shard prefills its own slots into its own pool slice in
+        parallel; idle rows get a null-table row whose writes land in
+        their null block.  Padded tail positions land in unallocated
+        virtual blocks → the null block (paged_kv.py), harmless by
+        construction.  ``k``/``true_n`` are per-row (R,) vectors."""
         pos = k[:, None] + jnp.arange(tokens.shape[1], dtype=jnp.int32)[None]
         logits, caches = self._fwd_last(
             params, tokens, caches, k, pos, true_n - 1, tables
@@ -1306,12 +1307,18 @@ class Engine:
                 return ctx[i + n : i + n + k]
         return []
 
-    def _spec_tick(self, active) -> None:
+    def _spec_tick(self, active) -> bool:
         """One speculative decode tick: draft per slot (host), verify all
         drafts in one (B, 1+spec_k) forward, accept the longest draft
         prefix matching the model's own sampled stream + one bonus token
         per row (exact-match acceptance — every emitted token is drawn
-        from the true conditional distribution, see _spec_verify_step)."""
+        from the true conditional distribution, see _spec_verify_step).
+
+        Returns False WITHOUT touching the device when no active row
+        produced a draft — the caller falls through to the plain (fused)
+        decode tick, so prompt-lookup misses cost nothing (vLLM's ngram
+        speculator has the same no-candidate fast path; here the fallback
+        additionally fuses ``steps_per_tick`` steps)."""
         k = self.spec_k
         B = self.max_batch
         toks = np.zeros((B, 1 + k), np.int32)
@@ -1328,6 +1335,8 @@ class Engine:
                 d = self._propose_draft(req)
                 drafts[slot] = d
                 toks[slot, 1 : 1 + len(d)] = d
+        if not any(drafts):
+            return False
         cache_len = jnp.asarray(self.slot_len)
         self.key, kk = jax.random.split(self.key)
         slist = [r.sampling if r is not None else None for r in self.slot_req]
@@ -1377,6 +1386,7 @@ class Engine:
                 self._register_blocks(slot)
             self._emit(req)
             self._release_if_cancelled(slot)
+        return True
 
     def _finish_chunk_prefill(self, slot: int, req, first: int, lp: float,
                               tops_row) -> None:
@@ -1426,8 +1436,8 @@ class Engine:
         """Advance every mid-prefill slot by one ``prefill_chunk``-token
         chunk per tick; the final chunk samples the request's first token
         and hands the slot to decode.  Slot mode dispatches one (1, C)
-        program per slot; paged mode groups one slot PER DATA SHARD into a
-        single (dp, C) dispatch (dp=1 → identical to the per-slot path)."""
+        program per slot; paged mode batches up to ``prefill_batch`` slots
+        PER DATA SHARD into a single (dp·g, C) dispatch."""
         if self.paged:
             self._progress_chunk_prefills_paged()
             return
@@ -1461,6 +1471,7 @@ class Engine:
             )
             self.slot_len[slot] = k + len(part)
             self.slot_prefill[slot] = remaining[C:]
+            self.stats["prefill_dispatches"] += 1
             self.stats["prefill_chunks"] += 1
             self.stats["prefill_tokens"] += len(part)
             if not self.slot_prefill[slot]:  # prompt fully cached
@@ -1474,12 +1485,13 @@ class Engine:
                 )
 
     def _progress_chunk_prefills_paged(self) -> None:
-        """Paged chunked prefill, grouped ONE SLOT PER DATA SHARD per
-        dispatch: each data shard prefills a chunk of its own slot into its
-        own pool slice in the same (dp, C) program (idle shards ride along
-        on a null-table row).  With dp=1 this is exactly the per-slot
-        schedule.  Rounds repeat until every mid-prefill slot advanced one
-        chunk this tick.
+        """Paged chunked prefill, batched up to ``prefill_batch`` slots PER
+        DATA SHARD per dispatch: shard d owns rows [d·g, (d+1)·g) of one
+        (dp·g, C) program and prefills a chunk of each of its own slots
+        into its own pool slice (idle rows ride along on a null-table
+        row; g is the per-round max shard occupancy rounded up to a power
+        of two so the traced shape set stays small).  Rounds repeat until
+        every mid-prefill slot advanced one chunk this tick.
 
         Greedy and seeded streams are identical to the single-device
         engine; an UNSEEDED temperature row's final-chunk sample draws its
@@ -1490,15 +1502,24 @@ class Engine:
         spb = self.max_batch // self.dp
         progressed: set = set()
         while True:
-            rows: List[Optional[int]] = [None] * self.dp
+            per_shard: List[List[int]] = [[] for _ in range(self.dp)]
             for slot in sorted(self.slot_prefill):
                 if slot in progressed:
                     continue
                 d = slot // spb
-                if rows[d] is None:
-                    rows[d] = slot
-            if all(s is None for s in rows):
+                if len(per_shard[d]) < self.prefill_batch:
+                    per_shard[d].append(slot)
+            width = max(len(s) for s in per_shard)
+            if width == 0:
                 break
+            # rows per shard rounded up to a power of two (bounds the set
+            # of traced (R, C) shapes), capped by prefill_batch
+            g = min(1 << max(0, width - 1).bit_length(), self.prefill_batch)
+            rows: List[Optional[int]] = []
+            for d in range(self.dp):
+                sl = per_shard[d][:g]
+                rows.extend(sl + [None] * (g - len(sl)))
+            R = self.dp * g
             progressed.update(s for s in rows if s is not None)
             # host-side per-row prep: cancellation, block growth (which may
             # preempt — a preempted pick simply drops out of slot_prefill)
@@ -1506,6 +1527,11 @@ class Engine:
                 if slot is None:
                     continue
                 req = self.slot_req[slot]
+                if req is None:
+                    # preempted by an EARLIER row's _ensure_blocks in this
+                    # very loop (recompute freed the slot) — drop the row
+                    rows[d] = None
+                    continue
                 if req.cancelled:
                     del self.slot_prefill[slot]
                     self._release_if_cancelled(slot)
@@ -1522,13 +1548,13 @@ class Engine:
                     rows[d] = None  # preempted by a later row's _ensure
             if all(s is None for s in rows):
                 continue
-            toks = np.zeros((self.dp, C), np.int32)
-            ks = np.zeros((self.dp,), np.int32)
-            tns = np.ones((self.dp,), np.int32)
-            tabs = np.zeros((self.dp, self._nbmax), np.int32)
-            reqs_row: List[Optional[Request]] = [None] * self.dp
-            finals = [False] * self.dp
-            parts: List[List[int]] = [[] for _ in range(self.dp)]
+            toks = np.zeros((R, C), np.int32)
+            ks = np.zeros((R,), np.int32)
+            tns = np.ones((R,), np.int32)
+            tabs = np.zeros((R, self._nbmax), np.int32)
+            reqs_row: List[Optional[Request]] = [None] * R
+            finals = [False] * R
+            parts: List[List[int]] = [[] for _ in range(R)]
             for d, slot in enumerate(rows):
                 if slot is None:
                     continue
@@ -1545,25 +1571,26 @@ class Engine:
             pen = (
                 self._prefill_pen(
                     [r if f else None for r, f in zip(reqs_row, finals)],
-                    self.dp,
+                    R,
                 )
                 if any(finals) else None
             )
             self.key, kk = jax.random.split(self.key)
-            n_top = self._ntop(reqs_row, self.dp)
+            n_top = self._ntop(reqs_row, R)
             tok, lp, self.caches, tops = self._prefill_chunk_paged_fn(
                 self.params, jnp.asarray(toks), self.caches,
                 jnp.asarray(ks), jnp.asarray(tns), jnp.asarray(tabs), kk,
                 *sampling_arrays(
                     [r.sampling if r is not None else None
-                     for r in reqs_row], self.dp,
+                     for r in reqs_row], R,
                 ),
-                *self._seed_arrays(reqs_row, self.dp),
-                *self._bias_arrays(reqs_row, self.dp),
-                self._allowed_arrays(reqs_row, self.dp),
+                *self._seed_arrays(reqs_row, R),
+                *self._bias_arrays(reqs_row, R),
+                self._allowed_arrays(reqs_row, R),
                 pen=pen,
                 n_top=n_top,
             )
+            self.stats["prefill_dispatches"] += 1
             toks_np = lps_np = tops_np = None  # fetched lazily on finals
             for d, slot in enumerate(rows):
                 if slot is None:
@@ -1713,8 +1740,11 @@ class Engine:
                 # grow block tables for this tick's writes up front; a
                 # preemption inside _ensure_blocks frees some other slot,
                 # which then simply drops out of `active` below
-                need = (1 + self.spec_k) if self.spec_ngram \
-                    else self.steps_per_tick
+                # spec ticks write 1+k verify positions; a no-draft tick
+                # falls through to the plain path which writes up to
+                # steps_per_tick — reserve for whichever runs
+                need = max(1 + self.spec_k, self.steps_per_tick) \
+                    if self.spec_ngram else self.steps_per_tick
                 for slot, r in enumerate(self.slot_req):
                     if r is not None and slot not in self.slot_prefill:
                         if not self._ensure_blocks(
@@ -1737,8 +1767,9 @@ class Engine:
                 int(self.slot_len[i]) + self.spec_k < self.max_len
                 for i in range(self.max_batch)
             ):
-                self._spec_tick(active)
-                continue
+                if self._spec_tick(active):
+                    continue
+                # no row drafted anything — plain fused tick instead
             # one decode tick across all slots (chunk of ≥1 fused steps)
             chunk = self.steps_per_tick
             if any(active[i] and r is not None and r.sampling.guided_choice

@@ -7,6 +7,11 @@ shapes across block sizes, plus the end-to-end paged-engine serving rate.
 
 Run on TPU:  python scripts/bench_paged_attention.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

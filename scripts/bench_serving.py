@@ -145,7 +145,7 @@ def bench_config(config, *, quantize, group_size, bs, in_len, out_len,
     eng = Engine(
         params, config, max_batch=bs, max_len=max_len,
         kv_quantized=quantize, prefill_buckets=(in_len,),
-        steps_per_tick=1 if spec_ngram else steps_per_tick,
+        steps_per_tick=steps_per_tick,
         prefill_chunk=prefill_chunk, prefix_cache=prefix_cache,
         spec_ngram=spec_ngram, spec_k=spec_k, paged=paged,
         block_size=block_size, num_blocks=num_blocks,

@@ -1198,3 +1198,39 @@ def test_speculative_decode_under_tp_mesh(rng, params):
     for p, r in zip(prompts, reqs):
         assert r.output_tokens == _naive_greedy(params, p, 24), p
     assert eng.stats["spec_accepted"] > 0, eng.stats
+
+
+def test_speculative_decode_fused_fallback(rng, params):
+    """spec_ngram now composes with steps_per_tick > 1: a tick where no
+    row drafts (prompt-lookup miss) falls through to the fused multi-step
+    decode instead of paying a (B, 1+k) verify — so spec mode costs
+    nothing on non-repeating streams.  The greedy stream must stay exact
+    and the tick count must beat one-token-per-tick."""
+    p = [int(t) for t in rng.integers(0, 128, size=7)]
+    eng = Engine(
+        params, CFG, max_batch=1, max_len=128, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,), spec_ngram=2, spec_k=4,
+        steps_per_tick=4,
+    )
+    r = Request(prompt_tokens=p, sampling=SamplingParams(max_new_tokens=32))
+    eng.run([r])
+    assert r.output_tokens == _naive_greedy(params, p, 32)
+    assert eng.stats["decode_ticks"] < 32
+
+
+def test_speculative_no_draft_tick_skips_verify(rng, params):
+    """With an n-gram longer than any repeat in the stream, every tick is
+    a prompt-lookup miss: the engine must emit exactly the plain fused
+    stream with ZERO drafted tokens (i.e. the fallback ran every tick)."""
+    p = [int(t) for t in rng.integers(0, 128, size=9)]
+    base = _naive_greedy(params, p, 12)
+    eng = Engine(
+        params, CFG, max_batch=1, max_len=128, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,), spec_ngram=24, spec_k=4,
+        steps_per_tick=3,
+    )
+    r = Request(prompt_tokens=p, sampling=SamplingParams(max_new_tokens=12))
+    eng.run([r])
+    assert r.output_tokens == base
+    assert eng.stats["spec_drafted"] == 0
+    assert eng.stats["decode_ticks"] <= 5  # 12 tokens / 3 per fused tick

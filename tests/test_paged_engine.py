@@ -450,3 +450,50 @@ def test_paged_tp_sharded_sampling_fast_path(params, prompts, want):
         paged=True, block_size=8, mesh=make_mesh(data=1, model=2),
     )
     assert outs == want
+
+
+def test_paged_prefill_batched_per_shard(params, prompts, want):
+    """Chunked prefill batches up to ``prefill_batch`` mid-prefill slots
+    into ONE (g, C) dispatch (previously one slot per data shard → fully
+    serialized on dp=1).  Streams stay exact and the dispatch count drops
+    to ~ceil(chunks/slot) instead of slots × chunks."""
+    eng = Engine(params, CFG, max_batch=4, max_len=64, kv_quantized=True,
+                 dtype=jnp.float32, paged=True, block_size=8,
+                 prefill_batch=4)
+    reqs = [Request(prompt_tokens=p, sampling=SamplingParams(max_new_tokens=8))
+            for p in prompts]
+    eng.run(reqs)
+    assert [r.output_tokens for r in reqs] == want
+    # 3 prompts (6/11/3 toks, chunk = block_size-grid) advanced together:
+    # every dispatch after the first admission round carries >1 slot
+    assert eng.stats["prefill_dispatches"] < eng.stats["prefill_chunks"]
+
+
+def test_paged_prefill_batch_one_still_exact(params, prompts, want):
+    """prefill_batch=1 forces the old one-slot-per-dispatch schedule —
+    the grouping must be a pure performance knob."""
+    eng = Engine(params, CFG, max_batch=4, max_len=64, kv_quantized=True,
+                 dtype=jnp.float32, paged=True, block_size=8,
+                 prefill_batch=1)
+    reqs = [Request(prompt_tokens=p, sampling=SamplingParams(max_new_tokens=8))
+            for r, p in zip(range(len(prompts)), prompts)]
+    eng.run(reqs)
+    assert [r.output_tokens for r in reqs] == want
+    assert eng.stats["prefill_dispatches"] == eng.stats["prefill_chunks"]
+
+
+def test_paged_data_parallel_prefill_batched(params, prompts, want):
+    """data=2 mesh + per-shard prefill grouping: rows [d*g, (d+1)*g) of the
+    (dp*g, C) dispatch belong to shard d; streams stay exact."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from qqq_tpu.parallel import make_mesh
+
+    outs = generate(
+        params, CFG, prompts + [prompts[0]],
+        SamplingParams(max_new_tokens=8),
+        max_batch=4, max_len=64, kv_quantized=True, dtype=jnp.float32,
+        paged=True, block_size=8, prefill_batch=2,
+        mesh=make_mesh(data=2, model=1),
+    )
+    assert outs == want + [want[0]]
