@@ -924,7 +924,9 @@ def parse_args():
     p.add_argument("--spec_ngram", type=int, default=0,
                    help=">0 enables prompt-lookup speculative decoding "
                         "(exact for greedy rows): draft by matching the "
-                        "last N generated tokens in the request's history")
+                        "last N generated tokens in the request's history; "
+                        "composes with --steps_per_tick (no-draft ticks "
+                        "fall back to the fused multi-step decode)")
     p.add_argument("--spec_k", type=int, default=4,
                    help="max draft tokens verified per speculative tick")
     p.add_argument("--kv_int8", action="store_true", default=True)

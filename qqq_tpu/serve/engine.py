@@ -759,31 +759,31 @@ class Engine:
             samp_in = apply_allowed_mask(samp_in, allow_ids)
         return samp_in
 
-    def _prefill_chunk_step(self, params, tokens, caches, k, true_n, slot,
+    def _prefill_chunk_step(self, params, tokens, caches, ks, true_n, slots,
                             key, temp, topk, topp, minp, seeded, seeds,
                             ngen, bias_ids=None, bias_vals=None,
                             allow_ids=None, pen=None, n_top: int = 0):
-        """One chunked-prefill step for ONE slot of the GLOBAL cache:
-        slice the slot's rows out, run a (1, C) prefill-with-cache forward
-        starting at position ``k``, write the rows back (the cache is
-        donated, so this aliases in place).  Padded tail positions write
-        garbage KV past the prompt — harmless: every such position is
-        rewritten by the next chunk or by the decode step that later owns
-        it, before anything attends to it.
+        """One chunked-prefill step for a GROUP of g slots of the GLOBAL
+        cache: gather the slots' rows, run one (g, C) prefill-with-cache
+        forward (row i starts at position ``ks[i]``), scatter the rows
+        back (the cache is donated, so this aliases in place).  Padded
+        tail positions write garbage KV past the prompt — harmless: every
+        such position is rewritten by the next chunk or by the decode step
+        that later owns it, before anything attends to it.  The scheduler
+        pads short groups by REPEATING a real slot; duplicate scatter
+        indices write bit-identical rows (same inputs, same forward), so
+        the pad is write-order-independent.
 
-        Also samples a token at chunk index ``true_n - 1`` — the host uses
-        it (and its logprob) only on the FINAL chunk."""
+        Also samples a token per row at chunk index ``true_n - 1`` — the
+        host uses it (and its logprob) only on a FINAL chunk."""
 
         def sl(b):
-            return jax.lax.dynamic_slice(
-                b, (slot,) + (0,) * (b.ndim - 1), (1,) + b.shape[1:]
-            )
+            return b[slots]
 
         c1 = jax.tree.map(sl, caches)
-        clen = jnp.broadcast_to(k, (1,))
-        pos = (k + jnp.arange(tokens.shape[1], dtype=jnp.int32))[None, :]
+        pos = ks[:, None] + jnp.arange(tokens.shape[1], dtype=jnp.int32)[None]
         logits, c1 = self._fwd_last(
-            params, tokens, c1, clen, pos, (true_n - 1)[None]
+            params, tokens, c1, ks, pos, true_n - 1
         )
         last = logits[:, 0, :]
         samp_in = self._prefill_sample_logits(
@@ -798,9 +798,7 @@ class Engine:
             tops = jax.lax.top_k(lsm, n_top)
 
         def ins(b, s):
-            return jax.lax.dynamic_update_slice(
-                b, s, (slot,) + (0,) * (b.ndim - 1)
-            )
+            return b.at[slots].set(s)
 
         return tok, lp, jax.tree.map(ins, caches, c1), tops
 
@@ -1442,47 +1440,89 @@ class Engine:
             self._progress_chunk_prefills_paged()
             return
         C = self.prefill_chunk
+        pending: List[int] = []
         for slot in list(self.slot_prefill):
             req = self.slot_req[slot]
             if req.cancelled:
                 del self.slot_prefill[slot]
                 self._release_if_cancelled(slot)
                 continue
-            remaining = self.slot_prefill[slot]
-            part = remaining[:C]
-            # only the FINAL chunk's sampled token survives — build the
-            # penalty bundle just for it (intermediate chunks ship nothing)
-            final = len(remaining) <= C
-            pen = self._prefill_pen([req], 1) if final else None
-            toks = np.zeros((1, C), np.int32)
-            toks[0, : len(part)] = part
-            k = int(self.slot_len[slot])
+            pending.append(slot)
+        while pending:
+            group = pending[: self.prefill_batch]
+            pending = pending[self.prefill_batch:]
+            n = len(group)
+            # pad to a power of two by repeating the last slot: bounds the
+            # traced (g, C) shape set; the duplicate rows run the identical
+            # forward and scatter bit-identical cache rows (see
+            # _prefill_chunk_step) and their sampled tokens are ignored
+            g = min(1 << (n - 1).bit_length(), self.prefill_batch)
+            rows = group + [group[-1]] * (g - n)
+            toks = np.zeros((g, C), np.int32)
+            ks = np.zeros((g,), np.int32)
+            tns = np.ones((g,), np.int32)
+            reqs_row: List[Optional[Request]] = []
+            parts: List[List[int]] = []
+            finals: List[bool] = []
+            for i, slot in enumerate(rows):
+                req = self.slot_req[slot]
+                remaining = self.slot_prefill[slot]
+                part = remaining[:C]
+                parts.append(part)
+                toks[i, : len(part)] = part
+                ks[i] = int(self.slot_len[slot])
+                tns[i] = len(part)
+                reqs_row.append(req)
+                finals.append(len(remaining) <= C and i < n)
+            # only a FINAL chunk's sampled token survives — build the
+            # penalty bundle just for those rows (common all-intermediate
+            # dispatch traces no penalty work)
+            pen = (
+                self._prefill_pen(
+                    [r if f else None for r, f in zip(reqs_row, finals)], g
+                )
+                if any(finals) else None
+            )
             self.key, kk = jax.random.split(self.key)
-            n_top = req.sampling.top_logprobs
+            n_top = self._ntop(
+                [r if f else None for r, f in zip(reqs_row, finals)], g
+            )
             tok, lp, self.caches, tops = self._prefill_chunk_fn(
                 self.params, jnp.asarray(toks), self.caches,
-                jnp.int32(k), jnp.int32(len(part)), jnp.int32(slot), kk,
-                *sampling_arrays([req.sampling]),
-                *self._seed_arrays([req], 1),
-                *self._bias_arrays([req], 1),
-                self._allowed_arrays([req], 1),
+                jnp.asarray(ks), jnp.asarray(tns),
+                jnp.asarray(np.asarray(rows, np.int32)), kk,
+                *sampling_arrays(
+                    [r.sampling for r in reqs_row], g
+                ),
+                *self._seed_arrays(reqs_row, g),
+                *self._bias_arrays(reqs_row, g),
+                self._allowed_arrays(reqs_row, g),
                 pen=pen,
                 n_top=n_top,
             )
-            self.slot_len[slot] = k + len(part)
-            self.slot_prefill[slot] = remaining[C:]
             self.stats["prefill_dispatches"] += 1
-            self.stats["prefill_chunks"] += 1
-            self.stats["prefill_tokens"] += len(part)
-            if not self.slot_prefill[slot]:  # prompt fully cached
-                del self.slot_prefill[slot]
-                tops_row = None if tops is None else (
-                    np.asarray(tops[0])[0], np.asarray(tops[1])[0]
-                )
-                self._finish_chunk_prefill(
-                    slot, req, int(np.asarray(tok)[0]),
-                    float(np.asarray(lp)[0]), tops_row,
-                )
+            toks_np = lps_np = tops_np = None  # fetched lazily on finals
+            for i, slot in enumerate(group):
+                req = reqs_row[i]
+                part = parts[i]
+                self.slot_len[slot] = int(ks[i]) + len(part)
+                self.slot_prefill[slot] = self.slot_prefill[slot][C:]
+                self.stats["prefill_chunks"] += 1
+                self.stats["prefill_tokens"] += len(part)
+                if not self.slot_prefill[slot]:  # prompt fully cached
+                    del self.slot_prefill[slot]
+                    if toks_np is None:
+                        toks_np, lps_np = np.asarray(tok), np.asarray(lp)
+                        tops_np = None if tops is None else (
+                            np.asarray(tops[0]), np.asarray(tops[1])
+                        )
+                    tops_row = None if tops_np is None else (
+                        tops_np[0][i], tops_np[1][i]
+                    )
+                    self._finish_chunk_prefill(
+                        slot, req, int(toks_np[i]), float(lps_np[i]),
+                        tops_row,
+                    )
 
     def _progress_chunk_prefills_paged(self) -> None:
         """Paged chunked prefill, batched up to ``prefill_batch`` slots PER

@@ -1234,3 +1234,22 @@ def test_speculative_no_draft_tick_skips_verify(rng, params):
     assert r.output_tokens == base
     assert eng.stats["spec_drafted"] == 0
     assert eng.stats["decode_ticks"] <= 5  # 12 tokens / 3 per fused tick
+
+
+def test_chunked_prefill_batched_dispatch(rng, params):
+    """Slot-mode chunked prefill groups up to ``prefill_batch`` mid-prefill
+    slots into one (g, C) dispatch (gather rows → forward → scatter rows);
+    streams stay exact and dispatches drop below per-slot chunk counts."""
+    prompts = [[int(t) for t in rng.integers(0, 128, size=n)]
+               for n in (18, 11, 21)]
+    eng = Engine(
+        params, CFG, max_batch=4, max_len=64, kv_quantized=False,
+        dtype=jnp.float32, prefill_buckets=(16,), prefill_chunk=8,
+        prefill_batch=4,
+    )
+    reqs = [Request(prompt_tokens=p, sampling=SamplingParams(max_new_tokens=6))
+            for p in prompts]
+    eng.run(reqs)
+    for p, r in zip(prompts, reqs):
+        assert r.output_tokens == _naive_greedy(params, p, 6), p
+    assert eng.stats["prefill_dispatches"] < eng.stats["prefill_chunks"]
