@@ -427,23 +427,201 @@ def paged_flash_attention_int8(
     )
 
 
+def _paged_decode_slab_kernel(
+    tab_ref,    # (B, nbmax) int32 scalar-prefetch (consumed by index maps)
+    clen_ref,   # (B,) int32 scalar-prefetch: valid tokens INCLUDING current
+    q_ref,      # (1, nkv, g, hd) bf16 — queries, pre-scaled by 1/√hd
+    k_ref,      # (1, nkv, bs, hd) int8 — one pool block, ALL kv heads
+    ks_ref,     # (1, nkv, 1, bs) f32 — lane-major
+    v_ref,      # (1, nkv, bs, hd) int8
+    vs_ref,     # (1, nkv, 1, bs) f32
+    o_ref,      # (1, nkv, g, hd) f32
+    m_scr,      # (nkv·g, 1) f32
+    l_scr,      # (nkv·g, 1) f32
+    acc_scr,    # (nkv·g, hd) f32
+    *,
+    bs: int,
+    nkv: int,
+    g: int,
+):
+    """Paged decode over one (nkv, bs, hd) pool slab per grid cell.
+
+    Per-head matvecs here are tiny ((g, hd)·(hd, bs)); an unrolled
+    32-head loop of them measured ~6 µs/cell — 2.3× the cell's own 2.6 µs
+    DMA, leaving the kernel compute-bound at ~3× the HBM roofline.  The
+    MXU is so much faster than that loop that computing the FULL
+    cross-head product and masking is cheaper: ONE
+    (nkv·g, hd)·(hd, nkv·bs) dot yields every (query-head, kv-head)
+    score block, a block-diagonal mask zeroes the foreign blocks exactly
+    (finite × 0 = 0, f32 adds of 0 are exact), and the P·V side reuses
+    the same mask to scatter probabilities into a (nkv·g, nkv·bs)
+    block-diagonal operand for a second big dot.  Numerics are
+    bit-identical to the per-head loop: the diagonal blocks of the big
+    dots ARE the per-head dots (same bf16 operands, same f32
+    accumulation), and the flash bookkeeping is the same math batched
+    over the head axis."""
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    n_s = pl.num_programs(2)
+    hd = q_ref.shape[3]
+    M = nkv * g
+    clen = clen_ref[b]
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    live = s * bs < clen
+    interior = (s + 1) * bs <= clen
+
+    # block-diagonal selector: flattened query row r belongs to kv head
+    # r // g; mask[r, h] = 1 iff h == r // g
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (M, nkv, 1), 0) // g
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (M, nkv, 1), 1)
+    diag = (row_h == col_h).astype(jnp.float32)
+
+    def scales_rows(ref):  # (1, nkv, 1, bs) → (M, bs), row r = head r // g
+        sc = ref[0, :, 0, :]
+        if g == 1:
+            return sc
+        return jnp.broadcast_to(sc[:, None, :], (nkv, g, bs)).reshape(M, bs)
+
+    def tile(masked):
+        q = q_ref[0].reshape(M, hd)
+        kt = k_ref[0].reshape(nkv * bs, hd).astype(jnp.bfloat16)
+        full = jax.lax.dot_general(
+            q, kt,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (M, nkv·bs) — every (query-head, kv-head) block
+        scores = jnp.sum(full.reshape(M, nkv, bs) * diag, axis=1)
+        scores = scores * scales_rows(ks_ref)
+        if masked:
+            key_pos = s * bs + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1
+            )
+            scores = jnp.where(key_pos < clen, scores, _NEG_INF)
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, 1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)
+        ev = e * scales_rows(vs_ref)  # fold v scales into the probabilities
+        evfull = (
+            (ev[:, None, :] * diag).reshape(M, nkv * bs)
+        ).astype(jnp.bfloat16)
+        vt = v_ref[0].reshape(nkv * bs, hd).astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            evfull, vt,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(e, 1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = m_new
+
+    @pl.when(live & interior)
+    def _unmasked():
+        tile(masked=False)
+
+    @pl.when(live & jnp.logical_not(interior))
+    def _masked():
+        tile(masked=True)
+
+    @pl.when(s == n_s - 1)
+    def _finish():
+        acc = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = acc.reshape(nkv, g, hd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_decode_attention_int8(
     q: jax.Array,        # (B, n_heads, hd)
-    k_pool: jax.Array, k_scale: jax.Array,
-    v_pool: jax.Array, v_scale: jax.Array,
-    tables: jax.Array,
+    k_pool: jax.Array,   # (num_blocks, n_kv, bs, hd) int8
+    k_scale: jax.Array,  # (num_blocks, n_kv, bs) f32
+    v_pool: jax.Array,   # (num_blocks, n_kv, bs, hd) int8
+    v_scale: jax.Array,  # (num_blocks, n_kv, bs) f32
+    tables: jax.Array,   # (B, max_blocks) int32
     cache_len: jax.Array,  # (B,) int32 — valid tokens INCLUDING current
     *,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Decode over the paged pool: T=1 case of
-    :func:`paged_flash_attention_int8` (single query row sees every valid
-    key — no causal masking needed)."""
-    out = paged_flash_attention_int8(
-        q[:, :, None, :], k_pool, k_scale, v_pool, v_scale, tables,
-        cache_len - 1, causal=False, interpret=interpret,
+    """Head-batched paged DECODE: one grid cell per (request, virtual
+    block) streams the block's FULL (n_kv, bs, hd) K/V slab — the pool
+    layout (serve/paged_kv.py) keeps every head of a block contiguous
+    precisely so decode DMAs are ~megabyte-scale.  Routing decode through
+    the T=1 prefill grid instead (one (1, 1, bs, hd) sliver per
+    (request, head, block) cell) measured ~7-10× off the whole-cache
+    kernel at S≈2k — same per-cell-overhead lesson as
+    :func:`_flash_decode_kernel`, which this reuses verbatim (hblk = n_kv,
+    sblk = block_size; the table lookup lives in the index maps).
+
+    Dead tail cells (virtual blocks past the row's length) clamp their
+    table lookup to the row's LAST live block, so the index map result is
+    unchanged step-over-step and Mosaic skips their DMA; their compute is
+    skipped by the kernel's ``live`` bound.  Returns (B, n_heads, hd) in
+    q.dtype."""
+    B, nh, hd = q.shape
+    nkv, bs = k_pool.shape[1], k_pool.shape[2]
+    g = nh // nkv
+    nbmax = tables.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not interpret:
+        assert bs % 32 == 0, f"block_size must be a 32-multiple, got {bs}"
+
+    qg = (
+        (q.reshape(B, nkv, g, hd).astype(jnp.float32)
+         / jnp.sqrt(jnp.float32(hd))).astype(jnp.bfloat16)
     )
-    return out[:, :, 0, :]
+
+    def kv_idx(b, h, s, tab, c):
+        del h
+        last = jnp.maximum(c[b] - 1, 0) // bs
+        return (tab[b, jnp.minimum(s, last)], 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tables, cache_len
+        grid=(B, 1, nbmax),
+        in_specs=[
+            pl.BlockSpec((1, nkv, g, hd),
+                         lambda b, h, s, tab, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, bs, hd), kv_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, 1, bs), kv_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, bs, hd), kv_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, 1, bs), kv_idx,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nkv, g, hd), lambda b, h, s, tab, c: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nkv * g, 1), jnp.float32),
+            pltpu.VMEM((nkv * g, 1), jnp.float32),
+            pltpu.VMEM((nkv * g, hd), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_paged_decode_slab_kernel, bs=bs, nkv=nkv, g=g),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nkv, g, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        tables.astype(jnp.int32), cache_len.astype(jnp.int32), qg,
+        k_pool, k_scale[:, :, None, :], v_pool, v_scale[:, :, None, :],
+    )
+
+    return out.reshape(B, nh, hd).astype(q.dtype)
 
 
 def _flash_decode_kernel(

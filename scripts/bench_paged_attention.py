@@ -19,14 +19,15 @@ import jax.numpy as jnp
 print("backend:", jax.default_backend(), flush=True)
 
 from qqq_tpu.kernels.attention import (        # noqa: E402
-    flash_attention_int8, paged_flash_attention_int8,
+    decode_attention_auto, flash_attention_int8,
+    paged_decode_attention_int8, paged_flash_attention_int8,
 )
 from qqq_tpu.utils.benchmark import measure_op  # noqa: E402
 
 B, nh, nkv, hd = 1, 32, 32, 128
 
 
-def mk_pool(S, bs, shuffle=True):
+def mk_pool(S, bs, shuffle=True, B=B):
     """A contiguous cache and the same contents scattered into a pool."""
     key = jax.random.PRNGKey(0)
     k8 = jax.random.randint(key, (B, nkv, S, hd), -127, 128, jnp.int8)
@@ -56,6 +57,26 @@ def mk_pool(S, bs, shuffle=True):
             jnp.asarray(kp), jnp.asarray(ksp), jnp.asarray(vp),
             jnp.asarray(vsp), jnp.asarray(tables))
 
+
+# the ENGINE decode comparison: head-batched paged decode kernel (one
+# (n_kv, bs, hd) slab DMA per (request, block) cell) vs the contiguous
+# auto-dispatch (whole-cache kernel <=8k, S-tiled beyond)
+for B_ in (1, 4):
+    for S in (2048, 8192):
+        for bs in (128, 256):
+            (k8, ks, v8, vs, kp, ksp, vp, vsp, tab) = mk_pool(S, bs, B=B_)
+            clen = jnp.full((B_,), S, jnp.int32)
+            qd = jax.random.normal(jax.random.PRNGKey(3), (B_, nh, hd),
+                                   jnp.float32)
+            f_c = lambda q_, a, b_, c, d: decode_attention_auto(
+                q_, a, b_, c, d, clen)
+            f_p = lambda q_, a, b_, c, d, t: paged_decode_attention_int8(
+                q_, a, b_, c, d, t, clen)
+            tc = measure_op(f_c, (qd, k8, ks, v8, vs))
+            tp = measure_op(f_p, (qd, kp, ksp, vp, vsp, tab))
+            print(f"DECODE B={B_} S={S} bs={bs}: contiguous-auto "
+                  f"{tc*1e6:.1f} us, paged {tp*1e6:.1f} us "
+                  f"({tp/tc:.2f}x)", flush=True)
 
 for S in (2048, 8192, 16384):
     for bs in (128, 256, 512):
