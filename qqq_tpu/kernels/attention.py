@@ -473,8 +473,11 @@ def _paged_decode_slab_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    live = s * bs < clen
-    interior = (s + 1) * bs <= clen
+    # sub-tile the block's sequence axis so the bf16-materialized slab
+    # views ((M, nkv·sub) full-score matrix + kt/vt casts) stay inside
+    # VMEM at block sizes up to 512 — the HBM DMA is still one whole
+    # (nkv, bs, hd) slab per cell
+    sub = 256 if bs % 256 == 0 else bs
 
     # block-diagonal selector: flattened query row r belongs to kv head
     # r // g; mask[r, h] = 1 iff h == r // g
@@ -482,24 +485,27 @@ def _paged_decode_slab_kernel(
     col_h = jax.lax.broadcasted_iota(jnp.int32, (M, nkv, 1), 1)
     diag = (row_h == col_h).astype(jnp.float32)
 
-    def scales_rows(ref):  # (1, nkv, 1, bs) → (M, bs), row r = head r // g
-        sc = ref[0, :, 0, :]
+    def scales_rows(ref, j0):  # (1, nkv, 1, bs) → (M, sub) at offset j0
+        sc = ref[0, :, 0, j0 : j0 + sub]
         if g == 1:
             return sc
-        return jnp.broadcast_to(sc[:, None, :], (nkv, g, bs)).reshape(M, bs)
+        return jnp.broadcast_to(sc[:, None, :], (nkv, g, sub)).reshape(M, sub)
 
-    def tile(masked):
+    def tile(j0, masked):
         q = q_ref[0].reshape(M, hd)
-        kt = k_ref[0].reshape(nkv * bs, hd).astype(jnp.bfloat16)
+        kt = (
+            k_ref[0][:, j0 : j0 + sub]
+            .reshape(nkv * sub, hd).astype(jnp.bfloat16)
+        )
         full = jax.lax.dot_general(
             q, kt,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (M, nkv·bs) — every (query-head, kv-head) block
-        scores = jnp.sum(full.reshape(M, nkv, bs) * diag, axis=1)
-        scores = scores * scales_rows(ks_ref)
+        )  # (M, nkv·sub) — every (query-head, kv-head) block
+        scores = jnp.sum(full.reshape(M, nkv, sub) * diag, axis=1)
+        scores = scores * scales_rows(ks_ref, j0)
         if masked:
-            key_pos = s * bs + jax.lax.broadcasted_iota(
+            key_pos = s * bs + j0 + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, 1
             )
             scores = jnp.where(key_pos < clen, scores, _NEG_INF)
@@ -507,11 +513,14 @@ def _paged_decode_slab_kernel(
         m_new = jnp.maximum(m_prev, jnp.max(scores, 1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         e = jnp.exp(scores - m_new)
-        ev = e * scales_rows(vs_ref)  # fold v scales into the probabilities
+        ev = e * scales_rows(vs_ref, j0)  # fold v scales into the probs
         evfull = (
-            (ev[:, None, :] * diag).reshape(M, nkv * bs)
+            (ev[:, None, :] * diag).reshape(M, nkv * sub)
         ).astype(jnp.bfloat16)
-        vt = v_ref[0].reshape(nkv * bs, hd).astype(jnp.bfloat16)
+        vt = (
+            v_ref[0][:, j0 : j0 + sub]
+            .reshape(nkv * sub, hd).astype(jnp.bfloat16)
+        )
         pv = jax.lax.dot_general(
             evfull, vt,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -521,13 +530,17 @@ def _paged_decode_slab_kernel(
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
 
-    @pl.when(live & interior)
-    def _unmasked():
-        tile(masked=False)
+    for j0 in range(0, bs, sub):
+        live = s * bs + j0 < clen
+        interior = s * bs + j0 + sub <= clen
 
-    @pl.when(live & jnp.logical_not(interior))
-    def _masked():
-        tile(masked=True)
+        @pl.when(live & interior)
+        def _unmasked(j0=j0):
+            tile(j0, masked=False)
+
+        @pl.when(live & jnp.logical_not(interior))
+        def _masked(j0=j0):
+            tile(j0, masked=True)
 
     @pl.when(s == n_s - 1)
     def _finish():

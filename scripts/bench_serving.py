@@ -155,6 +155,7 @@ def bench_config(config, *, quantize, group_size, bs, in_len, out_len,
     dt = min(run_once(eng, config, bs, in_len, out_len, seed=s)
              for s in (2, 3))
     stats = dict(eng.stats)
+    stats["latency"] = eng.latency_summary()
     del eng
     jax.clear_caches()
     return dt, params, stats
@@ -226,6 +227,11 @@ def main():
             "out_tok_s": round(out_tps, 1),
             "total_tok_s": round(total_tps, 1),
         }
+        lat = stats.get("latency") or {}
+        if lat.get("ttft_p50_s") is not None:
+            rec["ttft_p50_s"] = round(lat["ttft_p50_s"], 4)
+        if lat.get("tpot_p50_s") is not None:
+            rec["tpot_p50_ms"] = round(lat["tpot_p50_s"] * 1e3, 3)
         if args.spec_ngram:
             rec["spec_accepted"] = stats["spec_accepted"]
             rec["spec_drafted"] = stats["spec_drafted"]

@@ -206,3 +206,40 @@ def test_paged_decode_matches_whole_cache_kernel(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
     )
+
+
+def test_paged_decode_subtiled_block512(rng):
+    """block_size = 512 exercises the slab kernel's in-cell sequence
+    sub-tiling (sub=256): results must match the contiguous S-tiled
+    decode at the same 256-wide tile walk (ULP-level, see above)."""
+    B, nh, nkv, bs, nbmax, hd = 1, 4, 2, 512, 2, 64
+    S = bs * nbmax
+    k8 = rng.integers(-127, 128, size=(B, nkv, S, hd)).astype(np.int8)
+    v8 = rng.integers(-127, 128, size=(B, nkv, S, hd)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, size=(B, nkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, size=(B, nkv, S)).astype(np.float32)
+    q = rng.normal(size=(B, nh, hd)).astype(np.float32)
+    clen = np.asarray([777], np.int32)  # mid-sub-tile mask boundary
+
+    want = flash_decode_attention_int8(
+        jnp.asarray(q), jnp.asarray(k8), jnp.asarray(ks),
+        jnp.asarray(v8), jnp.asarray(vs), jnp.asarray(clen), sblk=256,
+    )
+    tables = np.asarray([[1, 2]], np.int32)
+    kp = np.zeros((3, nkv, bs, hd), np.int8)
+    vp = np.zeros_like(kp)
+    ksp = np.zeros((3, nkv, bs), np.float32)
+    vsp = np.zeros_like(ksp)
+    for s in range(nbmax):
+        kp[tables[0, s]] = k8[0, :, s * bs:(s + 1) * bs]
+        vp[tables[0, s]] = v8[0, :, s * bs:(s + 1) * bs]
+        ksp[tables[0, s]] = ks[0, :, s * bs:(s + 1) * bs]
+        vsp[tables[0, s]] = vs[0, :, s * bs:(s + 1) * bs]
+    got = paged_decode_attention_int8(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(ksp),
+        jnp.asarray(vp), jnp.asarray(vsp), jnp.asarray(tables),
+        jnp.asarray(clen),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
