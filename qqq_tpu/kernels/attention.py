@@ -567,8 +567,12 @@ def paged_decode_attention_int8(
     the T=1 prefill grid instead (one (1, 1, bs, hd) sliver per
     (request, head, block) cell) measured ~7-10× off the whole-cache
     kernel at S≈2k — same per-cell-overhead lesson as
-    :func:`_flash_decode_kernel`, which this reuses verbatim (hblk = n_kv,
-    sblk = block_size; the table lookup lives in the index maps).
+    :func:`_flash_decode_kernel`, but the body here is
+    :func:`_paged_decode_slab_kernel`: the contiguous kernel's unrolled
+    per-head matvec loop was itself ~2.3× the cell's DMA at slab sizes,
+    so the slab kernel computes the scores through cross-head MXU dots
+    (see its docstring).  Measured 1.08–1.24× of contiguous
+    decode_attention_auto across B∈{1,4}, S∈{2k,8k}, block 128/256.
 
     Dead tail cells (virtual blocks past the row's length) clamp their
     table lookup to the row's LAST live block, so the index map result is

@@ -1616,7 +1616,11 @@ class Engine:
                 if any(finals) else None
             )
             self.key, kk = jax.random.split(self.key)
-            n_top = self._ntop(reqs_row, R)
+            # only final-chunk rows' tops are ever read — intermediate
+            # chunks trace the n_top=0 fast path (same as slot mode)
+            n_top = self._ntop(
+                [r if f else None for r, f in zip(reqs_row, finals)], R
+            )
             tok, lp, self.caches, tops = self._prefill_chunk_paged_fn(
                 self.params, jnp.asarray(toks), self.caches,
                 jnp.asarray(ks), jnp.asarray(tns), jnp.asarray(tabs), kk,

@@ -142,6 +142,8 @@ def bench_config(config, *, quantize, group_size, bs, in_len, out_len,
     if prefill_chunk:
         max_len = ((max_len + prefill_chunk - 1)
                    // prefill_chunk) * prefill_chunk
+    if paged:
+        max_len = ((max_len + block_size - 1) // block_size) * block_size
     eng = Engine(
         params, config, max_batch=bs, max_len=max_len,
         kv_quantized=quantize, prefill_buckets=(in_len,),

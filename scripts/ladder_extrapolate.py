@@ -57,6 +57,7 @@ def main():
     # (driver logs repeat configs across recovery runs; features like
     # paged/spec/prefix report extra keys and are excluded)
     best = {}
+    best_tpot = {}
     for r in rows:
         if any(k in r for k in ("preemptions", "spec_drafted",
                                 "prefix_tokens_reused")):
@@ -64,11 +65,19 @@ def main():
         key = (r["mode"], r.get("group_size"), r["layers"], r["bs"])
         if key not in best or r["out_tok_s"] > best[key]["out_tok_s"]:
             best[key] = r
+        if "tpot_p50_ms" in r and (
+            key not in best_tpot
+            or r["tpot_p50_ms"] < best_tpot[key]["tpot_p50_ms"]
+        ):
+            best_tpot[key] = r
     out = []
     for bs in sorted({k[3] for k in best}):
         bf = [(k[2], 1.0 / v["out_tok_s"])
               for k, v in best.items()
               if k[0] == "bf16" and k[3] == bs]
+        bf_t = [(k[2], v["tpot_p50_ms"] * 1e-3)
+                for k, v in best_tpot.items()
+                if k[0] == "bf16" and k[3] == bs]
         for gs in (-1, 128):
             q = [(k[2], 1.0 / v["out_tok_s"])
                  for k, v in best.items()
@@ -89,6 +98,20 @@ def main():
                 ),
                 "ratio_asymptotic": round(fb[1] / fq[1], 3),
             }
+            # decode-only projection from TPOT (rows measured since the
+            # latency fields landed) — cleaner than out_tok_s, which
+            # blends the compute-bound prefill into the per-layer slope
+            q_t = [(k[2], v["tpot_p50_ms"] * 1e-3)
+                   for k, v in best_tpot.items()
+                   if k[0] == "w4a8" and k[1] == gs and k[3] == bs]
+            fbt, fqt = fit(sorted(bf_t)), fit(sorted(q_t))
+            if fbt and fqt:
+                proj["decode_ratio_32L_projected"] = round(
+                    (fbt[0] + 32 * fbt[1]) / (fqt[0] + 32 * fqt[1]), 3
+                )
+                proj["decode_points_L"] = [
+                    sorted(p[0] for p in bf_t), sorted(p[0] for p in q_t)
+                ]
             out.append(proj)
             print(json.dumps(proj))
     return out
