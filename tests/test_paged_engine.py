@@ -497,3 +497,16 @@ def test_paged_data_parallel_prefill_batched(params, prompts, want):
         mesh=make_mesh(data=2, model=1),
     )
     assert outs == want + [want[0]]
+
+
+def test_paged_prefill_chunk_larger_than_block(params, prompts, want):
+    """prefill_chunk is decoupled from block_size: a 16-token chunk spans
+    two 8-token blocks per write (the TPU-tuned serving config is
+    block 128 + chunk 512 — decode wants small blocks for fill fraction,
+    prefill wants wide dispatches).  Streams must stay exact."""
+    outs = generate(
+        params, CFG, prompts, SamplingParams(max_new_tokens=8),
+        max_batch=4, max_len=64, kv_quantized=True, dtype=jnp.float32,
+        paged=True, block_size=8, prefill_chunk=16, prefill_batch=4,
+    )
+    assert outs == want
