@@ -141,9 +141,13 @@ class Engine:
         (fused scan) — higher throughput, at the cost of EOS/admission checks
         only happening at chunk boundaries.
 
-        ``mesh``: a tensor-parallel Mesh (axes data×model with data=1) shards
-        the packed weights and KV caches Megatron-style (parallel/shard.py);
-        scale out data-parallel by running one engine per replica.
+        ``mesh``: a data×model Mesh.  The "model" axis shards the packed
+        weights and KV caches Megatron-style (parallel/shard.py); a "data"
+        axis > 1 runs ONE scheduler with decode batch-sharded across the
+        data axis — slots partition into ``data`` contiguous shards (and in
+        paged mode each data shard owns its own pool slice, allocator, and
+        prefix map).  Prefill programs are replicated with GSPMD routing
+        the slot write-back to the owning shard.
 
         ``fuse``: apply the single-device GEMM fusions (GLU-fused gate/up
         kernel) to packed params — no-op for dense params or under a TP

@@ -160,19 +160,23 @@ def test_fewshot_prefix_and_run_tasks(rng, monkeypatch, tmp_path):
     (VERDICT r1: flag was parsed and ignored)."""
     import qqq_tpu.cli.zeroshot as zs
 
-    def fake_load_task(name, limit, split="validation"):
+    def fake_load_raw(name, limit, split="validation"):
         n = 6 if split == "train" else 3
-        for i in range(n):
-            yield (f"[{split} q{i}]", [f" a{i}", f" b{i}"], i % 2)
+        return [
+            {"goal": f"[{split} q{i}]", "sol1": f"a{i}", "sol2": f"b{i}",
+             "label": i % 2}
+            for i in range(n)
+        ]
 
-    monkeypatch.setattr(zs, "_load_task", fake_load_task)
+    monkeypatch.setattr(zs, "_load_raw", fake_load_raw)
 
-    prefix = zs.fewshot_prefix("piqa", 2)
+    sampler = zs.FewshotSampler(fake_load_raw("piqa", 0, split="train"))
+    prefix = sampler.context("piqa", 2)
     parts = prefix.split("\n\n")
     assert len(parts) == 3 and parts[-1] == ""  # 2 shots + trailing delim
     for p in parts[:2]:
-        assert p.startswith("[train q") and (" a" in p or " b" in p)
-    assert zs.fewshot_prefix("piqa", 0) == ""
+        assert p.startswith("Question: [train q") and (" a" in p or " b" in p)
+    assert sampler.context("piqa", 0) == ""
 
     # run_tasks end-to-end: capture the contexts handed to the scorer
     class FakeTokCls:
