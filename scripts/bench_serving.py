@@ -131,7 +131,8 @@ def run_once(eng, config, bs, in_len, out_len, seed=1):
 def bench_config(config, *, quantize, group_size, bs, in_len, out_len,
                  steps_per_tick, params=None, prefill_chunk=0,
                  prefix_cache=False, spec_ngram=0, spec_k=4, paged=False,
-                 block_size=128, num_blocks=None, prefill_batch=8):
+                 block_size=128, num_blocks=None, prefill_batch=8,
+                 repeats=2):
     from qqq_tpu.serve.engine import Engine
 
     if params is None:
@@ -154,13 +155,18 @@ def bench_config(config, *, quantize, group_size, bs, in_len, out_len,
         prefill_batch=prefill_batch,
     )
     run_once(eng, config, bs, in_len, min(out_len, 2 * steps_per_tick))
-    dt = min(run_once(eng, config, bs, in_len, out_len, seed=s)
-             for s in (2, 3))
+    # repeats-and-median protocol (VERDICT r3 #4): single-shot points on the
+    # tunneled runtime are bimodal at the ~10% level; report the median with
+    # the spread so beat/miss calls can be judged against it
+    times = sorted(
+        run_once(eng, config, bs, in_len, out_len, seed=2 + i)
+        for i in range(max(repeats, 1))
+    )
     stats = dict(eng.stats)
     stats["latency"] = eng.latency_summary()
     del eng
     jax.clear_caches()
-    return dt, params, stats
+    return times, params, stats
 
 
 def main():
@@ -191,6 +197,9 @@ def main():
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--num-blocks", type=int, default=0,
                     help="pool blocks (0 = cover max_batch x max_len)")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="timed runs per point; the record carries the "
+                         "median plus min/max spread")
     ap.add_argument("--mode", default="w4a8", choices=("w4a8", "bf16"),
                     help="run ONE precision per process — HBM from a "
                          "released engine is not reliably reclaimed by the "
@@ -207,7 +216,7 @@ def main():
 
     params = None
     for bs in batches:
-        dt, params, stats = bench_config(
+        times, params, stats = bench_config(
             config, quantize=quantize, group_size=args.group_size, bs=bs,
             in_len=args.in_len, out_len=args.out_len,
             steps_per_tick=args.steps_per_tick, params=params,
@@ -217,6 +226,10 @@ def main():
             paged=args.paged, block_size=args.block_size,
             num_blocks=args.num_blocks or None,
             prefill_batch=args.prefill_batch,
+            repeats=args.repeats,
+        )
+        dt = times[len(times) // 2] if len(times) % 2 else (
+            (times[len(times) // 2 - 1] + times[len(times) // 2]) / 2
         )
         out_tps = bs * args.out_len / dt
         total_tps = bs * (args.in_len + args.out_len) / dt
@@ -226,7 +239,12 @@ def main():
             "group_size": args.group_size if quantize else None, "bs": bs,
             "in": args.in_len, "out": args.out_len,
             "wall_s": round(dt, 3),
+            "wall_min_s": round(times[0], 3),
+            "wall_max_s": round(times[-1], 3),
+            "repeats": len(times),
             "out_tok_s": round(out_tps, 1),
+            "out_tok_s_max": round(bs * args.out_len / times[0], 1),
+            "out_tok_s_min": round(bs * args.out_len / times[-1], 1),
             "total_tok_s": round(total_tps, 1),
         }
         lat = stats.get("latency") or {}
