@@ -12,6 +12,8 @@ cliff can be attributed:
   * the full decoder_layer (sum check)
 
 Usage:  python scripts/profile_decode_tick.py [--bs 16] [--s 1152]
+            [--only attn,write,gemm,layer]
+(run with ``python -u`` — each line flushes so a timeout keeps partials)
 """
 
 from __future__ import annotations
@@ -56,15 +58,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, default=16)
     ap.add_argument("--s", type=int, default=1152)
+    ap.add_argument("--only", default="attn,write,gemm,layer")
     args = ap.parse_args()
     B, S = args.bs, args.s
+    only = set(args.only.split(","))
     cfg = llama7b()
     nkv, hd, H, I = 32, 128, 4096, 11008
     key = jax.random.PRNGKey(0)
     ks = iter(jax.random.split(key, 64))
 
     def rep(name, us, note=""):
-        print(f"{name:42s} {us:10.1f} us  {note}")
+        print(f"{name:42s} {us:10.1f} us  {note}", flush=True)
 
     # --- decode attention: int8 whole-cache kernel -------------------------
     q = jax.random.normal(next(ks), (B, 32, hd), jnp.bfloat16)
@@ -74,14 +78,15 @@ def main():
     vsc = jnp.abs(jax.random.normal(next(ks), (B, nkv, S), jnp.float32)) * 0.01
     clen = jnp.full((B,), S - 1, jnp.int32)
 
-    t = measure_op(
-        lambda q, kc, ksc, vc, vsc: decode_attention_int8(
-            q, kc, ksc, vc, vsc, clen),
-        (q, kc, ksc, vc, vsc),
-    )
-    bytes_kv = B * nkv * S * hd * 2 + B * nkv * S * 8
-    rep("attn int8 whole-cache", t * 1e6,
-        f"{bytes_kv / t / 1e9:.0f} GB/s of 819")
+    if "attn" in only:
+        t = measure_op(
+            lambda q, kc, ksc, vc, vsc: decode_attention_int8(
+                q, kc, ksc, vc, vsc, clen),
+            (q, kc, ksc, vc, vsc),
+        )
+        bytes_kv = B * nkv * S * hd * 2 + B * nkv * S * 8
+        rep("attn int8 whole-cache", t * 1e6,
+            f"{bytes_kv / t / 1e9:.0f} GB/s of 819")
 
     # --- decode attention: bf16 dense fallback (the bf16 engine path) ------
     kcb = jax.random.normal(next(ks), (B, nkv, S, hd), jnp.bfloat16)
@@ -97,61 +102,65 @@ def main():
         mask = valid[:, None, :] & (key_idx[:, None, :] <= pos[:, :, None])
         return m._attention_scores(qd, kf, vf, mask)
 
-    t = measure_op(lambda a, b, c: bf16_attn(a, b, c), (qd, kcb, vcb))
-    bytes_bf = B * nkv * S * hd * 2 * 2
-    rep("attn bf16 dense fallback", t * 1e6,
-        f"{bytes_bf / t / 1e9:.0f} GB/s of 819")
+    if "attn" in only:
+        t = measure_op(lambda a, b, c: bf16_attn(a, b, c), (qd, kcb, vcb))
+        bytes_bf = B * nkv * S * hd * 2 * 2
+        rep("attn bf16 dense fallback", t * 1e6,
+            f"{bytes_bf / t / 1e9:.0f} GB/s of 819")
 
     # --- KV write ----------------------------------------------------------
     k_new = jax.random.normal(next(ks), (B, 1, nkv, hd), jnp.bfloat16)
     v_new = jax.random.normal(next(ks), (B, 1, nkv, hd), jnp.bfloat16)
     cache_q = {"k": kc, "v": vc, "k_scale": ksc, "v_scale": vsc}
 
-    t = measure_op(
-        lambda kn, vn: kvc.write(cache_q, kn, vn, clen)["k"].astype(jnp.int32),
-        (k_new, v_new),
-    )
-    rep("kv write int8 (quant+scatter)", t * 1e6)
+    if "write" in only:
+        t = measure_op(
+            lambda kn, vn: kvc.write(cache_q, kn, vn, clen)["k"]
+            .astype(jnp.int32),
+            (k_new, v_new),
+        )
+        rep("kv write int8 (quant+scatter)", t * 1e6)
 
-    t = measure_op(
-        lambda kn, vn: kvc.write(cache_b, kn, vn, clen)["k"],
-        (k_new, v_new),
-    )
-    rep("kv write bf16 (scatter)", t * 1e6)
+        t = measure_op(
+            lambda kn, vn: kvc.write(cache_b, kn, vn, clen)["k"],
+            (k_new, v_new),
+        )
+        rep("kv write bf16 (scatter)", t * 1e6)
 
     # --- GEMMs at M=B --------------------------------------------------------
     x = jax.random.normal(next(ks), (B, 1, H), jnp.bfloat16)
     xi = jax.random.normal(next(ks), (B, 1, I), jnp.bfloat16)
-    shapes = [("q/k/v/o 4096x4096", x, H, 4096),
-              ("down 11008x4096", xi, I, 4096)]
-    for name, xx, K, N in shapes:
-        p, w = pack_linear(next(ks), K, N)
-        t = measure_op(lambda a: w4a8_linear(
-            a, p["w_packed"], p["s_channel"], None, group_size=-1,
-            out_dtype=jnp.bfloat16), (xx,))
-        rep(f"gemm w4a8 {name}", t * 1e6,
-            f"{(K * N // 2) / t / 1e9:.0f} GB/s")
-        wb = w.astype(jnp.bfloat16)
-        t = measure_op(lambda a, w=wb: jnp.dot(a, w), (xx,))
-        rep(f"gemm bf16 {name}", t * 1e6,
-            f"{(K * N * 2) / t / 1e9:.0f} GB/s")
+    if "gemm" in only:
+        shapes = [("q/k/v/o 4096x4096", x, H, 4096),
+                  ("down 11008x4096", xi, I, 4096)]
+        for name, xx, K, N in shapes:
+            p, w = pack_linear(next(ks), K, N)
+            t = measure_op(lambda a: w4a8_linear(
+                a, p["w_packed"], p["s_channel"], None, group_size=-1,
+                out_dtype=jnp.bfloat16), (xx,))
+            rep(f"gemm w4a8 {name}", t * 1e6,
+                f"{(K * N // 2) / t / 1e9:.0f} GB/s")
+            wb = w.astype(jnp.bfloat16)
+            t = measure_op(lambda a, w=wb: jnp.dot(a, w), (xx,))
+            rep(f"gemm bf16 {name}", t * 1e6,
+                f"{(K * N * 2) / t / 1e9:.0f} GB/s")
 
-    # GLU fused gate+up
-    pg, wg = pack_linear(next(ks), H, I)
-    pu, wu = pack_linear(next(ks), H, I)
-    glu = fuse_glu_layout(pg, pu)
-    t = measure_op(lambda a: w4a8_glu_linear(
-        a, glu, out_dtype=jnp.bfloat16), (x,))
-    rep("gemm w4a8 glu gate+up 4096x22016", t * 1e6,
-        f"{(H * 2 * I // 2) / t / 1e9:.0f} GB/s")
-    wgb, wub = wg.astype(jnp.bfloat16), wu.astype(jnp.bfloat16)
-    t = measure_op(
-        lambda a: jax.nn.silu(jnp.dot(a, wgb)) * jnp.dot(a, wub), (x,))
-    rep("gemm bf16 gate+up", t * 1e6,
-        f"{(H * 2 * I * 2) / t / 1e9:.0f} GB/s")
+        # GLU fused gate+up
+        pg, wg = pack_linear(next(ks), H, I)
+        pu, wu = pack_linear(next(ks), H, I)
+        glu = fuse_glu_layout(pg, pu)
+        t = measure_op(lambda a: w4a8_glu_linear(
+            a, glu, out_dtype=jnp.bfloat16), (x,))
+        rep("gemm w4a8 glu gate+up 4096x22016", t * 1e6,
+            f"{(H * 2 * I // 2) / t / 1e9:.0f} GB/s")
+        wgb, wub = wg.astype(jnp.bfloat16), wu.astype(jnp.bfloat16)
+        t = measure_op(
+            lambda a: jax.nn.silu(jnp.dot(a, wgb)) * jnp.dot(a, wub), (x,))
+        rep("gemm bf16 gate+up", t * 1e6,
+            f"{(H * 2 * I * 2) / t / 1e9:.0f} GB/s")
 
     # --- full decoder layer tick --------------------------------------------
-    for mode in ("w4a8", "bf16"):
+    for mode in ("w4a8", "bf16") if "layer" in only else ():
         params = m.init_params(llama7b(1), next(ks))
         layer = params["layers"][0]
         if mode == "w4a8":

@@ -22,11 +22,16 @@ if os.environ.get("QQQ_TPU_TEST_PLATFORM", "cpu") == "cpu":
     # post-import config update reliably pins the test suite to CPU
     jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/qqq_tpu_jax_cache")
 # CPU matmuls default to bf16-fastmath (oneDNN); parity tests need true fp32
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# NO persistent compilation cache for the suite: jax 0.9.0 segfaults in the
+# on-disk cache's (de)serialization of one specific executable — the paged
+# donated-scatter decode program test_paged_engine compiles ~170 tests in —
+# on BOTH the write path (put_executable_and_time / zstandard) and, once an
+# entry exists, the read path (get_executable_and_time).  Reproduced 4/4
+# full-suite runs, never when the file runs alone with a cold cache.  The
+# in-memory jit cache is unaffected.
+jax.config.update("jax_compilation_cache_dir", None)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
