@@ -88,9 +88,12 @@ def _pick_hblk(nkv: int, S: int, hd: int) -> int:
 
 def _flash_attn_kernel(
     clen_ref,   # (B,) int32 scalar-prefetch: keys valid BEFORE this chunk
-    q_ref,      # (1, 1, M, hd) bf16 — queries ((g·T) rows), pre-scaled
+    q_ref,      # (1, 1, M, hd) bf16 (or int8 when qk_int8) — (g·T) rows
+    qs_ref,     # (1, 1, M, 1) f32 per-row q scales (qk_int8) | None
     k_ref,      # (1, 1, sblk, hd) int8
-    ks_ref,     # (1, 1, sblk, 1) f32 — sublane-major: folded into the K tile
+    ks_ref,     # (1, 1, sblk, 1) f32 sublane-major (bf16 path — folded into
+                # the K tile) | (1, 1, 1, sblk) lane-major (qk_int8 path —
+                # applied to the score columns)
     v_ref,      # (1, 1, sblk, hd) int8
     vs_ref,     # (1, 1, sblk, 1) f32 — folded into the V tile
     o_ref,      # (1, 1, M, hd) f32
@@ -103,6 +106,7 @@ def _flash_attn_kernel(
     kn: int,
     T: int,
     causal: bool,
+    qk_int8: bool,
 ):
     b = pl.program_id(0)
     s = pl.program_id(2)
@@ -126,24 +130,51 @@ def _flash_attn_kernel(
     # t range [t0, t0 + qm) (rows are (g, T)-flattened), so the skip bound
     # is exact.
     total = clen + T  # valid keys including the chunk itself
-    # dequantize the K/V tiles once (sblk×hd work) instead of scaling the
-    # (M, sblk) score/probability matrices (M ≫ hd at prefill); int8 codes
-    # are exact in bf16, the scale multiply rounds once — same error class
-    # as the bf16 dots
-    kt = k_ref[0, 0].astype(jnp.bfloat16) * ks_ref[0, 0].astype(jnp.bfloat16)
+    if qk_int8:
+        # int8 MXU path (VERDICT r3 #5): K is ALREADY int8 in the cache and
+        # q is quantized per-row outside the kernel, so QKᵀ runs at the
+        # s8·s8→s32 MXU rate (~2× bf16 peak on v5e) — the analogue of the
+        # reference running every GEMM through int8 tensor cores
+        # (csrc/qqq_gemm.cu:106-117).  The exact i32 scores are scaled by
+        # (per-row q scale × per-column k scale) on the VPU: M·kn mults,
+        # ~256× fewer ops than the dot itself.  Only the q quantization
+        # adds error (~0.4% relative — the same class as the per-token
+        # activation quant in front of every GEMM).
+        kt = None
+    else:
+        # dequantize the K tile once (sblk×hd work) instead of scaling the
+        # (M, sblk) score matrix (M ≫ hd at prefill); int8 codes are exact
+        # in bf16, the scale multiply rounds once — same error class as
+        # the bf16 dots
+        kt = (k_ref[0, 0].astype(jnp.bfloat16)
+              * ks_ref[0, 0].astype(jnp.bfloat16))
     vt = v_ref[0, 0].astype(jnp.bfloat16) * vs_ref[0, 0].astype(jnp.bfloat16)
 
     def body(r0, t0, c0, masked):
-        # both dots run in bf16 with f32 accumulation — the MXU's bf16
+        # the P·V dot runs in bf16 with f32 accumulation — the MXU's bf16
         # rate is ~4× its f32 rate and this kernel is compute-bound at
         # prefill (standard flash-attention numerics: ≲0.4% relative)
-        q = q_ref[0, 0][r0 : r0 + qm]  # (qm, hd) bf16
-        scores = jax.lax.dot_general(
-            q,
-            kt[c0 : c0 + kn],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (qm, kn)
+        if qk_int8:
+            q = q_ref[0, 0][r0 : r0 + qm]  # (qm, hd) int8
+            scores = jax.lax.dot_general(
+                q,
+                k_ref[0, 0][c0 : c0 + kn],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            scores = (
+                scores
+                * qs_ref[0, 0][r0 : r0 + qm]           # (qm, 1)
+                * ks_ref[0, 0][:, c0 : c0 + kn]        # (1, kn) lane-major
+            )
+        else:
+            q = q_ref[0, 0][r0 : r0 + qm]  # (qm, hd) bf16
+            scores = jax.lax.dot_general(
+                q,
+                kt[c0 : c0 + kn],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (qm, kn)
         if masked:
             key_pos = s * sblk + c0 + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, 1
@@ -213,7 +244,7 @@ def _flash_attn_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sblk", "kn", "interpret")
+    jax.jit, static_argnames=("causal", "sblk", "kn", "qk_int8", "interpret")
 )
 def flash_attention_int8(
     q: jax.Array,        # (B, n_heads, T, hd) queries (RoPE'd), any fp dtype
@@ -226,6 +257,7 @@ def flash_attention_int8(
     causal: bool = True,
     sblk: Optional[int] = None,
     kn: Optional[int] = None,
+    qk_int8: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Chunked-prefill / long-context attention over the INT8 KV cache.
@@ -233,6 +265,12 @@ def flash_attention_int8(
     Query t of the chunk attends keys [0, cache_len + t] (causal) — the
     chunk's own K/V must already be quantized into the cache at positions
     [cache_len, cache_len + T).  Returns (B, n_heads, T, hd) in q.dtype.
+
+    ``qk_int8`` (auto: on for prefill-sized chunks, T ≥ 64): run QKᵀ as an
+    s8·s8→s32 MXU dot — q quantized per row, exact i32 scores rescaled by
+    (row scale × column k-scale).  ~2× the bf16 dot rate on v5e; adds only
+    q-quantization error (~0.4 % relative, the per-token activation-quant
+    class).  P·V stays bf16.
 
     Decode is the T=1 special case; use this over
     :func:`decode_attention_int8` when ``hblk × S × hd`` no longer fits VMEM
@@ -243,6 +281,10 @@ def flash_attention_int8(
     g = nh // nkv
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if qk_int8 is None:
+        # decode/short chunks are HBM-bound slivers — the int8 dot buys
+        # nothing there and the extra qs plumbing costs a little
+        qk_int8 = T >= 64
     if sblk is None:
         # swept on v5e: per-grid-step overhead + DMA setup beat the causal
         # skip's compute savings at small tiles — big tiles win (S=1024:
@@ -268,22 +310,57 @@ def flash_attention_int8(
     while sblk % kn:
         kn -= 1
 
-    qg = (
-        (q.reshape(B, nkv, g, T, hd).reshape(B, nkv, M, hd)
-         .astype(jnp.float32) / jnp.sqrt(jnp.float32(hd)))
-        .astype(jnp.bfloat16)  # scale in f32, feed the MXU bf16
+    qf = (
+        q.reshape(B, nkv, g, T, hd).reshape(B, nkv, M, hd)
+        .astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
     )
+    q_spec = pl.BlockSpec((1, 1, M, hd), lambda b, h, s, c: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if qk_int8:
+        qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)  # (B, nkv, M, 1)
+        qa = jnp.maximum(qa, jnp.finfo(jnp.float32).tiny)
+        qg = jnp.clip(
+            jnp.round(qf * (127.0 / qa)), -127, 127
+        ).astype(jnp.int8)
+        qs = qa / 127.0
+        q_in = [qg, qs]
+        q_specs = [
+            q_spec,
+            pl.BlockSpec((1, 1, M, 1), lambda b, h, s, c: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        ks_in = k_scale[:, :, None, :]  # lane-major (B, nkv, 1, S)
+        ks_spec = pl.BlockSpec((1, 1, 1, sblk),
+                               lambda b, h, s, c: (b, h, 0, s),
+                               memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _flash_attn_kernel, sblk=sblk, qm=qm, kn=kn, T=T,
+            causal=causal, qk_int8=True,
+        )
+    else:
+        qg = qf.astype(jnp.bfloat16)  # scale in f32, feed the MXU bf16
+        q_in = [qg]
+        q_specs = [q_spec]
+        ks_in = k_scale[:, :, :, None]  # sublane-major (B, nkv, S, 1)
+        ks_spec = pl.BlockSpec((1, 1, sblk, 1),
+                               lambda b, h, s, c: (b, h, s, 0),
+                               memory_space=pltpu.VMEM)
+
+        def kernel(clen_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+                   m_scr, l_scr, acc_scr):
+            _flash_attn_kernel(
+                clen_ref, q_ref, None, k_ref, ks_ref, v_ref, vs_ref,
+                o_ref, m_scr, l_scr, acc_scr,
+                sblk=sblk, qm=qm, kn=kn, T=T, causal=causal, qk_int8=False,
+            )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nkv, S // sblk),
-        in_specs=[
-            pl.BlockSpec((1, 1, M, hd), lambda b, h, s, c: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=q_specs + [
             pl.BlockSpec((1, 1, sblk, hd), lambda b, h, s, c: (b, h, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sblk, 1), lambda b, h, s, c: (b, h, s, 0),
-                         memory_space=pltpu.VMEM),
+            ks_spec,
             pl.BlockSpec((1, 1, sblk, hd), lambda b, h, s, c: (b, h, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sblk, 1), lambda b, h, s, c: (b, h, s, 0),
@@ -301,9 +378,7 @@ def flash_attention_int8(
     )
 
     out = pl.pallas_call(
-        functools.partial(
-            _flash_attn_kernel, sblk=sblk, qm=qm, kn=kn, T=T, causal=causal
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, nkv, M, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -311,8 +386,8 @@ def flash_attention_int8(
         ),
         interpret=interpret,
     )(
-        cache_len.astype(jnp.int32), qg,
-        k_cache, k_scale[:, :, :, None], v_cache, v_scale[:, :, :, None],
+        cache_len.astype(jnp.int32), *q_in,
+        k_cache, ks_in, v_cache, v_scale[:, :, :, None],
     )
 
     return (
@@ -322,16 +397,24 @@ def flash_attention_int8(
     )
 
 
-def _paged_flash_kernel(tab_ref, clen_ref, *refs, sblk, qm, T, causal):
+def _paged_flash_kernel(tab_ref, clen_ref, *refs, sblk, qm, T, causal,
+                        qk_int8):
     """Block-table adapter: the pool blocks were already gathered by the
     table-driven index maps (the DMA engine followed ``tab_ref``), so the
     body is exactly the S-tiled flash kernel — grid step ``s`` IS virtual
     sequence block ``s`` of the row."""
-    _flash_attn_kernel(clen_ref, *refs, sblk=sblk, qm=qm, kn=sblk, T=T,
-                       causal=causal)
+    if qk_int8:
+        _flash_attn_kernel(clen_ref, *refs, sblk=sblk, qm=qm, kn=sblk,
+                           T=T, causal=causal, qk_int8=True)
+    else:
+        q_ref, *rest = refs
+        _flash_attn_kernel(clen_ref, q_ref, None, *rest, sblk=sblk, qm=qm,
+                           kn=sblk, T=T, causal=causal, qk_int8=False)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("causal", "qk_int8", "interpret")
+)
 def paged_flash_attention_int8(
     q: jax.Array,        # (B, n_heads, T, hd) queries (RoPE'd), any fp dtype
     k_pool: jax.Array,   # (num_blocks, n_kv, bs, hd) int8
@@ -342,6 +425,7 @@ def paged_flash_attention_int8(
     cache_len: jax.Array,  # (B,) int32 — valid keys BEFORE this chunk
     *,
     causal: bool = True,
+    qk_int8: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Paged-KV attention (vLLM PagedAttention, arXiv:2309.06180, TPU-style):
@@ -361,6 +445,8 @@ def paged_flash_attention_int8(
     nbmax = tables.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if qk_int8 is None:
+        qk_int8 = T >= 64  # same gate as flash_attention_int8
     if not interpret:
         assert bs % 32 == 0, f"block_size must be a 32-multiple, got {bs}"
     M = g * T
@@ -368,25 +454,47 @@ def paged_flash_attention_int8(
     if M % 256 == 0 and (not causal or T % 256 == 0):
         qm = 256
 
-    qg = (
-        (q.reshape(B, nkv, g, T, hd).reshape(B, nkv, M, hd)
-         .astype(jnp.float32) / jnp.sqrt(jnp.float32(hd)))
-        .astype(jnp.bfloat16)
+    qf = (
+        q.reshape(B, nkv, g, T, hd).reshape(B, nkv, M, hd)
+        .astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
     )
+    q_spec = pl.BlockSpec((1, 1, M, hd),
+                          lambda b, h, s, tab, c: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if qk_int8:
+        qa = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        qa = jnp.maximum(qa, jnp.finfo(jnp.float32).tiny)
+        q_in = [
+            jnp.clip(jnp.round(qf * (127.0 / qa)), -127, 127)
+            .astype(jnp.int8),
+            qa / 127.0,
+        ]
+        q_specs = [
+            q_spec,
+            pl.BlockSpec((1, 1, M, 1),
+                         lambda b, h, s, tab, c: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        ks_in = k_scale[:, :, None, :]  # lane-major (nb, nkv, 1, bs)
+        ks_spec = pl.BlockSpec((1, 1, 1, bs),
+                               lambda b, h, s, tab, c: (tab[b, s], h, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        q_in = [qf.astype(jnp.bfloat16)]
+        q_specs = [q_spec]
+        ks_in = k_scale[:, :, :, None]
+        ks_spec = pl.BlockSpec((1, 1, bs, 1),
+                               lambda b, h, s, tab, c: (tab[b, s], h, 0, 0),
+                               memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tables, cache_len
         grid=(B, nkv, nbmax),
-        in_specs=[
-            pl.BlockSpec((1, 1, M, hd),
-                         lambda b, h, s, tab, c: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=q_specs + [
             pl.BlockSpec((1, 1, bs, hd),
                          lambda b, h, s, tab, c: (tab[b, s], h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bs, 1),
-                         lambda b, h, s, tab, c: (tab[b, s], h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            ks_spec,
             pl.BlockSpec((1, 1, bs, hd),
                          lambda b, h, s, tab, c: (tab[b, s], h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -407,7 +515,8 @@ def paged_flash_attention_int8(
 
     out = pl.pallas_call(
         functools.partial(
-            _paged_flash_kernel, sblk=bs, qm=qm, T=T, causal=causal
+            _paged_flash_kernel, sblk=bs, qm=qm, T=T, causal=causal,
+            qk_int8=qk_int8,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, nkv, M, hd), jnp.float32),
@@ -416,8 +525,8 @@ def paged_flash_attention_int8(
         ),
         interpret=interpret,
     )(
-        tables.astype(jnp.int32), cache_len.astype(jnp.int32), qg,
-        k_pool, k_scale[:, :, :, None], v_pool, v_scale[:, :, :, None],
+        tables.astype(jnp.int32), cache_len.astype(jnp.int32), *q_in,
+        k_pool, ks_in, v_pool, v_scale[:, :, :, None],
     )
 
     return (

@@ -23,6 +23,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _tpu_watchdog import progress  # noqa: E402 (starts on import)
 
 import jax
 import jax.numpy as jnp
@@ -68,7 +71,10 @@ def main():
     ks = iter(jax.random.split(key, 64))
 
     def rep(name, us, note=""):
+        progress(name)
         print(f"{name:42s} {us:10.1f} us  {note}", flush=True)
+
+    progress("devices: %s" % (jax.devices(),))
 
     # --- decode attention: int8 whole-cache kernel -------------------------
     q = jax.random.normal(next(ks), (B, 32, hd), jnp.bfloat16)

@@ -25,6 +25,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _tpu_watchdog import progress  # noqa: E402 (starts on import)
 
 import jax
 import jax.numpy as jnp
@@ -85,9 +88,11 @@ def main():
     quant = args.mode == "w4a8"
 
     results = {}
+    progress("devices: %s" % (jax.devices(),))
     for L in [int(x) for x in args.layers.split(",")]:
         cfg = llama7b(L, tiny=args.tiny)
         params = build(cfg, args.mode)
+        progress(f"params built L={L}")
 
         if args.paged:
             nblocks = B * (S // args.block_size) + 1
@@ -131,6 +136,7 @@ def main():
         # compile + warm
         tok, caches, clen, key, toks = tick(tok, caches, clen, key)
         float(jnp.max(toks.astype(jnp.float32)))  # fence
+        progress(f"compiled+warm L={L}")
         best = None
         for rep in range(3):
             clen = jnp.full((B,), clen0, jnp.int32)

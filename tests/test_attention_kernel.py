@@ -191,3 +191,60 @@ def test_flash_decode_attention_matches_oracle(rng, B, nh, nkv, S, sblk):
     )
     want = _oracle(q, k8, ks, v8, vs, clen)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_prefill_qk_int8_matches_bf16(rng):
+    """The s8·s8→s32 QKᵀ path (VERDICT r3 #5) must match the bf16-dot
+    path to activation-quant tolerance: only the per-row q quantization
+    differs (~0.4 % relative)."""
+    from qqq_tpu.kernels.attention import flash_attention_int8
+
+    B, nh, nkv, T, S, hd = 1, 8, 4, 128, 512, 64
+    q = rng.normal(size=(B, nh, T, hd)).astype(np.float32)
+    k8 = rng.integers(-127, 128, size=(B, nkv, S, hd)).astype(np.int8)
+    v8 = rng.integers(-127, 128, size=(B, nkv, S, hd)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, size=(B, nkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, size=(B, nkv, S)).astype(np.float32)
+    clen = np.full((B,), 128, np.int32)
+
+    args = (jnp.asarray(q), jnp.asarray(k8), jnp.asarray(ks),
+            jnp.asarray(v8), jnp.asarray(vs), jnp.asarray(clen))
+    a = flash_attention_int8(*args, causal=True, sblk=128,
+                             qk_int8=True, interpret=True)
+    b = flash_attention_int8(*args, causal=True, sblk=128,
+                             qk_int8=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-2, atol=2e-2)
+    # and both match the dequantized oracle
+    want = _oracle_prefill(q, k8, ks, v8, vs, clen)
+    np.testing.assert_allclose(np.asarray(a), want, rtol=2e-2, atol=2e-2)
+
+
+def test_paged_prefill_qk_int8_matches_bf16(rng):
+    from qqq_tpu.serve import paged_kv
+    from qqq_tpu.kernels.attention import paged_flash_attention_int8
+
+    class Cfg:
+        num_key_value_heads = 2
+        head_dim = 64
+        num_hidden_layers = 1
+
+    B, nh, nkv, T, bs, nbmax, hd = 1, 4, 2, 64, 64, 4, 64
+    pool = paged_kv.init(Cfg, num_blocks=1 + B * nbmax, block_size=bs,
+                         quantized=True)[0]
+    tables = (np.arange(B * nbmax, dtype=np.int32).reshape(B, nbmax) + 1)
+    k = rng.normal(size=(B, 3 * bs, nkv, hd)).astype(np.float32)
+    v = rng.normal(size=(B, 3 * bs, nkv, hd)).astype(np.float32)
+    pool = paged_kv.write(pool, jnp.asarray(k), jnp.asarray(v),
+                          jnp.zeros((B,), jnp.int32), jnp.asarray(tables))
+    q = rng.normal(size=(B, nh, T, hd)).astype(np.float32)
+    clen = np.full((B,), 3 * bs - T, np.int32)
+
+    args = (jnp.asarray(q), pool["k"], pool["k_scale"], pool["v"],
+            pool["v_scale"], jnp.asarray(tables), jnp.asarray(clen))
+    a = paged_flash_attention_int8(*args, causal=True, qk_int8=True,
+                                   interpret=True)
+    b = paged_flash_attention_int8(*args, causal=True, qk_int8=False,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-2, atol=2e-2)
