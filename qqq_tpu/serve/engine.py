@@ -258,6 +258,11 @@ class Engine:
             ]
             #: (B, nbmax) physical block per (slot, virtual block); 0 = null
             self.tables = np.zeros((max_batch, self._nbmax), np.int32)
+            #: device copy of ``tables``, re-uploaded only when dirty —
+            #: an unconditional per-tick h2d pays a full tunnel round trip
+            #: for a table that changes every block_size/steps ticks
+            self._tables_dev = None
+            self._tables_dirty = True
             self.slot_blocks: List[List[int]] = [[] for _ in range(max_batch)]
             # block-level prefix cache (paged + prefix_cache): FULL blocks
             # register under the hash of their whole token prefix and are
@@ -1149,8 +1154,15 @@ class Engine:
 
     def _tables_arg(self):
         """Current block tables as the device arg of the jitted programs
-        (None in slot mode — the programs compile without a paged branch)."""
-        return jnp.asarray(self.tables) if self.paged else None
+        (None in slot mode — the programs compile without a paged branch).
+        The device array is cached and re-uploaded only after a host-side
+        table mutation (every mutation site sets ``_tables_dirty``)."""
+        if not self.paged:
+            return None
+        if self._tables_dirty or self._tables_dev is None:
+            self._tables_dev = jnp.asarray(self.tables)
+            self._tables_dirty = False
+        return self._tables_dev
 
     def _shard_of(self, slot: int) -> int:
         """Data shard owning ``slot`` — slots partition contiguously over
@@ -1173,6 +1185,7 @@ class Engine:
                 self.allocators[d].free([blk])
         self.slot_blocks[slot] = []
         self.tables[slot, :] = 0
+        self._tables_dirty = True
         self.slot_reg[slot] = 0
 
     def _evict_cached_blocks(self, d: int, need: int) -> None:
@@ -1239,6 +1252,7 @@ class Engine:
             self._bh_ref[d][blk] += 1
             self.slot_blocks[slot].append(blk)
             self.tables[slot, i] = blk
+            self._tables_dirty = True
         self.slot_reg[slot] = nblk
         return reuse
 
@@ -1293,6 +1307,7 @@ class Engine:
         base = len(self.slot_blocks[slot])
         self.slot_blocks[slot].extend(got)
         self.tables[slot, base : base + len(got)] = got
+        self._tables_dirty = True
         return True
 
     def _finish_out_of_room(self, slot: int) -> None:
