@@ -121,15 +121,17 @@ def main():
 
     if "write" in only:
         t = measure_op(
-            lambda kn, vn: kvc.write(cache_q, kn, vn, clen)["k"]
-            .astype(jnp.int32),
-            (k_new, v_new),
+            lambda kn, vn, kq, vq, kss, vss: kvc.write(
+                {"k": kq, "v": vq, "k_scale": kss, "v_scale": vss},
+                kn, vn, clen)["k"].astype(jnp.int32),
+            (k_new, v_new, kc, vc, ksc, vsc),
         )
         rep("kv write int8 (quant+scatter)", t * 1e6)
 
         t = measure_op(
-            lambda kn, vn: kvc.write(cache_b, kn, vn, clen)["k"],
-            (k_new, v_new),
+            lambda kn, vn, kb, vb: kvc.write(
+                {"k": kb, "v": vb}, kn, vn, clen)["k"],
+            (k_new, v_new, kcb, vcb),
         )
         rep("kv write bf16 (scatter)", t * 1e6)
 
@@ -137,31 +139,43 @@ def main():
     x = jax.random.normal(next(ks), (B, 1, H), jnp.bfloat16)
     xi = jax.random.normal(next(ks), (B, 1, I), jnp.bfloat16)
     if "gemm" in only:
+        # weights ride as measure_op ARGS — closed-over arrays embed as HLO
+        # constants and ship tens of MB per compile to the remote compiler
         shapes = [("q/k/v/o 4096x4096", x, H, 4096),
                   ("down 11008x4096", xi, I, 4096)]
         for name, xx, K, N in shapes:
             p, w = pack_linear(next(ks), K, N)
-            t = measure_op(lambda a: w4a8_linear(
-                a, p["w_packed"], p["s_channel"], None, group_size=-1,
-                out_dtype=jnp.bfloat16), (xx,))
+            t = measure_op(
+                lambda a, wp, sc: w4a8_linear(
+                    a, wp, sc, None, group_size=-1, out_dtype=jnp.bfloat16),
+                (xx, p["w_packed"], p["s_channel"]),
+            )
             rep(f"gemm w4a8 {name}", t * 1e6,
                 f"{(K * N // 2) / t / 1e9:.0f} GB/s")
             wb = w.astype(jnp.bfloat16)
-            t = measure_op(lambda a, w=wb: jnp.dot(a, w), (xx,))
+            t = measure_op(lambda a, w: jnp.dot(a, w), (xx, wb))
             rep(f"gemm bf16 {name}", t * 1e6,
                 f"{(K * N * 2) / t / 1e9:.0f} GB/s")
+            del p, w, wb
 
         # GLU fused gate+up
         pg, wg = pack_linear(next(ks), H, I)
         pu, wu = pack_linear(next(ks), H, I)
         glu = fuse_glu_layout(pg, pu)
-        t = measure_op(lambda a: w4a8_glu_linear(
-            a, glu, out_dtype=jnp.bfloat16), (x,))
+        t = measure_op(
+            lambda a, wp, sc: w4a8_glu_linear(
+                a, {"w_packed": wp, "s_channel": sc},
+                out_dtype=jnp.bfloat16),
+            (x, glu["w_packed"], glu["s_channel"]),
+        )
         rep("gemm w4a8 glu gate+up 4096x22016", t * 1e6,
             f"{(H * 2 * I // 2) / t / 1e9:.0f} GB/s")
         wgb, wub = wg.astype(jnp.bfloat16), wu.astype(jnp.bfloat16)
         t = measure_op(
-            lambda a: jax.nn.silu(jnp.dot(a, wgb)) * jnp.dot(a, wub), (x,))
+            lambda a, wg_, wu_: jax.nn.silu(jnp.dot(a, wg_))
+            * jnp.dot(a, wu_),
+            (x, wgb, wub),
+        )
         rep("gemm bf16 gate+up", t * 1e6,
             f"{(H * 2 * I * 2) / t / 1e9:.0f} GB/s")
 
@@ -185,13 +199,15 @@ def main():
         inv_freq = m.rope_inv_freq(cfg)
         xx = jax.random.normal(next(ks), (B, 1, H), jnp.bfloat16)
 
-        @jax.jit
-        def layer_tick(xx, cache, layer=layer):
+        def layer_tick(a, cache, layer):
             out, _ = m.decoder_layer(
-                layer, xx, pos, inv_freq, cfg, cache, clen)
+                layer, a, pos, inv_freq, cfg, cache, clen)
             return out
 
-        t = measure_op(lambda a: layer_tick(a, cache), (xx,))
+        def perturb(a, c):
+            return (a[0] * (1 + 1e-30 * c).astype(a[0].dtype), a[1], a[2])
+
+        t = measure_op(layer_tick, (xx, cache, layer), perturb=perturb)
         rep(f"decoder_layer tick {mode}", t * 1e6)
 
 

@@ -112,14 +112,18 @@ def main():
         clen0 = S - n_steps * args.chain - 1
         inv = m.rope_inv_freq(cfg)
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def tick(tok, caches, clen, key):
+        # params/tables ride as ARGUMENTS — closed-over arrays would embed
+        # the weights as HLO constants and ship ~400 MB to the remote
+        # compile service (observed as a >600 s compile stall)
+        @functools.partial(jax.jit, donate_argnums=(2,),
+                           static_argnames=("paged",))
+        def tick(prm, tok, caches, clen, key, tabs, paged):
             def body(carry, _):
                 tok, caches, clen, key = carry
                 key, sub = jax.random.split(key)
                 logits, caches = m.forward(
-                    params, cfg, tok[:, None], caches=caches,
-                    cache_len=clen, block_tables=tables_j,
+                    prm, cfg, tok[:, None], caches=caches,
+                    cache_len=clen, block_tables=tabs if paged else None,
                 )
                 nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
                 return (nxt, caches, clen + 1, key), nxt
@@ -134,7 +138,8 @@ def main():
         key = jax.random.PRNGKey(1)
 
         # compile + warm
-        tok, caches, clen, key, toks = tick(tok, caches, clen, key)
+        tok, caches, clen, key, toks = tick(
+            params, tok, caches, clen, key, tables_j, args.paged)
         float(jnp.max(toks.astype(jnp.float32)))  # fence
         progress(f"compiled+warm L={L}")
         best = None
@@ -142,7 +147,8 @@ def main():
             clen = jnp.full((B,), clen0, jnp.int32)
             t0 = time.perf_counter()
             for _ in range(args.chain):
-                tok, caches, clen, key, toks = tick(tok, caches, clen, key)
+                tok, caches, clen, key, toks = tick(
+                    params, tok, caches, clen, key, tables_j, args.paged)
             float(jnp.max(toks.astype(jnp.float32)))  # fence the chain
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
