@@ -39,20 +39,25 @@ def mk(S, seed=0):
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    print("# prefill (causal, T=S)")
+    print("# prefill (causal, T=S) — bf16 QK^T vs int8-MXU QK^T")
     for T in (1024, 2048, 4096):
         S = T
         k8, ks, v8, vs = mk(S)
         q = jax.random.normal(jax.random.PRNGKey(1), (B, nh, T, hd),
                               jnp.float32)
         clen = jnp.asarray([0], jnp.int32)
-        f = lambda q_, k_, ks_, v_, vs_: flash_attention_int8(
-            q_, k_, ks_, v_, vs_, clen, causal=True, interpret=False)
-        t = measure_op(f, (q, k8, ks, v8, vs))
-        flops = 2.0 * B * nh * T * S * hd  # 2 matmuls x 2 flop/MAC x T·S/2 causal pairs
-        tf = flops / t / 1e12
-        print(f"prefill T=S={T}: {t*1e6:7.1f} us  {tf:6.1f} TFLOPS "
-              f"({100*tf*1e12/V5E_BF16_PEAK:4.1f}% bf16 peak)", flush=True)
+        for qk8 in (False, True):
+            f = lambda q_, k_, ks_, v_, vs_: flash_attention_int8(
+                q_, k_, ks_, v_, vs_, clen, causal=True,
+                qk_int8=qk8, interpret=False)
+            t = measure_op(f, (q, k8, ks, v8, vs))
+            flops = 2.0 * B * nh * T * S * hd  # 2 matmuls x 2 flop/MAC x T·S/2 causal pairs
+            tf = flops / t / 1e12
+            tag = "qk-int8" if qk8 else "qk-bf16"
+            print(f"prefill T=S={T} {tag}: {t*1e6:7.1f} us  "
+                  f"{tf:6.1f} TFLOPS "
+                  f"({100*tf*1e12/V5E_BF16_PEAK:4.1f}% bf16 peak)",
+                  flush=True)
 
     print("# decode (T=1, bandwidth-bound)")
     for S in (4096, 8192, 16384, 32768):
