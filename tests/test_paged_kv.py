@@ -243,3 +243,95 @@ def test_paged_decode_subtiled_block512(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
     )
+
+
+def test_paged_decode_write_kernel_matches_scatter(rng):
+    """The in-place Pallas decode write (kernels/kv_write.py) must produce
+    exactly the pools the XLA scatter path produces — written position
+    quantized identically, every other block byte-identical (aliasing)."""
+    import dataclasses
+
+    from qqq_tpu.kernels.kv_write import paged_decode_write_int8
+
+    class Cfg:
+        num_key_value_heads = 4
+        head_dim = 64
+        num_hidden_layers = 1
+
+    B, nkv, hd, bs, nbmax = 3, 4, 64, 32, 4
+    pool = paged_kv.init(Cfg, num_blocks=1 + B * nbmax, block_size=bs,
+                         quantized=True)[0]
+    tables = jnp.asarray(
+        np.arange(B * nbmax, dtype=np.int32).reshape(B, nbmax) + 1
+    )
+    # pre-fill some tokens so blocks hold non-zero history
+    k0 = jnp.asarray(rng.normal(size=(B, 40, nkv, hd)).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(size=(B, 40, nkv, hd)).astype(np.float32))
+    pool = paged_kv.write(pool, k0, v0, jnp.zeros((B,), jnp.int32), tables)
+
+    # one decode token per row at varying offsets (incl. block boundary)
+    offsets = jnp.asarray(np.array([40, 31, 63], np.int32))
+    k1 = jnp.asarray(rng.normal(size=(B, 1, nkv, hd)).astype(np.float32))
+    v1 = jnp.asarray(rng.normal(size=(B, 1, nkv, hd)).astype(np.float32))
+
+    kp, ksp, vp, vsp = paged_decode_write_int8(
+        pool["k"], pool["k_scale"], pool["v"], pool["v_scale"],
+        k1, v1, tables, offsets,
+    )
+
+    # oracle: the module's scatter path (force it by building a T=2 write
+    # of [token, garbage-in-null]? simpler: replicate scatter inline)
+    pos = offsets[:, None]
+    vblock = pos // bs
+    phys = jnp.take_along_axis(tables, vblock, axis=1)
+    off = (pos % bs).reshape(-1)
+    phys_f = phys.reshape(-1)
+    from qqq_tpu.serve.kv_cache import _quant
+    kq, ks = _quant(jnp.swapaxes(k1, 1, 2))
+    vq, vs = _quant(jnp.swapaxes(v1, 1, 2))
+    want_k = pool["k"].at[phys_f, :, off].set(
+        kq.reshape(B, nkv, hd), mode="drop")
+    want_ks = pool["k_scale"].at[phys_f, :, off].set(
+        ks.reshape(B, nkv), mode="drop")
+    want_v = pool["v"].at[phys_f, :, off].set(
+        vq.reshape(B, nkv, hd), mode="drop")
+    want_vs = pool["v_scale"].at[phys_f, :, off].set(
+        vs.reshape(B, nkv), mode="drop")
+
+    np.testing.assert_array_equal(np.asarray(kp), np.asarray(want_k))
+    np.testing.assert_array_equal(np.asarray(vp), np.asarray(want_v))
+    np.testing.assert_allclose(np.asarray(ksp), np.asarray(want_ks))
+    np.testing.assert_allclose(np.asarray(vsp), np.asarray(want_vs))
+
+
+def test_paged_write_decode_routes_through_kernel(rng):
+    """paged_kv.write with T=1 (decode) must equal the T>1 scatter path's
+    semantics — same contents through either implementation."""
+    class Cfg:
+        num_key_value_heads = 2
+        head_dim = 64
+        num_hidden_layers = 1
+
+    B, nkv, hd, bs, nbmax = 2, 2, 64, 32, 3
+    pool0 = paged_kv.init(Cfg, num_blocks=1 + B * nbmax, block_size=bs,
+                          quantized=True)[0]
+    tables = jnp.asarray(
+        np.arange(B * nbmax, dtype=np.int32).reshape(B, nbmax) + 1
+    )
+    offsets = jnp.asarray(np.array([5, 33], np.int32))
+    k1 = jnp.asarray(rng.normal(size=(B, 1, nkv, hd)).astype(np.float32))
+    v1 = jnp.asarray(rng.normal(size=(B, 1, nkv, hd)).astype(np.float32))
+
+    got = paged_kv.write(pool0, k1, v1, offsets, tables)  # kernel path
+    # scatter path: pad to T=2 with a second token routed out-of-capacity
+    # is awkward — instead call the scatter body via a T=1 fp-style run:
+    # rebuild using the same quant + .at scatter as the module's else-branch
+    from qqq_tpu.serve.kv_cache import _quant
+    kq, ks = _quant(jnp.swapaxes(k1, 1, 2))
+    vq, vs = _quant(jnp.swapaxes(v1, 1, 2))
+    phys = jnp.take_along_axis(tables, offsets[:, None] // bs, axis=1)
+    off = (offsets % bs)
+    want_k = pool0["k"].at[phys.reshape(-1), :, off].set(
+        kq.reshape(B, nkv, hd), mode="drop")
+    np.testing.assert_array_equal(np.asarray(got["k"]),
+                                  np.asarray(want_k))
