@@ -179,6 +179,112 @@ def main():
         rep("gemm bf16 gate+up", t * 1e6,
             f"{(H * 2 * I * 2) / t / 1e9:.0f} GB/s")
 
+    # --- prefill components (bs=16 ladder: 2 batches of 8 x 1024) ----------
+    if "prefill" in only:
+        PB, T = 8, 1024
+        xp = jax.random.normal(next(ks), (PB, T, H), jnp.bfloat16)
+        xpi = jax.random.normal(next(ks), (PB, T, I), jnp.bfloat16)
+        for name, xx, K, N in [("q/k/v/o 4096x4096", xp, H, 4096),
+                               ("down 11008x4096", xpi, I, 4096)]:
+            p, w = pack_linear(next(ks), K, N)
+            t = measure_op(
+                lambda a, wp, sc: w4a8_linear(
+                    a, wp, sc, None, group_size=-1, out_dtype=jnp.bfloat16),
+                (xx, p["w_packed"], p["s_channel"]),
+            )
+            tops = 2.0 * PB * T * K * N / t / 1e12
+            rep(f"prefill gemm w4a8 {name}", t * 1e6, f"{tops:.0f} TOPS")
+            wb = w.astype(jnp.bfloat16)
+            t = measure_op(lambda a, w: jnp.dot(a, w), (xx, wb))
+            tops = 2.0 * PB * T * K * N / t / 1e12
+            rep(f"prefill gemm bf16 {name}", t * 1e6, f"{tops:.0f} TOPS")
+            del p, w, wb
+        pg, wg = pack_linear(next(ks), H, I)
+        pu, wu = pack_linear(next(ks), H, I)
+        glu = fuse_glu_layout(pg, pu)
+        t = measure_op(
+            lambda a, wp, sc: w4a8_glu_linear(
+                a, {"w_packed": wp, "s_channel": sc},
+                out_dtype=jnp.bfloat16),
+            (xp, glu["w_packed"], glu["s_channel"]),
+        )
+        tops = 2.0 * PB * T * H * 2 * I / t / 1e12
+        rep("prefill gemm w4a8 glu", t * 1e6, f"{tops:.0f} TOPS")
+        wgb, wub = wg.astype(jnp.bfloat16), wu.astype(jnp.bfloat16)
+        t = measure_op(
+            lambda a, g_, u_: jax.nn.silu(jnp.dot(a, g_)) * jnp.dot(a, u_),
+            (xp, wgb, wub),
+        )
+        tops = 2.0 * PB * T * H * 2 * I / t / 1e12
+        rep("prefill gemm bf16 gate+up", t * 1e6, f"{tops:.0f} TOPS")
+
+        # flash attention at the ladder's prefill shape (B=8, T=1024,
+        # S=1280 cache) vs the bf16 engine's dense-score attention
+        from qqq_tpu.kernels.attention import flash_attention_int8
+
+        Sp = 1280
+        qp = jax.random.normal(next(ks), (PB, 32, 1024, hd), jnp.bfloat16)
+        kp8 = jax.random.randint(next(ks), (PB, nkv, Sp, hd), -127, 127,
+                                 jnp.int8)
+        vp8 = jax.random.randint(next(ks), (PB, nkv, Sp, hd), -127, 127,
+                                 jnp.int8)
+        kps = jnp.abs(jax.random.normal(next(ks), (PB, nkv, Sp),
+                                        jnp.float32)) * 0.01
+        vps = jnp.abs(jax.random.normal(next(ks), (PB, nkv, Sp),
+                                        jnp.float32)) * 0.01
+        clen0 = jnp.zeros((PB,), jnp.int32)
+        for qk8 in (False, True):
+            t = measure_op(
+                lambda q_, k_, ks_, v_, vs_, qk8=qk8: flash_attention_int8(
+                    q_, k_, ks_, v_, vs_, clen0, causal=True,
+                    qk_int8=qk8),
+                (qp, kp8, kps, vp8, vps),
+            )
+            rep(f"prefill flash B=8 T=1024 qk_int8={qk8}", t * 1e6)
+
+        # full-layer prefill: decoder_layer at (8, 1024) with int8 cache
+        # write vs bf16 cache
+        for mode in ("w4a8", "bf16"):
+            params = m.init_params(llama7b(1), next(ks))
+            layer = params["layers"][0]
+            if mode == "w4a8":
+                newl = {}
+                for kname in ("q_proj", "k_proj", "v_proj", "o_proj",
+                              "gate_proj", "up_proj", "down_proj"):
+                    Kd, Nd = layer[kname]["w"].shape
+                    newl[kname], _ = pack_linear(next(ks), Kd, Nd)
+                layer = {**layer, **newl}
+                layer = m.fuse_inference_params(
+                    {"layers": [layer], "embed": params["embed"],
+                     "norm": params["norm"], "lm_head": None},
+                    cfg)["layers"][0]
+                cachep = {"k": kp8, "v": vp8, "k_scale": kps,
+                          "v_scale": vps}
+            else:
+                cachep = {
+                    "k": jax.random.normal(next(ks), (PB, nkv, Sp, hd),
+                                           jnp.bfloat16),
+                    "v": jax.random.normal(next(ks), (PB, nkv, Sp, hd),
+                                           jnp.bfloat16),
+                }
+            inv_freq = m.rope_inv_freq(cfg)
+            posp = jnp.broadcast_to(
+                jnp.arange(1024, dtype=jnp.int32)[None, :], (PB, 1024))
+            clz = jnp.zeros((PB,), jnp.int32)
+
+            def prefill_layer(a, cache, layer):
+                out, _ = m.decoder_layer(
+                    layer, a, posp, inv_freq, cfg, cache, clz)
+                return out
+
+            t = measure_op(
+                prefill_layer, (xp, cachep, layer),
+                perturb=lambda a, c: (a[0] * (1 + 1e-30 * c)
+                                      .astype(a[0].dtype), a[1], a[2]),
+            )
+            rep(f"prefill decoder_layer (8,1024) {mode}", t * 1e6)
+            del params, layer, cachep
+
     # --- full decoder layer tick --------------------------------------------
     for mode in ("w4a8", "bf16") if "layer" in only else ():
         params = m.init_params(llama7b(1), next(ks))
