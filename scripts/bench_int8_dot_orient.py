@@ -32,12 +32,18 @@ REPS = 16  # dots per kernel call (amortize call overhead)
 
 def kern(a_ref, b_ref, o_ref, *, dn, out_t):
     acc = jnp.zeros((M, N), jnp.float32)
+    a = a_ref[:]
     for i in range(REPS):
         d = jax.lax.dot_general(
-            a_ref[:], b_ref[:], dimension_numbers=(dn, ((), ())),
+            a, b_ref[:], dimension_numbers=(dn, ((), ())),
             preferred_element_type=out_t,
         )
         acc = acc + d.astype(jnp.float32)
+        # feed a bit of the accumulator back into the next operand so the
+        # REPS dots are data-dependent — otherwise Mosaic CSEs them into
+        # one dot and the "measurement" reads 1.8x hardware peak
+        dep = (acc[0:1, 0:1] > jnp.float32(1e30))
+        a = a + dep.astype(a.dtype)
     o_ref[:] = acc
 
 
