@@ -33,6 +33,125 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _slot_write_kernel(
+    clen_ref,   # (B,) int32 scalar-prefetch — position being written
+    kq_ref,     # (1, nkv, 1, hd) int8
+    ks_ref,     # (1, nkv, 1) f32
+    vq_ref, vs_ref,
+    kin_ref,    # (1, nkv, sblk, hd) int8 — S-tile holding the position
+    ksin_ref, vin_ref, vsin_ref,
+    kout_ref, ksout_ref, vout_ref, vsout_ref,
+    *,
+    sblk: int,
+):
+    b = pl.program_id(0)
+    off = clen_ref[b] % sblk
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, sblk, 1), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sblk), 1)
+    kout_ref[0] = jnp.where(sub == off, kq_ref[0], kin_ref[0])
+    vout_ref[0] = jnp.where(sub == off, vq_ref[0], vin_ref[0])
+    ksout_ref[0] = jnp.where(lane == off, ks_ref[0], ksin_ref[0])
+    vsout_ref[0] = jnp.where(lane == off, vs_ref[0], vsin_ref[0])
+
+
+def _quant_rows(x):
+    """(B, 1, nkv, hd) fp → ((B, nkv, 1, hd) int8, (B, nkv, 1) f32) —
+    serve/kv_cache._quant numerics on the head-major layout."""
+    xf = jnp.swapaxes(x, 1, 2).astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+    q = jnp.clip(jnp.round(xf / s), -128, 127).astype(jnp.int8)
+    return q, s[..., 0]
+
+
+_SLOT_WRITE_SBLK = 128  # S-tile streamed per request (divides every engine
+                        # max_len; 2 MB in+out per request at nkv=32,hd=128)
+
+
+def slot_decode_write_int8(
+    k_cache: jax.Array,   # (B, nkv, S, hd) int8
+    k_scale: jax.Array,   # (B, nkv, S) f32
+    v_cache: jax.Array,
+    v_scale: jax.Array,
+    k_new: jax.Array,     # (B, 1, nkv, hd) fp
+    v_new: jax.Array,
+    cache_len: jax.Array,  # (B,) int32 — position being written
+    *,
+    interpret: Optional[bool] = None,
+):
+    """Fixed-slot analogue of :func:`paged_decode_write_int8`: per request,
+    stream the ``_SLOT_WRITE_SBLK``-token S-tile containing ``cache_len``,
+    select the quantized token in, write it back in place."""
+    B, nkv, S, hd = k_cache.shape
+    sblk = _SLOT_WRITE_SBLK
+    assert S % sblk == 0, (S, sblk)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kq, ks = _quant_rows(k_new)
+    vq, vs = _quant_rows(v_new)
+
+    def tile_idx(b, c):
+        return (b, 0, jnp.minimum(c[b] // sblk, S // sblk - 1), 0)
+
+    def tile_idx3(b, c):
+        return (b, 0, jnp.minimum(c[b] // sblk, S // sblk - 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, nkv, 1, hd), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, 1), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, 1, hd), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, 1), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, sblk, hd), tile_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, sblk), tile_idx3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, sblk, hd), tile_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, sblk), tile_idx3,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nkv, sblk, hd), tile_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, sblk), tile_idx3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, sblk, hd), tile_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, sblk), tile_idx3,
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    kp, ksp, vp, vsp = pl.pallas_call(
+        functools.partial(_slot_write_kernel, sblk=sblk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ],
+        # flat inputs: 0=clen 1=kq 2=ks 3=vq 4=vs 5..8=pools
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        cache_len.astype(jnp.int32), kq, ks, vq, vs,
+        k_cache, k_scale, v_cache, v_scale,
+    )
+    return kp, ksp, vp, vsp
+
+
 def _write_kernel(
     tab_ref,    # (B, nbmax) int32 scalar-prefetch
     clen_ref,   # (B,) int32 scalar-prefetch — position being written
@@ -86,16 +205,9 @@ def paged_decode_write_int8(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def quant(x):
-        xf = x.astype(jnp.float32)
-        s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-        s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
-        q = jnp.clip(jnp.round(xf / s), -128, 127).astype(jnp.int8)
-        return q, s[..., 0]
-
     # (B, 1, nkv, hd) → (B, nkv, 1, hd); quantize in XLA (fused elementwise)
-    kq, ks = quant(jnp.swapaxes(k_new, 1, 2))
-    vq, vs = quant(jnp.swapaxes(v_new, 1, 2))
+    kq, ks = _quant_rows(k_new)
+    vq, vs = _quant_rows(v_new)
 
     def blk_idx(b, tab, c):
         # the block holding position clen[b]; clamp into the table

@@ -55,6 +55,20 @@ def write(
     offsets: jax.Array,  # (B,) int32
 ) -> Dict[str, Any]:
     quantized = "k_scale" in cache
+
+    if quantized and k_new.shape[1] == 1 and cache["k"].shape[2] % 128 == 0:
+        # decode fast path: in-place Pallas S-tile placement
+        # (kernels/kv_write.py) — the vmap'd dynamic_update_slice below
+        # lowers to a scatter of n_kv strided slivers per request across
+        # four buffers
+        from qqq_tpu.kernels.kv_write import slot_decode_write_int8
+
+        kp, ksp, vp, vsp = slot_decode_write_int8(
+            cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
+            k_new, v_new, offsets,
+        )
+        return {**cache, "k": kp, "k_scale": ksp, "v": vp, "v_scale": vsp}
+
     k_new = jnp.swapaxes(k_new, 1, 2)  # (B, n_kv, T, hd)
     v_new = jnp.swapaxes(v_new, 1, 2)
 

@@ -335,3 +335,42 @@ def test_paged_write_decode_routes_through_kernel(rng):
         kq.reshape(B, nkv, hd), mode="drop")
     np.testing.assert_array_equal(np.asarray(got["k"]),
                                   np.asarray(want_k))
+
+
+def test_slot_decode_write_kernel_matches_scatter(rng):
+    """kv_cache.write's T=1 kernel path must equal the scatter path."""
+    import qqq_tpu.serve.kv_cache as kvc
+    from qqq_tpu.kernels.kv_write import slot_decode_write_int8
+
+    class Cfg:
+        num_key_value_heads = 4
+        head_dim = 64
+        num_hidden_layers = 1
+
+    B, nkv, hd, S = 3, 4, 64, 256
+    cache = kvc.init(Cfg, B, S, quantized=True)[0]
+    k0 = jnp.asarray(rng.normal(size=(B, 5, nkv, hd)).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(size=(B, 5, nkv, hd)).astype(np.float32))
+    cache = kvc.write(cache, k0, v0, jnp.zeros((B,), jnp.int32))
+
+    offsets = jnp.asarray(np.array([5, 127, 128], np.int32))
+    k1 = jnp.asarray(rng.normal(size=(B, 1, nkv, hd)).astype(np.float32))
+    v1 = jnp.asarray(rng.normal(size=(B, 1, nkv, hd)).astype(np.float32))
+
+    got = kvc.write(cache, k1, v1, offsets)  # kernel path (T=1, S%128==0)
+
+    # oracle: the scatter path, forced by the vmap'd DUS inline
+    kq, ks = kvc._quant(jnp.swapaxes(k1, 1, 2))
+    vq, vs = kvc._quant(jnp.swapaxes(v1, 1, 2))
+    want_k = jax.vmap(
+        lambda c, x, off: jax.lax.dynamic_update_slice(c, x, (0, off, 0))
+    )(cache["k"], kq, offsets)
+    want_ks = jax.vmap(
+        lambda c, x, off: jax.lax.dynamic_update_slice(c, x, (0, off))
+    )(cache["k_scale"], ks, offsets)
+    np.testing.assert_array_equal(np.asarray(got["k"]), np.asarray(want_k))
+    np.testing.assert_allclose(np.asarray(got["k_scale"]),
+                               np.asarray(want_ks))
+    # untouched S-tiles preserved (aliasing): row 0 history at pos 0..4
+    np.testing.assert_array_equal(
+        np.asarray(got["v"][:, :, :5]), np.asarray(cache["v"][:, :, :5]))
