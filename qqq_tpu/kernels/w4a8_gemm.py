@@ -543,7 +543,6 @@ def w4a8_gemm(
     s_token = s_token.astype(jnp.float32)
 
     grid = (Mp // bm, Np // bn, K // bk)
-    a32 = a_q.astype(jnp.int32)
 
     common = dict(
         out_specs=pl.BlockSpec(
@@ -562,7 +561,9 @@ def w4a8_gemm(
     )
 
     if group_size == -1:
-        asum = jnp.sum(a32, axis=-1, keepdims=True)  # (Mp, 1) int32
+        # dtype-reduce: casting a_q to int32 first materializes a 4x
+        # copy of the activations (134 MB at M=8192, K=4096)
+        asum = jnp.sum(a_q, axis=-1, keepdims=True, dtype=jnp.int32)
         out = pl.pallas_call(
             functools.partial(
                 _w4a8_channel_kernel, block_k=bk, out_dtype=out_dtype
@@ -630,7 +631,8 @@ def w4a8_gemm(
         )
     else:
         bsum = jnp.sum(  # (Mp, K//128) per-128-block rowsums of a
-            a32.reshape(Mp, K // PACK_BLOCK, PACK_BLOCK), axis=-1
+            a_q.reshape(Mp, K // PACK_BLOCK, PACK_BLOCK), axis=-1,
+            dtype=jnp.int32
         )
         # s_group stays in its stored dtype (bf16/f32) — upcast in-kernel
         # Mosaic needs the s_group tile's sublane count 8-divisible: pad each
@@ -850,7 +852,6 @@ def w4a8_glu_gemm(
         a_q = jnp.pad(a_q, ((0, Mp - M), (0, 0)))
         s_token = jnp.pad(s_token, ((0, Mp - M), (0, 0)), constant_values=1.0)
     s_token = s_token.astype(jnp.float32)
-    a32 = a_q.astype(jnp.int32)
     grid = (Mp // bm, I // bn, K // bk)
 
     common = dict(
@@ -877,7 +878,7 @@ def w4a8_glu_gemm(
 
     if group_size == -1:
         assert s_channel is not None and s_channel.shape == (2 * I,)
-        asum = jnp.sum(a32, axis=-1, keepdims=True)
+        asum = jnp.sum(a_q, axis=-1, keepdims=True, dtype=jnp.int32)
         out = pl.pallas_call(
             functools.partial(
                 _w4a8_channel_glu_kernel, block_k=bk, out_dtype=out_dtype
@@ -933,7 +934,8 @@ def w4a8_glu_gemm(
         assert group_size == PACK_BLOCK
         assert s_group is not None and s_group.shape == (K // PACK_BLOCK, 2 * I)
         # s_group stays in its stored dtype (bf16/f32) — upcast in-kernel
-        bsum = jnp.sum(a32.reshape(Mp, K // PACK_BLOCK, PACK_BLOCK), axis=-1)
+        bsum = jnp.sum(a_q.reshape(Mp, K // PACK_BLOCK, PACK_BLOCK),
+                       axis=-1, dtype=jnp.int32)
         Gt = bk // PACK_BLOCK
         Gp = _round_up(Gt, 8)
         n_t = K // bk
