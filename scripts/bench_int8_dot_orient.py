@@ -42,7 +42,9 @@ def kern(a_ref, b_ref, o_ref, *, dn, out_t):
         # feed a bit of the accumulator back into the next operand so the
         # REPS dots are data-dependent — otherwise Mosaic CSEs them into
         # one dot and the "measurement" reads 1.8x hardware peak
-        dep = (acc[0:1, 0:1] > jnp.float32(1e30))
+        # (M, 1) so the broadcast is lanes-only (Mosaic can't broadcast a
+        # (1,1) scalar in both sublanes and lanes)
+        dep = (acc[:, 0:1] > jnp.float32(1e30))
         a = a + dep.astype(a.dtype)
     o_ref[:] = acc
 
