@@ -282,9 +282,13 @@ def flash_attention_int8(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if qk_int8 is None:
-        # decode/short chunks are HBM-bound slivers — the int8 dot buys
-        # nothing there and the extra qs plumbing costs a little
-        qk_int8 = T >= 64
+        # OFF by default: measured on v5e (scripts/bench_attention_roofline
+        # A/B, T=S ∈ {1k, 2k, 4k}) the s8·s8→s32 QKᵀ is 2-8% SLOWER than
+        # the bf16 dot — with contracting dims ((1,),(1,)) (K arrives
+        # (S, hd) from the cache) Mosaic does not hit the native int8 MXU
+        # rate, so the quantize/scale plumbing only adds cost.  The path
+        # stays available for study / future Mosaic versions.
+        qk_int8 = False
     if sblk is None:
         # swept on v5e: per-grid-step overhead + DMA setup beat the causal
         # skip's compute savings at small tiles — big tiles win (S=1024:
@@ -446,7 +450,7 @@ def paged_flash_attention_int8(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if qk_int8 is None:
-        qk_int8 = T >= 64  # same gate as flash_attention_int8
+        qk_int8 = False  # same (refuted-win) gate as flash_attention_int8
     if not interpret:
         assert bs % 32 == 0, f"block_size must be a 32-multiple, got {bs}"
     M = g * T
