@@ -56,7 +56,12 @@ def write(
 ) -> Dict[str, Any]:
     quantized = "k_scale" in cache
 
-    if quantized and k_new.shape[1] == 1 and cache["k"].shape[2] % 128 == 0:
+    import os
+    if (
+        quantized and k_new.shape[1] == 1
+        and cache["k"].shape[2] % 128 == 0
+        and not os.environ.get("QQQ_TPU_KV_WRITE_SCATTER")
+    ):
         # decode fast path: in-place Pallas S-tile placement
         # (kernels/kv_write.py) — the vmap'd dynamic_update_slice below
         # lowers to a scatter of n_kv strided slivers per request across

@@ -77,7 +77,8 @@ def write(
     bs = cache["k"].shape[2]
     quantized = "k_scale" in cache
 
-    if quantized and T == 1:
+    import os
+    if quantized and T == 1 and not os.environ.get("QQQ_TPU_KV_WRITE_SCATTER"):
         # decode fast path: in-place Pallas placement (kernels/kv_write.py)
         # — the XLA scatter below costs ~0.65 ms/layer at bs=16 (strided
         # slivers across 4 pool buffers); the kernel streams one block per
