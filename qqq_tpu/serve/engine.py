@@ -1043,6 +1043,128 @@ class Engine:
                 best, best_m = i, m
         return best, best_m
 
+    #: rows of the packed per-tick transfer: tokens, cache_len, active,
+    #: temp, top_k, top_p, min_p, presence, frequency, repetition,
+    #: seeded, seeds, ngen (floats ride bitcast as int32)
+    _TICK_ROWS = 13
+
+    def _pack_tick_args(self, active):
+        """Every small per-tick device input as ONE (13, B) int32 h2d.
+
+        The decode loop previously shipped ~13 separate (B,)-sized arrays
+        per tick (tokens, lengths, sampling/penalty/seed planes) — each
+        ``jnp.asarray`` pays a full tunnel round trip, and at bs=1 the
+        host/RPC share dominated TPOT (~70 ms/tick measured).  Returns
+        ``(buf, has_seeded)``; ``has_seeded`` stays a static so the
+        unseeded fast path keeps short-circuiting the second Gumbel field
+        (see _seed_arrays)."""
+        B = self.max_batch
+        buf = np.zeros((self._TICK_ROWS, B), np.int32)
+        buf[0] = self.slot_last_tok
+        buf[1] = self.slot_len
+        buf[2] = active
+        temp = np.zeros((B,), np.float32)
+        topp = np.ones((B,), np.float32)
+        minp = np.zeros((B,), np.float32)
+        pres = np.zeros((B,), np.float32)
+        freq = np.zeros((B,), np.float32)
+        rep = np.ones((B,), np.float32)
+        for i, r in enumerate(self.slot_req):
+            if r is None:
+                continue
+            sp = r.sampling
+            temp[i] = sp.temperature
+            buf[4, i] = sp.top_k
+            topp[i] = sp.top_p
+            minp[i] = sp.min_p
+            pres[i] = sp.presence_penalty
+            freq[i] = sp.frequency_penalty
+            rep[i] = sp.repetition_penalty
+            if sp.seed is not None and sp.temperature > 0.0:
+                buf[10, i] = 1
+                buf[11, i] = np.int32(sp.seed & 0x7FFFFFFF)
+                buf[12, i] = len(r.output_tokens)
+        buf[3] = temp.view(np.int32)
+        buf[5] = topp.view(np.int32)
+        buf[6] = minp.view(np.int32)
+        buf[7] = pres.view(np.int32)
+        buf[8] = freq.view(np.int32)
+        buf[9] = rep.view(np.int32)
+        return jnp.asarray(buf), bool(buf[10].any())
+
+    @staticmethod
+    def _unpack_tick(buf, has_seeded: bool):
+        def f(r):
+            return jax.lax.bitcast_convert_type(buf[r], jnp.float32)
+
+        tokens = buf[0][:, None]
+        cache_len = buf[1]
+        active = buf[2].astype(bool)
+        if has_seeded:
+            seeded, seeds, ngen = buf[10].astype(bool), buf[11], buf[12]
+        else:
+            seeded = seeds = ngen = None
+        return (tokens, cache_len, active, f(3), buf[4], f(5), f(6),
+                f(7), f(8), f(9), seeded, seeds, ngen)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "n_top", "has_seeded"),
+        donate_argnums=(3, 5),
+    )
+    def _decode_one_packed(self, params, buf, caches, key, counts,
+                           rep_mask, bias_ids, bias_vals, tables,
+                           allow_ids, n_top: int = 0,
+                           has_seeded: bool = False):
+        (tokens, cache_len, active, temp, topk, topp, minp, pres, freq,
+         rep, seeded, seeds, ngen) = self._unpack_tick(buf, has_seeded)
+        return self._decode_step(
+            params, tokens, caches, cache_len, key, active, temp, topk,
+            topp, minp, counts, rep_mask, pres, freq, rep, seeded, seeds,
+            ngen, bias_ids, bias_vals, tables, allow_ids, n_top,
+        )
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "n_steps", "n_top", "has_seeded"),
+        donate_argnums=(3, 5),
+    )
+    def _decode_multi_packed(self, params, buf, caches, key, counts,
+                             rep_mask, bias_ids, bias_vals, tables,
+                             n_steps: int, n_top: int = 0,
+                             has_seeded: bool = False):
+        (tokens, cache_len, active, temp, topk, topp, minp, pres, freq,
+         rep, seeded, seeds, ngen) = self._unpack_tick(buf, has_seeded)
+        return self._decode_multi(
+            params, tokens, caches, cache_len, key, active, temp, topk,
+            topp, minp, counts, rep_mask, pres, freq, rep, seeded, seeds,
+            ngen, bias_ids, bias_vals, tables, None,  # guided ⇒ chunk == 1
+            n_steps=n_steps, n_top=n_top,
+        )
+
+    @functools.partial(
+        jax.jit, static_argnames=("self",), donate_argnums=(3,)
+    )
+    def _decode_sharded_packed(self, params, buf, caches, key,
+                               tables=None):
+        t = self._unpack_tick(buf, False)
+        tokens, cache_len, active, temp = t[0], t[1], t[2], t[3]
+        return self._decode_step_sharded(
+            params, tokens, caches, cache_len, key, active, temp, tables,
+        )
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(3,)
+    )
+    def _decode_multi_sharded_packed(self, params, buf, caches, key,
+                                     tables, n_steps: int):
+        t = self._unpack_tick(buf, False)
+        tokens, cache_len, active, temp = t[0], t[1], t[2], t[3]
+        return self._decode_multi_sharded(
+            params, tokens, caches, cache_len, key, active, temp, tables,
+            n_steps=n_steps,
+        )
+
     def _seed_arrays(self, rows, n: int):
         """(seeded, seeds, ngen) device arrays for :func:`sample_batched`'s
         reproducible rows — ``ngen`` is each row's generation index so the
@@ -1862,13 +1984,10 @@ class Engine:
                 room = self.max_len - int(self.slot_len[slot]) - 1
                 budget = req.sampling.max_new_tokens - len(req.output_tokens)
                 chunk = max(1, min(chunk, room, budget))
-            tokens = jnp.asarray(self.slot_last_tok[:, None])
-            cache_len = jnp.asarray(self.slot_len)
             self.key, k = jax.random.split(self.key)
-            slist = [r.sampling if r is not None else None
-                     for r in self.slot_req]
-            samp = sampling_arrays(slist, self.max_batch)
-            pens = penalty_arrays(slist, self.max_batch)
+            # ONE packed h2d for every small per-tick input (tokens, lens,
+            # active, sampling/penalty/seed planes) — see _pack_tick_args
+            buf, has_seeded = self._pack_tick_args(active)
             # vocab-sharded sampling path: exact for greedy/temperature rows
             # (top-k/top-p order statistics and penalties need the full
             # row → gathered path)
@@ -1882,9 +2001,8 @@ class Engine:
                 for r in self.slot_req
             )
             if chunk == 1 and sharded:
-                next_tok, lp, self.caches = self._decode_fn_sharded(
-                    self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active), samp[0], self._tables_arg(),
+                next_tok, lp, self.caches = self._decode_sharded_packed(
+                    self.params, buf, self.caches, k, self._tables_arg(),
                 )
                 chunk_np, lp_np = self._fetch_tok_lp(
                     next_tok[:, None], lp[:, None]
@@ -1892,15 +2010,14 @@ class Engine:
                 tops_np = None
             elif chunk == 1:
                 next_tok, lp, self.caches, self.counts, tops = \
-                    self._decode_fn(
-                    self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active), *samp, self.counts,
-                    self.rep_mask, *pens,
-                    *self._seed_arrays(self.slot_req, self.max_batch),
+                    self._decode_one_packed(
+                    self.params, buf, self.caches, k, self.counts,
+                    self.rep_mask,
                     *self._bias_arrays(self.slot_req, self.max_batch),
                     self._tables_arg(),
                     self._allowed_arrays(self.slot_req, self.max_batch),
                     n_top=self._ntop(self.slot_req, self.max_batch),
+                    has_seeded=has_seeded,
                 )
                 chunk_np, lp_np = self._fetch_tok_lp(
                     next_tok[:, None], lp[:, None]
@@ -1910,25 +2027,22 @@ class Engine:
                     np.asarray(tops[1])[:, None],
                 )
             elif sharded:  # top-N rows are excluded from this path
-                toks, lps, self.caches = self._decode_multi_sharded(
-                    self.params, tokens, self.caches, cache_len, k,
-                    jnp.asarray(active), samp[0], self._tables_arg(),
+                toks, lps, self.caches = self._decode_multi_sharded_packed(
+                    self.params, buf, self.caches, k, self._tables_arg(),
                     n_steps=chunk,
                 )
                 chunk_np, lp_np = self._fetch_tok_lp(toks, lps)
                 tops_np = None
             else:
                 toks, lps, self.caches, self.counts, tops = \
-                    self._decode_multi(
-                        self.params, tokens, self.caches, cache_len, k,
-                        jnp.asarray(active), *samp, self.counts,
-                        self.rep_mask, *pens,
-                        *self._seed_arrays(self.slot_req, self.max_batch),
+                    self._decode_multi_packed(
+                        self.params, buf, self.caches, k, self.counts,
+                        self.rep_mask,
                         *self._bias_arrays(self.slot_req, self.max_batch),
                         self._tables_arg(),
-                        None,  # allow_ids: guided rows force chunk == 1
                         n_steps=chunk,
                         n_top=self._ntop(self.slot_req, self.max_batch),
+                        has_seeded=has_seeded,
                     )
                 chunk_np, lp_np = self._fetch_tok_lp(toks, lps)
                 tops_np = None if tops is None else (np.asarray(tops[0]),
