@@ -177,6 +177,155 @@ def _write_kernel(
     vsout_ref[0] = jnp.where(lane == off, vs_ref[0], vsin_ref[0])
 
 
+def _chunk_write_kernel(
+    tab_ref,    # (B, nbmax) int32 scalar-prefetch
+    clen_ref,   # (B,) int32 scalar-prefetch — first position of the chunk
+    kq_ref,     # (1, nkv, bs + Tp + bs, hd) int8 — PADDED chunk tokens
+    ks_ref,     # (1, nkv, bs + Tp + bs) f32
+    vq_ref, vs_ref,
+    kin_ref,    # (1, nkv, bs, hd) int8 — pool block vb0 + j (aliased)
+    ksin_ref, vin_ref, vsin_ref,
+    kout_ref, ksout_ref, vout_ref, vsout_ref,
+    *,
+    bs: int,
+    T: int,
+):
+    """Cell (b, j): place the chunk tokens landing in the row's
+    (clen//bs + j)-th virtual block.  Token t of the chunk (position
+    clen + t) maps to block sublane p = clen + t - vb·bs; the source is
+    pre-padded with ``bs`` rows on both sides so the bs-wide dynamic
+    slice at ``t0 + bs`` (t0 = vb·bs - clen ∈ [-(bs-1), T+bs)) is always
+    in bounds — pad rows are select-masked against the pool content."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    clen = clen_ref[b]
+    vb = clen // bs + j
+    t0 = vb * bs - clen
+    src = kq_ref[0, :, pl.ds(t0 + bs, bs), :]   # (nkv, bs, hd)
+    srcv = vq_ref[0, :, pl.ds(t0 + bs, bs), :]
+    srcks = ks_ref[0, :, pl.ds(t0 + bs, bs)]    # (nkv, bs)
+    srcvs = vs_ref[0, :, pl.ds(t0 + bs, bs)]
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, bs, 1), 1)
+    t = t0 + p  # chunk-token index at block sublane p
+    valid = (t >= 0) & (t < T)
+    kout_ref[0] = jnp.where(valid, src, kin_ref[0])
+    vout_ref[0] = jnp.where(valid, srcv, vin_ref[0])
+    lane_t = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+    lvalid = (lane_t >= 0) & (lane_t < T)
+    ksout_ref[0] = jnp.where(lvalid, srcks, ksin_ref[0])
+    vsout_ref[0] = jnp.where(lvalid, srcvs, vsin_ref[0])
+
+
+def paged_chunk_write_int8(
+    k_pool: jax.Array,   # (nb, nkv, bs, hd) int8
+    k_scale: jax.Array,  # (nb, nkv, bs) f32
+    v_pool: jax.Array,
+    v_scale: jax.Array,
+    k_new: jax.Array,    # (B, T, nkv, hd) fp — chunk tokens
+    v_new: jax.Array,
+    tables: jax.Array,   # (B, nbmax) int32
+    cache_len: jax.Array,  # (B,) int32 — position of the chunk's token 0
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Chunk-prefill analogue of :func:`paged_decode_write_int8`: one grid
+    cell per (request, touched pool block) — T//bs + 1 blocks per row
+    cover any chunk offset.  Cells whose virtual block exceeds the table
+    clamp to the row's LAST entry; their sublane mask is then all-false
+    (t ≥ T), so they rewrite that block unchanged."""
+    nb, nkv, bs, hd = k_pool.shape
+    B, T = k_new.shape[0], k_new.shape[1]
+    nbmax = tables.shape[1]
+    NB = -(-T // bs) + 1  # ceil(T/bs) blocks + 1 for any straddle offset
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def prep(x):
+        q, s = _quant_rows_t(x)
+        # pad bs rows both sides of the token axis
+        q = jnp.pad(q, ((0, 0), (0, 0), (bs, bs), (0, 0)))
+        s = jnp.pad(s, ((0, 0), (0, 0), (bs, bs)))
+        return q, s
+
+    kq, ks = prep(k_new)
+    vq, vs = prep(v_new)
+
+    def phys_of(b, j, tab, c):
+        # dead cells (virtual block past the chunk's last, or past the
+        # table) go to the NULL block: a dead cell's all-false mask makes
+        # it rewrite its input block, and if it aliased a LIVE block it
+        # would clobber that block's just-written update with stale
+        # content (two cells of one row may otherwise clamp to the same
+        # entry).  Live cells always hold distinct real blocks.
+        vb = c[b] // bs + j
+        dead = (vb * bs >= c[b] + T) | (vb >= tab.shape[1])
+        return jnp.where(
+            dead, 0, tab[b, jnp.minimum(vb, tab.shape[1] - 1)]
+        )
+
+    def blk_idx(b, j, tab, c):
+        return (phys_of(b, j, tab, c), 0, 0, 0)
+
+    def blk_idx3(b, j, tab, c):
+        return (phys_of(b, j, tab, c), 0, 0)
+
+    Tp = kq.shape[2]  # T + 2·bs
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, NB),
+        in_specs=[
+            pl.BlockSpec((1, nkv, Tp, hd), lambda b, j, tab, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, Tp), lambda b, j, tab, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, Tp, hd), lambda b, j, tab, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, Tp), lambda b, j, tab, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, bs, hd), blk_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, bs), blk_idx3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, bs, hd), blk_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, bs), blk_idx3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nkv, bs, hd), blk_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, bs), blk_idx3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, bs, hd), blk_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv, bs), blk_idx3, memory_space=pltpu.VMEM),
+        ],
+    )
+
+    kp, ksp, vp, vsp = pl.pallas_call(
+        functools.partial(_chunk_write_kernel, bs=bs, T=T),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ],
+        # flat inputs: 0=tables 1=clen 2=kq 3=ks 4=vq 5=vs 6..9=pools
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        tables.astype(jnp.int32), cache_len.astype(jnp.int32),
+        kq, ks, vq, vs, k_pool, k_scale, v_pool, v_scale,
+    )
+    return kp, ksp, vp, vsp
+
+
+def _quant_rows_t(x):
+    """(B, T, nkv, hd) fp → ((B, nkv, T, hd) int8, (B, nkv, T) f32)."""
+    xf = jnp.swapaxes(x, 1, 2).astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
+    q = jnp.clip(jnp.round(xf / s), -128, 127).astype(jnp.int8)
+    return q, s[..., 0]
+
+
 # NB: no donate_argnums — donation would invalidate a caller's pool arrays
 # in eager (test) use; inside the engine's jitted programs the pallas-level
 # input_output_aliases + XLA liveness give the in-place update.

@@ -78,17 +78,26 @@ def write(
     quantized = "k_scale" in cache
 
     import os
-    if quantized and T == 1 and not os.environ.get("QQQ_TPU_KV_WRITE_SCATTER"):
-        # decode fast path: in-place Pallas placement (kernels/kv_write.py)
-        # — the XLA scatter below costs ~0.65 ms/layer at bs=16 (strided
-        # slivers across 4 pool buffers); the kernel streams one block per
-        # request and aliases the pool in place
-        from qqq_tpu.kernels.kv_write import paged_decode_write_int8
-
-        kp, ksp, vp, vsp = paged_decode_write_int8(
-            cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
-            k_new, v_new, tables, offsets,
+    if quantized and not os.environ.get("QQQ_TPU_KV_WRITE_SCATTER"):
+        # in-place Pallas placement (kernels/kv_write.py) — the XLA scatter
+        # below costs ~0.65 ms/layer at bs=16 decode (strided slivers
+        # across 4 pool buffers) and a comparable share of every chunked
+        # prefill dispatch; the kernels stream whole blocks and alias the
+        # pool in place
+        from qqq_tpu.kernels.kv_write import (
+            paged_chunk_write_int8, paged_decode_write_int8,
         )
+
+        if T == 1:
+            kp, ksp, vp, vsp = paged_decode_write_int8(
+                cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
+                k_new, v_new, tables, offsets,
+            )
+        else:
+            kp, ksp, vp, vsp = paged_chunk_write_int8(
+                cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
+                k_new, v_new, tables, offsets,
+            )
         return {**cache, "k": kp, "k_scale": ksp, "v": vp, "v_scale": vsp}
 
     pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B, T)

@@ -374,3 +374,58 @@ def test_slot_decode_write_kernel_matches_scatter(rng):
     # untouched S-tiles preserved (aliasing): row 0 history at pos 0..4
     np.testing.assert_array_equal(
         np.asarray(got["v"][:, :, :5]), np.asarray(cache["v"][:, :, :5]))
+
+
+@pytest.mark.parametrize("T,off0", [(64, 0), (64, 13), (96, 31), (5, 60)])
+def test_paged_chunk_write_kernel_matches_scatter(rng, T, off0):
+    """The chunked (T>1) in-place write must equal the scatter path for
+    any chunk offset, including block-straddling and tiny (spec-verify)
+    chunks."""
+    from qqq_tpu.kernels.kv_write import paged_chunk_write_int8
+
+    class Cfg:
+        num_key_value_heads = 2
+        head_dim = 64
+        num_hidden_layers = 1
+
+    B, nkv, hd, bs, nbmax = 2, 2, 64, 32, 6
+    pool = paged_kv.init(Cfg, num_blocks=1 + B * nbmax, block_size=bs,
+                         quantized=True)[0]
+    tables = jnp.asarray(
+        np.arange(B * nbmax, dtype=np.int32).reshape(B, nbmax) + 1
+    )
+    # history before the chunk
+    if off0:
+        k0 = jnp.asarray(rng.normal(size=(B, off0, nkv, hd))
+                         .astype(np.float32))
+        v0 = jnp.asarray(rng.normal(size=(B, off0, nkv, hd))
+                         .astype(np.float32))
+        pool = dict(zip(
+            ("k", "k_scale", "v", "v_scale"),
+            __import__("qqq_tpu.kernels.kv_write", fromlist=["x"])
+            .paged_chunk_write_int8(
+                pool["k"], pool["k_scale"], pool["v"], pool["v_scale"],
+                k0, v0, tables, jnp.zeros((B,), jnp.int32))
+        ))
+    offsets = jnp.full((B,), off0, jnp.int32)
+    k1 = jnp.asarray(rng.normal(size=(B, T, nkv, hd)).astype(np.float32))
+    v1 = jnp.asarray(rng.normal(size=(B, T, nkv, hd)).astype(np.float32))
+
+    got_k, got_ks, got_v, got_vs = paged_chunk_write_int8(
+        pool["k"], pool["k_scale"], pool["v"], pool["v_scale"],
+        k1, v1, tables, offsets,
+    )
+
+    # oracle: the module's scatter branch
+    import os
+    os.environ["QQQ_TPU_KV_WRITE_SCATTER"] = "1"
+    try:
+        want = paged_kv.write(pool, k1, v1, offsets, tables)
+    finally:
+        del os.environ["QQQ_TPU_KV_WRITE_SCATTER"]
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want["k"]))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want["v"]))
+    np.testing.assert_allclose(np.asarray(got_ks),
+                               np.asarray(want["k_scale"]))
+    np.testing.assert_allclose(np.asarray(got_vs),
+                               np.asarray(want["v_scale"]))
