@@ -266,11 +266,11 @@ def flash_attention_int8(
     chunk's own K/V must already be quantized into the cache at positions
     [cache_len, cache_len + T).  Returns (B, n_heads, T, hd) in q.dtype.
 
-    ``qk_int8`` (auto: on for prefill-sized chunks, T ≥ 64): run QKᵀ as an
-    s8·s8→s32 MXU dot — q quantized per row, exact i32 scores rescaled by
-    (row scale × column k-scale).  ~2× the bf16 dot rate on v5e; adds only
-    q-quantization error (~0.4 % relative, the per-token activation-quant
-    class).  P·V stays bf16.
+    ``qk_int8`` (default OFF): run QKᵀ as an s8·s8→s32 MXU dot — q
+    quantized per row, exact i32 scores rescaled by (row scale × column
+    k-scale), P·V stays bf16.  Measured on v5e this is 2-8% SLOWER than
+    the bf16 dot (the ((1,),(1,)) transposed-RHS s8 dot does not hit the
+    native int8 MXU rate) — kept opt-in for study/future Mosaic.
 
     Decode is the T=1 special case; use this over
     :func:`decode_attention_int8` when ``hblk × S × hd`` no longer fits VMEM

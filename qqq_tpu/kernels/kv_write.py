@@ -43,9 +43,13 @@ def _slot_write_kernel(
     kout_ref, ksout_ref, vout_ref, vsout_ref,
     *,
     sblk: int,
+    S: int,
 ):
     b = pl.program_id(0)
-    off = clen_ref[b] % sblk
+    # clamp like the dynamic_update_slice this replaces: an at-capacity
+    # row (clen >= S) writes position S-1, not (last tile) + clen % sblk
+    pos = jnp.minimum(clen_ref[b], S - 1)
+    off = pos % sblk
     sub = jax.lax.broadcasted_iota(jnp.int32, (1, sblk, 1), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, sblk), 1)
     kout_ref[0] = jnp.where(sub == off, kq_ref[0], kin_ref[0])
@@ -55,13 +59,12 @@ def _slot_write_kernel(
 
 
 def _quant_rows(x):
-    """(B, 1, nkv, hd) fp → ((B, nkv, 1, hd) int8, (B, nkv, 1) f32) —
-    serve/kv_cache._quant numerics on the head-major layout."""
-    xf = jnp.swapaxes(x, 1, 2).astype(jnp.float32)
-    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
-    q = jnp.clip(jnp.round(xf / s), -128, 127).astype(jnp.int8)
-    return q, s[..., 0]
+    """(B, T, nkv, hd) fp → ((B, nkv, T, hd) int8, (B, nkv, T) f32):
+    serve/kv_cache._quant (the single source of the KV quant numerics) on
+    the head-major layout."""
+    from qqq_tpu.serve.kv_cache import _quant
+
+    return _quant(jnp.swapaxes(x, 1, 2))
 
 
 _SLOT_WRITE_SBLK = 128  # S-tile streamed per request (divides every engine
@@ -131,7 +134,7 @@ def slot_decode_write_int8(
     )
 
     kp, ksp, vp, vsp = pl.pallas_call(
-        functools.partial(_slot_write_kernel, sblk=sblk),
+        functools.partial(_slot_write_kernel, sblk=sblk, S=S),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
@@ -241,7 +244,7 @@ def paged_chunk_write_int8(
         interpret = jax.default_backend() != "tpu"
 
     def prep(x):
-        q, s = _quant_rows_t(x)
+        q, s = _quant_rows(x)
         # pad bs rows both sides of the token axis
         q = jnp.pad(q, ((0, 0), (0, 0), (bs, bs), (0, 0)))
         s = jnp.pad(s, ((0, 0), (0, 0), (bs, bs)))
@@ -317,15 +320,6 @@ def paged_chunk_write_int8(
     return kp, ksp, vp, vsp
 
 
-def _quant_rows_t(x):
-    """(B, T, nkv, hd) fp → ((B, nkv, T, hd) int8, (B, nkv, T) f32)."""
-    xf = jnp.swapaxes(x, 1, 2).astype(jnp.float32)
-    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    s = jnp.maximum(s, jnp.finfo(jnp.float32).tiny)
-    q = jnp.clip(jnp.round(xf / s), -128, 127).astype(jnp.int8)
-    return q, s[..., 0]
-
-
 # NB: no donate_argnums — donation would invalidate a caller's pool arrays
 # in eager (test) use; inside the engine's jitted programs the pallas-level
 # input_output_aliases + XLA liveness give the in-place update.
@@ -358,14 +352,22 @@ def paged_decode_write_int8(
     kq, ks = _quant_rows(k_new)
     vq, vs = _quant_rows(v_new)
 
+    def phys_of(b, tab, c):
+        # the block holding position clen[b]; out-of-capacity positions
+        # route to the NULL block like the scatter path (paged_kv.write's
+        # "never into the clamped last live block" contract) — clamping
+        # into the table would clobber the row's last live block
+        vb = c[b] // bs
+        return jnp.where(
+            vb >= tab.shape[1], 0,
+            tab[b, jnp.minimum(vb, tab.shape[1] - 1)],
+        )
+
     def blk_idx(b, tab, c):
-        # the block holding position clen[b]; clamp into the table
-        vb = jnp.minimum(c[b] // bs, tab.shape[1] - 1)
-        return (tab[b, vb], 0, 0, 0)
+        return (phys_of(b, tab, c), 0, 0, 0)
 
     def blk_idx3(b, tab, c):
-        vb = jnp.minimum(c[b] // bs, tab.shape[1] - 1)
-        return (tab[b, vb], 0, 0)
+        return (phys_of(b, tab, c), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

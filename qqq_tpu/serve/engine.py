@@ -540,11 +540,9 @@ class Engine:
                 )
             )
 
-        # donate the cache buffers: the update aliases in place instead of
-        # copying the whole (B, nkv, S, hd) store every step; the counts
-        # buffer (positional arg 10 of the bound method) aliases the same way
-        self._decode_fn = jax.jit(self._decode_step, donate_argnums=(2, 10),
-                                  static_argnames=("n_top",))
+        # decode ticks go through the *_packed jits (one packed h2d per
+        # tick, caches/counts donated there); only the chunk-prefill and
+        # spec programs keep their direct jit wrappers
         self._prefill_chunk_fn = jax.jit(
             self._prefill_chunk_step, donate_argnums=(2,),
             static_argnames=("n_top",),
@@ -572,10 +570,6 @@ class Engine:
             ].set(True, mode="drop"),
             donate_argnums=(0,),
         )
-        if mesh is not None:
-            self._decode_fn_sharded = jax.jit(
-                self._decode_step_sharded, donate_argnums=(2,)
-            )
         self._prefill_fn = jax.jit(self._prefill, static_argnames=("n_top",))
         self._score_fn = None
 
