@@ -38,6 +38,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _tpu_watchdog import progress  # noqa: E402 (starts on import)
 
 import jax
 
@@ -101,6 +104,7 @@ def build_params(config, *, quantize, group_size, seed=0):
                 _quantize_params(one, config, group_size=group_size)
             )["layers"][0]
         layers.append(layer)
+        progress(f"built layer {i}")
         del p1
     top["layers"] = layers
     return top
@@ -123,6 +127,7 @@ def run_once(eng, config, bs, in_len, out_len, seed=1):
     t0 = time.perf_counter()
     eng.run(reqs)
     dt = time.perf_counter() - t0
+    progress(f"run bs={bs} in={in_len} out={out_len} done")
     for r in reqs:
         assert len(r.output_tokens) == out_len, len(r.output_tokens)
     return dt
