@@ -183,8 +183,8 @@ def _write_kernel(
 def _chunk_write_kernel(
     tab_ref,    # (B, nbmax) int32 scalar-prefetch
     clen_ref,   # (B,) int32 scalar-prefetch — first position of the chunk
-    kq_ref,     # (1, nkv, bs + Tp + bs, hd) int8 — PADDED chunk tokens
-    ks_ref,     # (1, nkv, bs + Tp + bs) f32
+    kq_ref,     # (1, nkv, bs, hd) int8 — j-th bs-slice of the SHIFTED chunk
+    ks_ref,     # (1, nkv, bs) f32
     vq_ref, vs_ref,
     kin_ref,    # (1, nkv, bs, hd) int8 — pool block vb0 + j (aliased)
     ksin_ref, vin_ref, vsin_ref,
@@ -194,29 +194,24 @@ def _chunk_write_kernel(
     T: int,
 ):
     """Cell (b, j): place the chunk tokens landing in the row's
-    (clen//bs + j)-th virtual block.  Token t of the chunk (position
-    clen + t) maps to block sublane p = clen + t - vb·bs; the source is
-    pre-padded with ``bs`` rows on both sides so the bs-wide dynamic
-    slice at ``t0 + bs`` (t0 = vb·bs - clen ∈ [-(bs-1), T+bs)) is always
-    in bounds — pad rows are select-masked against the pool content."""
+    (clen//bs + j)-th virtual block.  The host wrapper pre-shifts each
+    row's tokens so token t sits at padded row (clen % bs) + t — the
+    source block delivered by the index map (static j·bs slice) is then
+    already sublane-aligned with the destination block, and Mosaic sees
+    no dynamic slice (dynamic sublane starts must be provably 8-aligned,
+    which a chunk offset is not)."""
     b = pl.program_id(0)
     j = pl.program_id(1)
-    clen = clen_ref[b]
-    vb = clen // bs + j
-    t0 = vb * bs - clen
-    src = kq_ref[0, :, pl.ds(t0 + bs, bs), :]   # (nkv, bs, hd)
-    srcv = vq_ref[0, :, pl.ds(t0 + bs, bs), :]
-    srcks = ks_ref[0, :, pl.ds(t0 + bs, bs)]    # (nkv, bs)
-    srcvs = vs_ref[0, :, pl.ds(t0 + bs, bs)]
+    off = clen_ref[b] % bs
     p = jax.lax.broadcasted_iota(jnp.int32, (1, bs, 1), 1)
-    t = t0 + p  # chunk-token index at block sublane p
+    t = j * bs + p - off  # chunk-token index at block sublane p
     valid = (t >= 0) & (t < T)
-    kout_ref[0] = jnp.where(valid, src, kin_ref[0])
-    vout_ref[0] = jnp.where(valid, srcv, vin_ref[0])
-    lane_t = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+    kout_ref[0] = jnp.where(valid, kq_ref[0], kin_ref[0])
+    vout_ref[0] = jnp.where(valid, vq_ref[0], vin_ref[0])
+    lane_t = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1) - off
     lvalid = (lane_t >= 0) & (lane_t < T)
-    ksout_ref[0] = jnp.where(lvalid, srcks, ksin_ref[0])
-    vsout_ref[0] = jnp.where(lvalid, srcvs, vsin_ref[0])
+    ksout_ref[0] = jnp.where(lvalid, ks_ref[0], ksin_ref[0])
+    vsout_ref[0] = jnp.where(lvalid, vs_ref[0], vsin_ref[0])
 
 
 def paged_chunk_write_int8(
@@ -233,9 +228,10 @@ def paged_chunk_write_int8(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Chunk-prefill analogue of :func:`paged_decode_write_int8`: one grid
     cell per (request, touched pool block) — T//bs + 1 blocks per row
-    cover any chunk offset.  Cells whose virtual block exceeds the table
-    clamp to the row's LAST entry; their sublane mask is then all-false
-    (t ≥ T), so they rewrite that block unchanged."""
+    cover any chunk offset.  Dead cells (virtual block past the chunk's
+    last, or past the table) route to the NULL block with an all-false
+    sublane mask; null-block content is unspecified by the module
+    contract, so their rewrite is harmless."""
     nb, nkv, bs, hd = k_pool.shape
     B, T = k_new.shape[0], k_new.shape[1]
     nbmax = tables.shape[1]
@@ -243,11 +239,19 @@ def paged_chunk_write_int8(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    off = (cache_len.astype(jnp.int32) % bs)  # (B,) block-sublane offset
+    Tp = NB * bs
+    rows = jnp.arange(Tp, dtype=jnp.int32)
+    # padded row p holds chunk token p - off[b]; the gather is chunk-sized
+    # (cheap vs the pool writes) and runs in XLA, where arbitrary dynamic
+    # row addressing is free — the Pallas kernel then only sees statically
+    # aligned j*bs source blocks via its index map
+    src_t = jnp.clip(rows[None, :] - off[:, None], 0, T - 1)  # (B, Tp)
+
     def prep(x):
-        q, s = _quant_rows(x)
-        # pad bs rows both sides of the token axis
-        q = jnp.pad(q, ((0, 0), (0, 0), (bs, bs), (0, 0)))
-        s = jnp.pad(s, ((0, 0), (0, 0), (bs, bs)))
+        q, s = _quant_rows(x)  # (B, nkv, T, hd), (B, nkv, T)
+        q = jnp.take_along_axis(q, src_t[:, None, :, None], axis=2)
+        s = jnp.take_along_axis(s, src_t[:, None, :], axis=2)
         return q, s
 
     kq, ks = prep(k_new)
@@ -272,18 +276,17 @@ def paged_chunk_write_int8(
     def blk_idx3(b, j, tab, c):
         return (phys_of(b, j, tab, c), 0, 0)
 
-    Tp = kq.shape[2]  # T + 2·bs
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, NB),
         in_specs=[
-            pl.BlockSpec((1, nkv, Tp, hd), lambda b, j, tab, c: (b, 0, 0, 0),
+            pl.BlockSpec((1, nkv, bs, hd), lambda b, j, tab, c: (b, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nkv, Tp), lambda b, j, tab, c: (b, 0, 0),
+            pl.BlockSpec((1, nkv, bs), lambda b, j, tab, c: (b, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nkv, Tp, hd), lambda b, j, tab, c: (b, 0, 0, 0),
+            pl.BlockSpec((1, nkv, bs, hd), lambda b, j, tab, c: (b, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nkv, Tp), lambda b, j, tab, c: (b, 0, 0),
+            pl.BlockSpec((1, nkv, bs), lambda b, j, tab, c: (b, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nkv, bs, hd), blk_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nkv, bs), blk_idx3, memory_space=pltpu.VMEM),

@@ -93,12 +93,18 @@ def write(
                 cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
                 k_new, v_new, tables, offsets,
             )
-        else:
+            return {**cache, "k": kp, "k_scale": ksp,
+                    "v": vp, "v_scale": vsp}
+        # the chunk kernel's source-scale lane blocks are bs wide — Mosaic
+        # requires lane blocks 128-divisible (or equal to the array dim),
+        # so narrow block sizes take the XLA scatter below on real TPUs
+        if bs % 128 == 0 or jax.default_backend() != "tpu":
             kp, ksp, vp, vsp = paged_chunk_write_int8(
                 cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
                 k_new, v_new, tables, offsets,
             )
-        return {**cache, "k": kp, "k_scale": ksp, "v": vp, "v_scale": vsp}
+            return {**cache, "k": kp, "k_scale": ksp,
+                    "v": vp, "v_scale": vsp}
 
     pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B, T)
     vblock = pos // bs
