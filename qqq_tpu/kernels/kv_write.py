@@ -228,16 +228,33 @@ def paged_chunk_write_int8(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Chunk-prefill analogue of :func:`paged_decode_write_int8`: one grid
     cell per (request, touched pool block) — T//bs + 1 blocks per row
-    cover any chunk offset.  Dead cells (virtual block past the chunk's
-    last, or past the table) route to the NULL block with an all-false
-    sublane mask; null-block content is unspecified by the module
-    contract, so their rewrite is harmless."""
+    cover any chunk offset.  Dead cells come in two flavors: a virtual
+    block past the chunk's last token gets an ALL-FALSE sublane mask and
+    rewrites the null block unchanged, while a cell whose virtual block
+    overflows the table (vb >= nbmax) keeps its live mask and writes its
+    overflow tokens INTO the null block — intentional: null-block content
+    is unspecified by the module contract, so both rewrites are
+    harmless."""
     nb, nkv, bs, hd = k_pool.shape
     B, T = k_new.shape[0], k_new.shape[1]
     nbmax = tables.shape[1]
     NB = -(-T // bs) + 1  # ceil(T/bs) blocks + 1 for any straddle offset
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    if B > _PAGED_WRITE_MAX_ROWS:
+        # same ≤8-row chunking as paged_decode_write_int8 (the backend
+        # fault bisected there keys on the size of grid dim 0); engine
+        # dispatches are already grouped ≤ prefill_batch = 8, so this only
+        # triggers for callers that raise prefill_batch
+        pools = (k_pool, k_scale, v_pool, v_scale)
+        for lo in range(0, B, _PAGED_WRITE_MAX_ROWS):
+            hi = min(lo + _PAGED_WRITE_MAX_ROWS, B)
+            pools = paged_chunk_write_int8(
+                *pools, k_new[lo:hi], v_new[lo:hi], tables[lo:hi],
+                cache_len[lo:hi], interpret=interpret,
+            )
+        return pools
 
     off = (cache_len.astype(jnp.int32) % bs)  # (B,) block-sublane offset
     Tp = NB * bs
@@ -323,9 +340,22 @@ def paged_chunk_write_int8(
     return kp, ksp, vp, vsp
 
 
+# Max grid rows per pallas_call: a REAL device fault, not a tuning knob.
+# On the v5e runtime (jax 0.9.0 Mosaic), this kernel's grid with
+# data-dependent OUTPUT block index maps (phys_of from scalar-prefetch
+# tables) executes correctly up to grid=(8,) and raises `INTERNAL: TPU
+# backend error` at grid=(9,)+ (bisected in scripts/repro_paged_write_
+# fault3.py; the slot kernel, whose dim-0 output map is the monotone grid
+# index itself, runs fine at grid=(16,)).  Larger batches are chunked into
+# ≤8-row calls chained through the aliased pools.
+_PAGED_WRITE_MAX_ROWS = 8
+
+
 # NB: no donate_argnums — donation would invalidate a caller's pool arrays
 # in eager (test) use; inside the engine's jitted programs the pallas-level
-# input_output_aliases + XLA liveness give the in-place update.
+# input_output_aliases + XLA liveness give the in-place update.  On real
+# TPUs call this under jit: the eager path (which must copy the aliased
+# pool buffers) trips the same backend fault class at any B.
 def paged_decode_write_int8(
     k_pool: jax.Array,   # (nb, nkv, bs, hd) int8
     k_scale: jax.Array,  # (nb, nkv, bs) f32
@@ -354,6 +384,34 @@ def paged_decode_write_int8(
     # (B, 1, nkv, hd) → (B, nkv, 1, hd); quantize in XLA (fused elementwise)
     kq, ks = _quant_rows(k_new)
     vq, vs = _quant_rows(v_new)
+
+    if B > _PAGED_WRITE_MAX_ROWS:
+        # chunk the batch: each ≤8-row call aliases the pools of the
+        # previous one, so the chain is still fully in place (extra cost is
+        # one kernel dispatch per 8 rows, ~µs against a decode tick)
+        pools = (k_pool, k_scale, v_pool, v_scale)
+        for lo in range(0, B, _PAGED_WRITE_MAX_ROWS):
+            hi = min(lo + _PAGED_WRITE_MAX_ROWS, B)
+            pools = _paged_decode_write_call(
+                *pools, kq[lo:hi], ks[lo:hi], vq[lo:hi], vs[lo:hi],
+                tables[lo:hi], cache_len[lo:hi], interpret=interpret,
+            )
+        return pools
+    return _paged_decode_write_call(
+        k_pool, k_scale, v_pool, v_scale, kq, ks, vq, vs,
+        tables, cache_len, interpret=interpret,
+    )
+
+
+def _paged_decode_write_call(
+    k_pool, k_scale, v_pool, v_scale,
+    kq, ks, vq, vs,      # pre-quantized rows: (B, nkv, 1, hd) int8 / scales
+    tables, cache_len,
+    *,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    nb, nkv, bs, hd = k_pool.shape
+    B = kq.shape[0]
 
     def phys_of(b, tab, c):
         # the block holding position clen[b]; out-of-capacity positions

@@ -429,3 +429,85 @@ def test_paged_chunk_write_kernel_matches_scatter(rng, T, off0):
                                np.asarray(want["k_scale"]))
     np.testing.assert_allclose(np.asarray(got_vs),
                                np.asarray(want["v_scale"]))
+
+
+@pytest.mark.parametrize("B", [9, 13, 16])
+def test_paged_decode_write_chunked_rows_match_scatter(rng, B):
+    """B > 8 routes through the ≤8-row chunked kernel chain (the v5e
+    runtime faults on this kernel's grid above 8 rows — bisected in
+    scripts/repro_paged_write_fault3.py; kernels/kv_write.py
+    _PAGED_WRITE_MAX_ROWS).  The chained calls must still equal the
+    scatter oracle on every non-null block."""
+    from qqq_tpu.kernels.kv_write import paged_decode_write_int8
+
+    class Cfg:
+        num_key_value_heads = 4
+        head_dim = 64
+        num_hidden_layers = 1
+
+    nkv, hd, bs, nbmax = 4, 64, 32, 4
+    pool = paged_kv.init(Cfg, num_blocks=1 + B * nbmax, block_size=bs,
+                         quantized=True)[0]
+    tables = jnp.asarray(
+        np.arange(B * nbmax, dtype=np.int32).reshape(B, nbmax) + 1
+    )
+    offsets = jnp.asarray((np.arange(B, dtype=np.int32) * 37)
+                          % (nbmax * bs))
+    k1 = jnp.asarray(rng.normal(size=(B, 1, nkv, hd)).astype(np.float32))
+    v1 = jnp.asarray(rng.normal(size=(B, 1, nkv, hd)).astype(np.float32))
+
+    got_k, got_ks, got_v, got_vs = paged_decode_write_int8(
+        pool["k"], pool["k_scale"], pool["v"], pool["v_scale"],
+        k1, v1, tables, offsets,
+    )
+    import os
+    os.environ["QQQ_TPU_KV_WRITE_SCATTER"] = "1"
+    try:
+        want = paged_kv.write(pool, k1, v1, offsets, tables)
+    finally:
+        del os.environ["QQQ_TPU_KV_WRITE_SCATTER"]
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want["k"]))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want["v"]))
+    np.testing.assert_allclose(np.asarray(got_ks),
+                               np.asarray(want["k_scale"]))
+    np.testing.assert_allclose(np.asarray(got_vs),
+                               np.asarray(want["v_scale"]))
+
+
+@pytest.mark.parametrize("B", [9, 12])
+def test_paged_chunk_write_chunked_rows_match_scatter(rng, B):
+    """Chunk-prefill writes with B > 8 rows take the same ≤8-row chain."""
+    from qqq_tpu.kernels.kv_write import paged_chunk_write_int8
+
+    class Cfg:
+        num_key_value_heads = 2
+        head_dim = 64
+        num_hidden_layers = 1
+
+    nkv, hd, bs, nbmax, T = 2, 64, 32, 5, 48
+    pool = paged_kv.init(Cfg, num_blocks=1 + B * nbmax, block_size=bs,
+                         quantized=True)[0]
+    tables = jnp.asarray(
+        np.arange(B * nbmax, dtype=np.int32).reshape(B, nbmax) + 1
+    )
+    offsets = jnp.asarray((np.arange(B, dtype=np.int32) * 29)
+                          % (nbmax * bs - T))
+    k1 = jnp.asarray(rng.normal(size=(B, T, nkv, hd)).astype(np.float32))
+    v1 = jnp.asarray(rng.normal(size=(B, T, nkv, hd)).astype(np.float32))
+
+    got_k, got_ks, got_v, got_vs = paged_chunk_write_int8(
+        pool["k"], pool["k_scale"], pool["v"], pool["v_scale"],
+        k1, v1, tables, offsets,
+    )
+    import os
+    os.environ["QQQ_TPU_KV_WRITE_SCATTER"] = "1"
+    try:
+        want = paged_kv.write(pool, k1, v1, offsets, tables)
+    finally:
+        del os.environ["QQQ_TPU_KV_WRITE_SCATTER"]
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want["k"]))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want["v"]))
+    np.testing.assert_allclose(np.asarray(got_ks),
+                               np.asarray(want["k_scale"]))
+    np.testing.assert_allclose(np.asarray(got_vs),
+                               np.asarray(want["v_scale"]))
