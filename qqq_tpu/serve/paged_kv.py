@@ -29,15 +29,12 @@ out).  Token at sequence position ``p`` of a request lives at
 
 from __future__ import annotations
 
-import warnings
 from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from qqq_tpu.serve.kv_cache import _quant
-
-_WARNED_SCATTER_FALLBACK = False
 
 
 def init(
@@ -82,45 +79,51 @@ def write(
 
     import os
     if quantized and not os.environ.get("QQQ_TPU_KV_WRITE_SCATTER"):
-        # in-place Pallas placement (kernels/kv_write.py) — the XLA scatter
-        # below costs ~0.65 ms/layer at bs=16 decode (strided slivers
-        # across 4 pool buffers) and a comparable share of every chunked
-        # prefill dispatch; the kernels stream whole blocks and alias the
-        # pool in place
-        from qqq_tpu.kernels.kv_write import (
-            paged_chunk_write_int8, paged_decode_write_int8,
-        )
+        if os.environ.get("QQQ_TPU_KV_WRITE_PALLAS"):
+            # experimental: the in-place Pallas kernels
+            # (kernels/kv_write.py).  Correct and fast standalone, but
+            # inside the engine's fused decode program (lax.scan over
+            # steps × layers, attention kernels in the same program) their
+            # data-dependent OUTPUT block index maps trip a v5e runtime
+            # fault (`FAILED_PRECONDITION/INTERNAL: TPU backend error`)
+            # once a tick composes enough of them — every paged bs=16
+            # serving run died this way (r4 q02, r5 q01) while bs ≤ 4
+            # survived.  Kept behind this flag for future Mosaic toolchains.
+            from qqq_tpu.kernels.kv_write import (
+                paged_chunk_write_int8, paged_decode_write_int8,
+            )
 
-        if T == 1:
-            kp, ksp, vp, vsp = paged_decode_write_int8(
-                cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
-                k_new, v_new, tables, offsets,
-            )
-            return {**cache, "k": kp, "k_scale": ksp,
-                    "v": vp, "v_scale": vsp}
-        # the chunk kernel's source-scale lane blocks are bs wide — Mosaic
-        # requires lane blocks 128-divisible (or equal to the array dim),
-        # so narrow block sizes take the XLA scatter below on real TPUs
-        # (~0.65 ms/layer vs the in-place kernel; warn once so the perf
-        # cliff is visible to users picking block_size < 128)
-        if bs % 128 != 0 and jax.default_backend() == "tpu":
-            global _WARNED_SCATTER_FALLBACK
-            if not _WARNED_SCATTER_FALLBACK:
-                _WARNED_SCATTER_FALLBACK = True
-                warnings.warn(
-                    f"paged chunk-prefill write: block_size={bs} is not a "
-                    "multiple of 128, falling back to the XLA scatter path "
-                    "(~0.65 ms/layer slower than the in-place kernel); use "
-                    "block_size=128 for full paged prefill performance",
-                    stacklevel=2,
+            if T == 1:
+                kp, ksp, vp, vsp = paged_decode_write_int8(
+                    cache["k"], cache["k_scale"],
+                    cache["v"], cache["v_scale"],
+                    k_new, v_new, tables, offsets,
                 )
-        if bs % 128 == 0 or jax.default_backend() != "tpu":
-            kp, ksp, vp, vsp = paged_chunk_write_int8(
-                cache["k"], cache["k_scale"], cache["v"], cache["v_scale"],
-                k_new, v_new, tables, offsets,
-            )
-            return {**cache, "k": kp, "k_scale": ksp,
-                    "v": vp, "v_scale": vsp}
+                return {**cache, "k": kp, "k_scale": ksp,
+                        "v": vp, "v_scale": vsp}
+            # the chunk kernel's source-scale lane blocks are bs wide —
+            # Mosaic requires lane blocks 128-divisible (or equal to the
+            # array dim), so narrow block sizes fall through to the
+            # block-granular path below
+            if bs % 128 == 0 or jax.default_backend() != "tpu":
+                kp, ksp, vp, vsp = paged_chunk_write_int8(
+                    cache["k"], cache["k_scale"],
+                    cache["v"], cache["v_scale"],
+                    k_new, v_new, tables, offsets,
+                )
+                return {**cache, "k": kp, "k_scale": ksp,
+                        "v": vp, "v_scale": vsp}
+        # default: BLOCK-GRANULAR pure-XLA update — gather each touched
+        # pool block whole (contiguous dim-0 gather), select the new
+        # token(s) in registers, scatter the blocks back (contiguous
+        # dim-0 scatter, in-place on the donated pool).  Same traffic
+        # class as the Pallas kernels (≈ B·2·block bytes per tick, ~16×
+        # less than the strided sliver scatter below) with no Mosaic
+        # surface, and no block_size % 128 constraint.
+        if T == 1:
+            return _write_decode_blocks(cache, k_new, v_new, offsets,
+                                        tables)
+        return _write_chunk_blocks(cache, k_new, v_new, offsets, tables)
 
     pos = offsets[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # (B, T)
     vblock = pos // bs
@@ -158,6 +161,95 @@ def write(
         out["k"] = scat(cache["k"], k_new.astype(cache["k"].dtype))
         out["v"] = scat(cache["v"], v_new.astype(cache["v"].dtype))
     return out
+
+
+def _phys_or_null(tables: jax.Array, vb: jax.Array,
+                  dead: jax.Array) -> jax.Array:
+    """Physical block for virtual block ``vb`` per row; ``dead`` cells
+    (past capacity / past the written span) route to the NULL block — the
+    module contract says its content is unspecified, so any write there
+    (including same-tick collisions) is harmless."""
+    nbmax = tables.shape[1]
+    got = jnp.take_along_axis(
+        tables, jnp.clip(vb, 0, nbmax - 1), axis=1)
+    return jnp.where(dead | (vb >= nbmax), 0, got)
+
+
+def _write_decode_blocks(cache, k_new, v_new, offsets, tables):
+    """T=1 block-granular write: gather each row's current block whole,
+    lane-select the quantized token in, scatter the blocks back (dim-0
+    only — contiguous DMA per block, in place on a donated pool)."""
+    B = k_new.shape[0]
+    bs = cache["k"].shape[2]
+    kq, ks = _quant(jnp.swapaxes(k_new, 1, 2))  # (B, nkv, 1, hd), (B, nkv, 1)
+    vq, vs = _quant(jnp.swapaxes(v_new, 1, 2))
+    vb = offsets[:, None] // bs                  # (B, 1)
+    phys = _phys_or_null(tables, vb, jnp.zeros_like(vb, bool))[:, 0]  # (B,)
+    off = offsets % bs
+    sel = (jnp.arange(bs, dtype=jnp.int32)[None, :]
+           == off[:, None])                      # (B, bs)
+
+    def put(pool, q):
+        cur = pool[phys]                         # (B, nkv, bs, hd)
+        new = jnp.where(sel[:, None, :, None], q, cur)
+        return pool.at[phys].set(new, mode="drop")
+
+    def put_s(pool, s):
+        cur = pool[phys]                         # (B, nkv, bs)
+        new = jnp.where(sel[:, None, :], s, cur)
+        return pool.at[phys].set(new, mode="drop")
+
+    return {**cache,
+            "k": put(cache["k"], kq), "v": put(cache["v"], vq),
+            "k_scale": put_s(cache["k_scale"], ks),
+            "v_scale": put_s(cache["v_scale"], vs)}
+
+
+def _write_chunk_blocks(cache, k_new, v_new, offsets, tables):
+    """T>1 block-granular write (chunked prefill): per row, gather the
+    ceil(T/bs)+1 blocks any chunk offset can straddle, place the chunk's
+    quantized tokens by position, scatter the blocks back (dim-0 only)."""
+    B, T = k_new.shape[0], k_new.shape[1]
+    bs = cache["k"].shape[2]
+    NB = -(-T // bs) + 1
+    kq, ks = _quant(jnp.swapaxes(k_new, 1, 2))  # (B, nkv, T, hd), (B, nkv, T)
+    vq, vs = _quant(jnp.swapaxes(v_new, 1, 2))
+
+    j = jnp.arange(NB, dtype=jnp.int32)[None, :]          # (1, NB)
+    vb = offsets[:, None] // bs + j                       # (B, NB)
+    dead = vb * bs >= (offsets + T)[:, None]              # past the chunk
+    phys = _phys_or_null(tables, vb, dead)                # (B, NB)
+    phys_f = phys.reshape(-1)
+
+    # cell (b, j, p) holds chunk token t = j·bs + p − offsets[b] % bs
+    p = jnp.arange(bs, dtype=jnp.int32)
+    t = (j[:, :, None] * bs + p[None, None, :]
+         - (offsets % bs)[:, None, None])                 # (B, NB, bs)
+    valid = (t >= 0) & (t < T)
+    tc = jnp.clip(t, 0, T - 1).reshape(B, 1, NB * bs)     # (B, 1, NB·bs)
+
+    def put(pool, q):                                     # q (B, nkv, T, hd)
+        cur = pool[phys_f]                                # (B·NB, nkv, bs, hd)
+        val = jnp.take_along_axis(q, tc[..., None], axis=2)
+        val = val.reshape(B, -1, NB, bs, q.shape[-1])     # (B, nkv, NB, bs, hd)
+        val = jnp.swapaxes(val, 1, 2).reshape(cur.shape)
+        new = jnp.where(valid[:, :, None, :, None]
+                        .reshape(B * NB, 1, bs, 1), val, cur)
+        return pool.at[phys_f].set(new, mode="drop")
+
+    def put_s(pool, s):                                   # s (B, nkv, T)
+        cur = pool[phys_f]                                # (B·NB, nkv, bs)
+        val = jnp.take_along_axis(s, tc, axis=2)
+        val = val.reshape(B, -1, NB, bs)
+        val = jnp.swapaxes(val, 1, 2).reshape(cur.shape)
+        new = jnp.where(valid[:, :, None, :]
+                        .reshape(B * NB, 1, bs), val, cur)
+        return pool.at[phys_f].set(new, mode="drop")
+
+    return {**cache,
+            "k": put(cache["k"], kq), "v": put(cache["v"], vq),
+            "k_scale": put_s(cache["k_scale"], ks),
+            "v_scale": put_s(cache["v_scale"], vs)}
 
 
 def read(
