@@ -304,9 +304,9 @@ def test_paged_decode_write_kernel_matches_scatter(rng):
     np.testing.assert_allclose(np.asarray(vsp), np.asarray(want_vs))
 
 
-def test_paged_write_decode_routes_through_kernel(rng):
-    """paged_kv.write with T=1 (decode) must equal the T>1 scatter path's
-    semantics — same contents through either implementation."""
+def test_paged_write_decode_default_path_matches_scatter(rng):
+    """paged_kv.write with T=1 (decode) — the default block-granular XLA
+    path — must equal the sliver-scatter semantics exactly."""
     class Cfg:
         num_key_value_heads = 2
         head_dim = 64
@@ -511,3 +511,38 @@ def test_paged_chunk_write_chunked_rows_match_scatter(rng, B):
                                np.asarray(want["k_scale"]))
     np.testing.assert_allclose(np.asarray(got_vs),
                                np.asarray(want["v_scale"]))
+
+
+@pytest.mark.parametrize("T", [1, 48])
+def test_paged_write_block_granular_matches_scatter_large_b(rng, T):
+    """The default block-granular XLA write path at B > 8 (decode and
+    chunk) must equal the sliver-scatter oracle on every non-null block,
+    including straddling offsets and a table-overflow row (routes to the
+    null block, whose content is unspecified)."""
+    class Cfg:
+        num_key_value_heads = 2
+        head_dim = 64
+        num_hidden_layers = 1
+
+    B, nkv, hd, bs, nbmax = 13, 2, 64, 32, 5
+    pool = paged_kv.init(Cfg, num_blocks=1 + B * nbmax, block_size=bs,
+                         quantized=True)[0]
+    tables = np.arange(B * nbmax, dtype=np.int32).reshape(B, nbmax) + 1
+    tables[-1] = 0  # inactive row: all-null table
+    tables = jnp.asarray(tables)
+    cap = nbmax * bs
+    offsets = jnp.asarray((np.arange(B, dtype=np.int32) * 37)
+                          % (cap - T + 1 if T > 1 else cap))
+    k1 = jnp.asarray(rng.normal(size=(B, T, nkv, hd)).astype(np.float32))
+    v1 = jnp.asarray(rng.normal(size=(B, T, nkv, hd)).astype(np.float32))
+
+    got = paged_kv.write(dict(pool), k1, v1, offsets, tables)
+    import os
+    os.environ["QQQ_TPU_KV_WRITE_SCATTER"] = "1"
+    try:
+        want = paged_kv.write(dict(pool), k1, v1, offsets, tables)
+    finally:
+        del os.environ["QQQ_TPU_KV_WRITE_SCATTER"]
+    for key in ("k", "v", "k_scale", "v_scale"):
+        a, b = np.asarray(got[key]), np.asarray(want[key])
+        np.testing.assert_array_equal(a[1:], b[1:], err_msg=key)
