@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import threading
 import time
 from typing import Any, Dict, List, Optional, Tuple
@@ -128,7 +129,7 @@ class Engine:
         dtype=jnp.bfloat16,
         mesh=None,
         fuse: bool = True,
-        prefill_batch: int = _PREFILL_BATCH,
+        prefill_batch: Optional[int] = None,
         prefill_chunk: int = 0,
         spec_ngram: int = 0,
         spec_k: int = 4,
@@ -311,6 +312,24 @@ class Engine:
         self.slot_len = np.zeros(max_batch, np.int32)
         self.slot_last_tok = np.zeros(max_batch, np.int32)
         self.steps_per_tick = steps_per_tick
+        if prefill_batch is None:
+            # auto-size the admission group: each admitted row costs a
+            # bucket-sized KV scratch across every layer (kv_cache.init in
+            # _admit_batch), which at 7B geometry is ~300 MB per 1024-token
+            # row — an 8-row × 4096-token group would be 9+ GB and OOM next
+            # to the weights + decode caches.  Cap the group so the scratch
+            # stays under QQQ_TPU_PREFILL_SCRATCH_MB (default 1536); an
+            # explicit prefill_batch argument bypasses the cap.
+            budget = int(os.environ.get(
+                "QQQ_TPU_PREFILL_SCRATCH_MB", "1536")) << 20
+            bucket = max(prefill_buckets[-1], prefill_chunk or 0)
+            scale_bytes = 4 if kv_quantized else 0
+            store_bytes = 1 if kv_quantized else jnp.dtype(dtype).itemsize
+            per_row = (config.num_hidden_layers * config.num_key_value_heads
+                       * bucket * 2
+                       * (config.head_dim * store_bytes + scale_bytes))
+            prefill_batch = min(_PREFILL_BATCH,
+                                max(1, budget // max(per_row, 1)))
         self.prefill_batch = max(1, prefill_batch)
         self.prefill_chunk = prefill_chunk
         if prefill_chunk:
